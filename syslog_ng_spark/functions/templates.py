@@ -1,0 +1,323 @@
+"""Template compiler: ``"pre $HOST ${nv.key} $(func a b) post"`` → Column.
+
+The reference compiles template strings into a list of
+{literal, macro/value ref, function call} elements and evaluates them per
+message (/root/reference/lib/template/compiler.c, repr.h:34-36, eval.c).
+Here compilation happens once at plan time and produces a single
+``concat`` Column — evaluation is whole-stage-codegen'd by Tungsten, no
+per-row interpretation at all.
+
+Value resolution order for ``$NAME``/``${name}``:
+1. known macro (macros.py)
+2. top-level DataFrame column
+3. entry in the ``nv`` map column (dynamic name-value analogue)
+Numbered refs ``$1..$255`` read the ``matches`` array column
+(regexp capture slots, logmsg.h:282).
+
+Template functions ($(...)) come from a registry mirroring
+modules/basicfuncs/basic-funcs.c:76-150; args are recursively compiled
+templates, so ``$(lowercase $HOST)`` works.
+"""
+
+from __future__ import annotations
+
+import re
+import shlex
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..schema import MATCHES_COL, NV_COL
+from .macros import is_macro, macro
+
+_TOKEN = re.compile(
+    r"""\$\$            # escaped dollar
+      | \$\{[^}]+\}     # ${name}
+      | \$\(            # $( function-call opener (args scanned manually)
+      | \$[0-9]+        # $1..$n match refs
+      | \$[A-Za-z_][A-Za-z0-9_]*  # $NAME
+    """,
+    re.X,
+)
+
+
+def _resolve_name(name: str, columns: set[str] | None) -> Column:
+    if name.isdigit():
+        # $0..$n → matches array (1-based element_at; $0 = whole match at idx 1)
+        return F.element_at(F.col(MATCHES_COL), int(name) + 1)
+    if is_macro(name):
+        return macro(name)
+    if columns is None or name in columns:
+        return F.col(name)
+    return F.element_at(F.col(NV_COL), name)
+
+
+def _find_call_end(s: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at ``start`` (nesting-aware)."""
+    depth = 1
+    i = start + 1
+    while i < len(s):
+        if s[i] == "(" and s[i - 1] == "$":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced $() in template: {s!r}")
+
+
+def compile_template(
+    template: str, columns: set[str] | None = None
+) -> Column:
+    """Compile a template string into one string-typed Column."""
+    parts: list[Column] = []
+    pos = 0
+    while pos < len(template):
+        m = _TOKEN.search(template, pos)
+        if m is None:
+            parts.append(F.lit(template[pos:]))
+            break
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        tok = m.group(0)
+        if tok == "$$":
+            parts.append(F.lit("$"))
+            pos = m.end()
+        elif tok == "$(":
+            end = _find_call_end(template, m.end() - 1)
+            inner = template[m.end() : end - 1]
+            parts.append(_compile_call(inner, columns))
+            pos = end
+        elif tok.startswith("${"):
+            parts.append(_resolve_name(tok[2:-1], columns).cast("string"))
+            pos = m.end()
+        else:
+            parts.append(_resolve_name(tok[1:], columns).cast("string"))
+            pos = m.end()
+    if not parts:
+        return F.lit("")
+    out = parts[0] if len(parts) == 1 else F.concat_ws("", *parts)
+    return out.cast("string")
+
+
+def _compile_call(body: str, columns: set[str] | None) -> Column:
+    """Compile ``func arg1 arg2 ...`` — args are themselves templates."""
+    # split respecting quotes; nested $(...) must survive shlex, so protect them
+    tokens = _split_args(body)
+    if not tokens:
+        raise ValueError("empty $() call")
+    fname, args = tokens[0], tokens[1:]
+    fn = _TEMPLATE_FUNCS.get(fname)
+    if fn is None:
+        raise KeyError(f"unknown template function $({fname} ...)")
+    compiled = [compile_template(a, columns) for a in args]
+    return fn(args, compiled)
+
+
+def _split_args(body: str) -> list[str]:
+    """Split on whitespace, honoring double quotes and nested $()."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_q = False
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if in_q:
+            if ch == '"':
+                in_q = False
+            else:
+                buf.append(ch)
+        elif ch == '"' and depth == 0:
+            in_q = True
+        elif ch == "$" and i + 1 < len(body) and body[i + 1] == "(":
+            depth += 1
+            buf.append("$(")
+            i += 1
+        elif ch == ")" and depth > 0:
+            depth -= 1
+            buf.append(ch)
+        elif ch.isspace() and depth == 0:
+            if buf:
+                out.append("".join(buf))
+                buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+# --- template function registry (basicfuncs analogues) ------------------------
+# Each entry: fn(raw_args: list[str], cols: list[Column]) -> Column
+
+def _num(c: Column) -> Column:
+    return c.cast("double")
+
+
+def _intish(c: Column) -> Column:
+    """Integer result when inputs are integral, like the reference's
+    numeric funcs which operate on int64 (numeric-funcs.c:81-205)."""
+    d = c.cast("double")
+    return F.when(d == d.cast("long"), d.cast("long").cast("string")).otherwise(
+        d.cast("string")
+    )
+
+
+_TEMPLATE_FUNCS: dict[str, object] = {
+    # strings (str-funcs.c)
+    "echo": lambda raw, cols: F.concat_ws(" ", *cols),
+    "length": lambda raw, cols: F.length(cols[0]).cast("string"),
+    "substr": lambda raw, cols: F.expr("1").cast("string"),  # replaced below
+    "strip": lambda raw, cols: F.trim(cols[0]),
+    "lowercase": lambda raw, cols: F.lower(cols[0]),
+    "uppercase": lambda raw, cols: F.upper(cols[0]),
+    "sanitize": lambda raw, cols: F.regexp_replace(cols[0], r"[/]", "_"),
+    "replace-delimiter": lambda raw, cols: F.translate(cols[0], raw[0], raw[1]),
+    "padding": lambda raw, cols: F.lpad(
+        cols[0], int(raw[1]), raw[2] if len(raw) > 2 else " "
+    ),
+    "implode": lambda raw, cols: F.concat_ws(raw[0], *cols[1:]),
+    "explode": lambda raw, cols: F.array_join(F.split(cols[1], re.escape(raw[0])), ","),
+    # conditional (cond-funcs.c)
+    "if": lambda raw, cols: F.when(F.expr(raw[0].strip("'")), cols[1]).otherwise(cols[2]),
+    "or": lambda raw, cols: F.coalesce(
+        *[F.when(F.length(c) > 0, c) for c in cols]
+    ),
+    # numeric (numeric-funcs.c)
+    "+": lambda raw, cols: _intish(_num(cols[0]) + _num(cols[1])),
+    "-": lambda raw, cols: _intish(_num(cols[0]) - _num(cols[1])),
+    "*": lambda raw, cols: _intish(_num(cols[0]) * _num(cols[1])),
+    "/": lambda raw, cols: _intish(
+        F.floor(_num(cols[0]) / _num(cols[1]))
+    ),
+    "%": lambda raw, cols: _intish(F.pmod(_num(cols[0]), _num(cols[1]))),
+    "round": lambda raw, cols: F.round(
+        _num(cols[0]), int(raw[1]) if len(raw) > 1 else 0
+    ).cast("string"),
+    "ceil": lambda raw, cols: F.ceil(_num(cols[0])).cast("string"),
+    "floor": lambda raw, cols: F.floor(_num(cols[0])).cast("string"),
+    # list-aggregating numerics over comma-separated list strings
+    "sum": lambda raw, cols: _intish(
+        F.aggregate(
+            F.split(cols[0], ","), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+    ),
+    "min": lambda raw, cols: _intish(F.array_min(F.transform(F.split(cols[0], ","), lambda x: x.cast("double")))),
+    "max": lambda raw, cols: _intish(F.array_max(F.transform(F.split(cols[0], ","), lambda x: x.cast("double")))),
+    "average": lambda raw, cols: _intish(
+        F.aggregate(
+            F.split(cols[0], ","), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+        / F.size(F.split(cols[0], ","))
+    ),
+    # lists (list-funcs.c) — list = comma-separated string, as in the reference
+    "list-concat": lambda raw, cols: F.concat_ws(",", *cols),
+    "list-head": lambda raw, cols: F.element_at(F.split(cols[0], ","), 1),
+    "list-tail": lambda raw, cols: F.array_join(
+        F.slice(F.split(cols[0], ","), 2, 1_000_000), ","
+    ),
+    "list-nth": lambda raw, cols: F.element_at(
+        F.split(cols[1], ","), int(raw[0]) + 1
+    ),
+    "list-count": lambda raw, cols: F.size(F.split(cols[0], ",")).cast("string"),
+    "list-append": lambda raw, cols: F.concat_ws(",", *cols),
+    "list-slice": lambda raw, cols: _list_slice(raw, cols),
+    # ip (ip-funcs.c)
+    "ipv4-to-int": lambda raw, cols: __import__(
+        "syslog_ng_spark.functions.filters", fromlist=["ip_to_long"]
+    ).ip_to_long(cols[0]).cast("string"),
+    # fname (fname-funcs.c)
+    "dirname": lambda raw, cols: F.regexp_extract(cols[0], r"^(.*)/[^/]*$", 1),
+    "basename": lambda raw, cols: F.regexp_extract(cols[0], r"([^/]*)$", 1),
+    # codecs (urlencode.c)
+    "base64-encode": lambda raw, cols: F.base64(cols[0].cast("binary")),
+    "url-encode": lambda raw, cols: F.url_encode(cols[0]),
+    "url-decode": lambda raw, cols: F.url_decode(cols[0]),
+    # structured
+    "format-json": lambda raw, cols: _format_json(raw, cols),
+    "format-welf": lambda raw, cols: _format_welf(raw, cols),
+    "format-date": lambda raw, cols: F.date_format(
+        F.to_timestamp(cols[1]), _strptime_to_java(raw[0])
+    ),
+    # crypto (modules/cryptofuncs)
+    "sha1": lambda raw, cols: F.sha1(cols[0]),
+    "sha256": lambda raw, cols: F.sha2(cols[0], 256),
+    "md5": lambda raw, cols: F.md5(cols[0]),
+    "hash": lambda raw, cols: F.sha256(cols[0].cast("binary")),
+    "uuid": lambda raw, cols: F.uuid(),
+    # misc
+    "env": lambda raw, cols: F.lit(__import__("os").environ.get(raw[0], "")),
+    "tag": lambda raw, cols: F.array_contains(F.col("tags"), raw[0]).cast("string"),
+    "tags-head": lambda raw, cols: F.element_at(F.col("tags"), 1),
+    "stardate": lambda raw, cols: F.round(
+        F.year(F.col("ts"))
+        + F.dayofyear(F.col("ts")) / 365.25,
+        2,
+    ).cast("string"),
+}
+
+
+def _list_slice(raw, cols):
+    spec = raw[0]
+    a, _, b = spec.partition(":")
+    start = int(a) if a else 0
+    arr = F.split(cols[1], ",")
+    if b:
+        length = int(b) - start
+        return F.array_join(F.slice(arr, start + 1, length), ",")
+    return F.array_join(F.slice(arr, start + 1, 1_000_000), ",")
+
+
+def _substr_fn(raw, cols):
+    """$(substr value start [len]) — 0-based start like the reference."""
+    start = int(raw[1])
+    length = int(raw[2]) if len(raw) > 2 else (1 << 30)
+    return F.substring(cols[0], start + 1, length)
+
+
+_TEMPLATE_FUNCS["substr"] = _substr_fn
+
+
+def _format_json(raw, cols):
+    """$(format-json key=value ...) — builds a JSON object column."""
+    pairs = {}
+    for a in raw:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            pairs[k] = compile_template(v)
+    return F.to_json(F.struct(*[v.alias(k) for k, v in pairs.items()]))
+
+
+def _format_welf(raw, cols):
+    """$(format-welf k=v ...) — 'k=v k2=v2' (modules/kvformat/format-welf.c)."""
+    pairs = []
+    for a in raw:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            pairs.append(F.concat(F.lit(k + "="), compile_template(v)))
+    return F.concat_ws(" ", *pairs)
+
+
+def _strptime_to_java(fmt: str) -> str:
+    """Subset strptime → java.time pattern translation."""
+    table = {
+        "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+        "%S": "ss", "%b": "MMM", "%e": "d", "%z": "xx", "%f": "SSSSSS",
+        "%j": "DDD", "%y": "yy", "%p": "a", "%I": "hh", "%A": "EEEE", "%a": "EEE",
+    }
+    out = fmt
+    for k, v in table.items():
+        out = out.replace(k, v)
+    return out
+
+
+def register_template_func(name: str, fn) -> None:
+    """User-function hook (lib/template/user-function.c analogue)."""
+    _TEMPLATE_FUNCS[name] = fn
+
+
+def template_func_names() -> list[str]:
+    return sorted(_TEMPLATE_FUNCS)

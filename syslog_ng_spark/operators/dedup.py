@@ -1,0 +1,263 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's ``suppress`` (consecutive dedup — suppress.py),
+a training-data pipeline needs corpus-wide dedup. All variants below are
+expressed so the expensive parts stay JVM-side and shuffles touch only
+candidate pairs, never the full cross product:
+
+- ``exact_dedup``      — hash-groupBy on normalized text (one shuffle on a
+                         64-bit key, not the text itself)
+- ``minhash_lsh``      — shingle → k minhashes (higher-order functions, no
+                         UDF) → banded LSH bucket join → exact Jaccard
+                         verify on candidates only
+- ``simhash``          — 64-bit sign fingerprint via aggregate/zip_with;
+                         near-dup = pigeonholed 16-bit chunk join
+- ``ngram_jaccard_pairs`` — exact all-pairs Jaccard via inverted index
+                         (small scale / verification oracle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _norm_text(c: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Keep one representative per exact (normalized) text.
+
+    GroupBy on xxhash64(text) — the shuffle moves 8-byte keys + ids, text
+    stays columnar at the scan. Representative = min/max id (deterministic).
+    """
+    h = F.xxhash64(_norm_text(F.col(text_col)))
+    keeper = F.min(id_col) if keep == "min" else F.max(id_col)
+    keep_ids = df.select(h.alias("_h"), F.col(id_col)).groupBy("_h").agg(
+        keeper.alias(id_col)
+    )
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def tokenize(c: Column) -> Column:
+    return F.filter(F.split(_norm_text(c), r"[^\w]+"), lambda t: t != "")
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles via higher-order functions (no UDF)."""
+    toks = tokenize(c)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(c: Column, k: int = 64) -> Column:
+    """k minhashes: min over shingle hashes per seed, all JVM-side."""
+    sh = shingles(c)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate PAIRS (id_a < id_b, jaccard ≥ threshold).
+
+    Plan shape: narrow signature computation → explode to ``bands`` rows
+    per doc → shuffle on (band, band_hash) — tiny rows — → self-join
+    within buckets → exact shingle-Jaccard verification only on candidate
+    pairs. At 100 TB the band join is the only wide stage and its input
+    is ~bands×8 bytes per doc.
+    """
+    r = k // bands
+    sig = minhash_signature(F.col(text_col), k)
+    docs = df.select(
+        F.col(id_col).alias("id"), sig.alias("sig"), shingles(F.col(text_col)).alias("sh")
+    )
+    banded = docs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")))
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """Drop near-duplicates: for each dup pair keep the smaller id
+    (union-find collapsed one level — transitive chains keep roots)."""
+    pairs = minhash_lsh(df, text_col, id_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- SimHash -------------------------------------------------------------------
+
+
+def simhash(c: Column, bits: int = 64) -> Column:
+    """Sign fingerprint of the token multiset, pure higher-order fns.
+
+    acc[i] += (bit i of xxhash64(token)) ? +1 : -1; fingerprint bit i set
+    where acc[i] > 0.
+    """
+    toks = tokenize(c)
+    zero = F.array_repeat(F.lit(0), bits)
+    acc = F.aggregate(
+        toks,
+        zero,
+        lambda a, t: F.zip_with(
+            a,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    indexed = F.zip_with(
+        acc,
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda a, i: F.when(a > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(indexed, F.lit(0).cast("long"), lambda x, y: x + y)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole on 16-bit chunks (a pair at
+    hamming ≤ 3 shares at least one of 4 chunks), equi-join per chunk."""
+    fp = simhash(F.col(text_col))
+    docs = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    chunked = docs.select(
+        "id",
+        "fp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.shiftright(F.col("fp"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("ck"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("id", "fp", "cc.chunk", "cc.ck")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- exact pairwise Jaccard (small-scale oracle) --------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted index: explode shingles,
+    self-join on shingle, count shared, derive union from per-doc sizes.
+    Quadratic in the worst case — the verification oracle for minhash_lsh,
+    not the 100 TB path."""
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        shared.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,147 @@
+"""Enrichment: lookup joins (SURVEY.md §2.5 geoip2 / add-contextual-data).
+
+Both reference operators are per-message lookups against an in-memory
+database. At 100 TB the idiomatic Spark shape is a **broadcast hash join**
+— the lookup table ships once per executor, the probe stays narrow
+(no shuffle of the big side). CIDR/range lookups use prefix-bucketed
+equi-joins so they broadcast too, instead of a nested-loop range join.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.filters import ip_to_long
+
+
+def add_contextual_data(
+    df: DataFrame,
+    context: DataFrame,
+    selector: Column | str,
+    default_selector: str | None = None,
+    prefix: str = "",
+    target: str = "ctx",
+) -> DataFrame:
+    """add-contextual-data() — modules/add-contextual-data (db
+    context-info-db.c:205-235): the context table has rows
+    (selector, name, value); every input row's selector template picks the
+    matching records, whose name/value pairs land on the row.
+
+    Rebuild: pre-aggregate the context to (selector, map<name,value>) —
+    tiny —, broadcast, LEFT join on the selector expression, and
+    ``default-selector`` becomes a coalesce with the default selector's
+    map (same fallback semantics, zero extra join).
+    """
+    sel = F.col(selector) if isinstance(selector, str) else selector
+    packed = (
+        context.groupBy("selector")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("name"), F.col("value")))
+            ).alias("_ctx_map")
+        )
+    )
+    if prefix:
+        packed = packed.withColumn(
+            "_ctx_map",
+            F.transform_keys(F.col("_ctx_map"), lambda k, _v: F.concat(F.lit(prefix), k)),
+        )
+    joined = df.withColumn("_sel", sel).join(
+        F.broadcast(packed), F.col("_sel") == packed["selector"], "left"
+    ).drop("selector")
+    if default_selector is not None:
+        default_map = (
+            packed.filter(F.col("selector") == default_selector)
+            .select("_ctx_map")
+            .collect()
+        )
+        dmap = default_map[0][0] if default_map else {}
+        dcol = (
+            F.create_map(*[x for k, v in dmap.items() for x in (F.lit(k), F.lit(v))])
+            if dmap
+            else F.create_map().cast("map<string,string>")
+        )
+        joined = joined.withColumn("_ctx_map", F.coalesce(F.col("_ctx_map"), dcol))
+    return joined.withColumnRenamed("_ctx_map", target).drop("_sel")
+
+
+def ctx_get(target: str, key: str) -> Column:
+    return F.element_at(F.col(target), key)
+
+
+# ---------------------------------------------------------------------------
+# GeoIP-style CIDR range lookup (modules/geoip2/geoip-parser.c analogue)
+# ---------------------------------------------------------------------------
+
+
+def cidr_table(
+    spark: SparkSession, records: list[tuple[str, dict[str, str]]]
+) -> DataFrame:
+    """Build a lookup DataFrame from (cidr, attributes) records.
+
+    Expanded to /16-aligned buckets so the probe side can equi-join on its
+    own /16 prefix — broadcastable and hash-joinable, no range-join
+    nested loop. A /8 network becomes 256 bucket rows: the classic
+    prefix-expansion trade (tiny dimension blowup for an equi-join).
+    """
+    rows = []
+    for cidr, attrs in records:
+        net = ipaddress.ip_network(cidr, strict=False)
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        for b16 in range(lo >> 16, (hi >> 16) + 1):
+            rows.append((b16, lo, hi, attrs))
+    flat = spark.createDataFrame(
+        rows, "bucket16 long, ip_lo long, ip_hi long, geo map<string,string>"
+    )
+    # Pack each bucket's ranges into ONE array row, most-specific
+    # (smallest range) first — the probe side then resolves longest-prefix
+    # with pure array functions, so the whole lookup is a broadcast
+    # equi-join + projection: no shuffle, no per-row ambiguity.
+    return flat.groupBy("bucket16").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ip_lo", "ip_hi", "geo")),
+            lambda a, b: F.when(
+                (a["ip_hi"] - a["ip_lo"]) < (b["ip_hi"] - b["ip_lo"]), -1
+            )
+            .when((a["ip_hi"] - a["ip_lo"]) > (b["ip_hi"] - b["ip_lo"]), 1)
+            .otherwise(0),
+        ).alias("ranges")
+    )
+
+
+def geoip(
+    df: DataFrame,
+    lookup: DataFrame,
+    ip_col: str | Column = "src_ip",
+    target: str = "geo",
+) -> DataFrame:
+    """Join each row's IPv4 string against the CIDR lookup.
+
+    Probe: ip → int64 (pure Column math), bucket on /16, broadcast
+    equi-join on the bucket (lookup built by ``cidr_table``), then the
+    most-specific containing range is picked with array functions —
+    single narrow stage over the fact table.
+    """
+    ip = F.col(ip_col) if isinstance(ip_col, str) else ip_col
+    probe = df.withColumn("_ipl", ip_to_long(ip)).withColumn(
+        "_b16", (F.col("_ipl") / 65536).cast("long")
+    )
+    joined = probe.join(
+        F.broadcast(lookup), F.col("_b16") == lookup["bucket16"], "left"
+    )
+    ipl = F.col("_ipl")
+    hit = F.filter(
+        F.col("ranges"), lambda r: (r["ip_lo"] <= ipl) & (ipl <= r["ip_hi"])
+    )
+    best = F.when(F.size(hit) > 0, F.element_at(hit, 1)["geo"])
+    return joined.withColumn(target, best).drop("bucket16", "ranges", "_ipl", "_b16")
+
+
+def in_list_semi_join(df: DataFrame, values: DataFrame, on: str) -> DataFrame:
+    """in-list() at scale: broadcast LEFT SEMI join instead of isin()
+    when the membership set is too large for a literal list
+    (lib/filter/filter-in-list.c analogue)."""
+    return df.join(F.broadcast(values), on=on, how="left_semi")

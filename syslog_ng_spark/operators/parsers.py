@@ -1,0 +1,522 @@
+"""Parsers: string columns → typed columns / name-value maps.
+
+Re-expresses the reference's parser family (SURVEY.md §2.5) Spark-first:
+
+- syslog header parse (RFC3164/RFC5424 auto-detect)  → native regexp columns
+- csv-parser   → ``F.from_csv`` (JVM CSV reader handles quoting dialects)
+- kv-parser    → ``regexp_extract_all`` + ``map_from_arrays`` (no UDF)
+- json-parser  → ``from_json`` with schema; schemaless flatten-to-dotted-keys
+                 via a vectorized Arrow UDF (dot-notation.c analogue)
+- regexp-parser→ named-group regex → one column per group
+- date-parser  → coalesce over try_to_timestamp formats
+- PatternDB    → compiled ruleset, program-bucketed, applied vectorized
+                 (radix.c analogue — see patterndb.py)
+- group-lines  → sessionized multi-line reassembly
+
+Parser failure semantics: the reference drops a message on the path where
+a parser fails (parser-expr.h:37-61). Here each parser adds a boolean
+``<prefix>_matched`` column so routing can filter — non-destructive,
+single pass.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import (
+    TAG_MISSING_HOSTNAME,
+    TAG_MISSING_PRI,
+    TAG_MISSING_TIMESTAMP,
+)
+
+# ---------------------------------------------------------------------------
+# syslog header parser (modules/syslogformat/syslog-format.c:122-680 analogue)
+# ---------------------------------------------------------------------------
+
+# RFC3164: <PRI>MMM dd HH:MM:SS host program[pid]: message
+_RFC3164 = (
+    r"^(?:<(\d{1,3})>)?"  # 1 pri (optional → TAG_MISSING_PRI)
+    r"(?:([A-Z][a-z]{2}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2})\s)?"  # 2 timestamp
+    r"(?:([\w.\-]+)\s)?"  # 3 hostname
+    r"([^\s:\[\]]+)"  # 4 program
+    r"(?:\[(\d+)\])?"  # 5 pid
+    r":\s?"
+    r"((?s:.*))$"  # 6 message
+)
+
+# RFC5424: <PRI>VER TIMESTAMP HOST APP PID MSGID SDATA MSG
+_RFC5424 = (
+    r"^<(\d{1,3})>(\d+)\s"  # 1 pri, 2 version
+    r"(\S+)\s(\S+)\s(\S+)\s(\S+)\s(\S+)\s"  # 3 ts, 4 host, 5 app, 6 pid, 7 msgid
+    r"((?:\[[^\]]*\])+|-)"  # 8 sdata
+    r"(?:\s((?s:.*)))?$"  # 9 message
+)
+
+_SD_PAIR = r'([\w.@-]+)="((?:[^"\\]|\\.)*)"'
+
+
+def _nullif_empty(c: Column) -> Column:
+    return F.when(c == "", F.lit(None)).otherwise(c)
+
+
+def syslog_parser(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix: str = "",
+    default_pri: int = 13,  # user.notice — reference default when PRI missing
+    year_hint_col: str = "ts",
+    require_header: bool = True,
+) -> DataFrame:
+    """Parse syslog headers out of ``text_col`` into typed columns.
+
+    Adds: pri int, syslog_ts timestamp, host, program, pid int, msgid,
+    sdata map<string,string>, msg, syslog_format ('rfc3164'|'rfc5424'|null),
+    syslog_tags array<string> (LM_T_SYSLOG_* analogues), syslog_matched bool.
+
+    All-native: two regexes evaluated JVM-side; the RFC3164 year is
+    inferred from ``year_hint_col`` (the reference uses wall clock —
+    logmsg has no year either).
+
+    ``require_header=True`` (default) only counts a row as matched when a
+    PRI or syslog timestamp is present. The reference is laxer — its 3164
+    parser accepts almost any line, tagging the missing pieces — set
+    False for that behavior.
+    """
+    t = F.col(text_col)
+    p = prefix
+    is5424 = t.rlike(r"^<\d{1,3}>\d+\s")
+
+    g3 = [F.regexp_extract(t, _RFC3164, i) for i in range(7)]
+    g5 = [F.regexp_extract(t, _RFC5424, i) for i in range(10)]
+    m3 = t.rlike(_RFC3164)
+    if require_header:
+        m3 = m3 & ((g3[1] != "") | (g3[2] != ""))
+    m5 = t.rlike(_RFC5424)
+
+    matched = F.when(is5424, m5).otherwise(m3)
+    fmt = F.when(is5424 & m5, F.lit("rfc5424")).when(
+        ~is5424 & m3, F.lit("rfc3164")
+    )
+
+    pri_raw = F.when(is5424, g5[1]).otherwise(g3[1])
+    pri = F.when(
+        matched,
+        F.when(_nullif_empty(pri_raw).isNotNull(), pri_raw.cast("int")).otherwise(
+            F.lit(default_pri)
+        ),
+    )
+
+    year = F.year(F.col(year_hint_col)).cast("string")
+    ts3 = F.try_to_timestamp(
+        F.concat_ws(
+            " ", year, F.regexp_replace(g3[2], r"\s+", " ")
+        ),
+        F.lit("yyyy MMM d HH:mm:ss"),
+    )
+    ts5 = F.coalesce(
+        F.try_to_timestamp(g5[3], F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(g5[3], F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(g5[3], F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
+    syslog_ts = F.when(matched, F.when(is5424, ts5).otherwise(ts3))
+
+    host = F.when(matched, _nullif_empty(F.when(is5424, F.nullif(g5[4], F.lit("-"))).otherwise(g3[3])))
+    program = F.when(
+        matched, _nullif_empty(F.when(is5424, F.nullif(g5[5], F.lit("-"))).otherwise(g3[4]))
+    )
+    pid = F.when(
+        matched,
+        F.when(is5424, F.nullif(g5[6], F.lit("-"))).otherwise(_nullif_empty(g3[5])),
+    ).cast("int")
+    msgid = F.when(matched & is5424, F.nullif(g5[7], F.lit("-")))
+
+    sd = F.when(matched & is5424, F.nullif(g5[8], F.lit("-")))
+    sdata = F.when(
+        sd.isNotNull(),
+        F.map_from_arrays(
+            F.regexp_extract_all(sd, F.lit(_SD_PAIR), 1),
+            F.regexp_extract_all(sd, F.lit(_SD_PAIR), 2),
+        ),
+    )
+    msg = F.when(matched, F.when(is5424, g5[9]).otherwise(g3[6]))
+
+    # error tags mirroring LM_T_SYSLOG_MISSING_* (logmsg.h:107-143)
+    tags = F.when(
+        matched,
+        F.filter(
+            F.array(
+                F.when(_nullif_empty(pri_raw).isNull(), F.lit(TAG_MISSING_PRI)),
+                F.when(~is5424 & (g3[2] == ""), F.lit(TAG_MISSING_TIMESTAMP)),
+                F.when(~is5424 & (g3[3] == ""), F.lit(TAG_MISSING_HOSTNAME)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    return (
+        df.withColumn(p + "pri", pri)
+        .withColumn(p + "syslog_ts", syslog_ts)
+        .withColumn(p + "host", host)
+        .withColumn(p + "program", program)
+        .withColumn(p + "pid", pid)
+        .withColumn(p + "msgid", msgid)
+        .withColumn(p + "sdata", sdata)
+        .withColumn(p + "msg", msg)
+        .withColumn(p + "syslog_format", fmt)
+        .withColumn(p + "syslog_tags", tags)
+        .withColumn(p + "syslog_matched", F.coalesce(matched, F.lit(False)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# csv-parser (lib/scanner/csv-scanner analogue)
+# ---------------------------------------------------------------------------
+
+
+def csv_parser(
+    df: DataFrame,
+    columns: list[str] | list[tuple[str, str]],
+    source: str | Column = "text",
+    delimiter: str = ",",
+    quote: str = '"',
+    escape: str | None = None,
+    null_value: str | None = None,
+    prefix: str = "",
+    greedy: bool = False,
+    strip_whitespace: bool = False,
+) -> DataFrame:
+    """Split ``source`` into named typed columns via the JVM CSV reader.
+
+    ``columns``: names or (name, sparkType) pairs; type hints mirror
+    csvparser.c:177-252. Dialects: quote/escape options cover the
+    reference's escape-none / backslash / double-char modes.
+    ``greedy``: last column swallows the rest of the line.
+    Adds ``<prefix><name>`` columns + ``<prefix>csv_matched``.
+    """
+    names = [(c, "string") if isinstance(c, str) else c for c in columns]
+    src = F.col(source) if isinstance(source, str) else source
+
+    if greedy:
+        # parse n-1 columns normally; greedy tail = remainder after n-1 seps
+        head = names[:-1]
+        gname, gtype = names[-1]
+        schema_str = ", ".join(f"`{n}` string" for n, _ in head)
+        opts = {"sep": delimiter, "quote": quote}
+        if escape:
+            opts["escape"] = escape
+        parsed = F.from_csv(src, schema_str, opts) if head else None
+        out = df
+        for n, typ in head:
+            c = parsed[n]
+            if strip_whitespace:
+                c = F.trim(c)
+            out = out.withColumn(prefix + n, c.cast(typ))
+        tail = F.element_at(F.split(src, _re.escape(delimiter), len(names)), len(names))
+        if strip_whitespace:
+            tail = F.trim(tail)
+        out = out.withColumn(prefix + gname, tail.cast(gtype))
+        matched = F.lit(True)
+        for n, _ in head:
+            matched = matched & F.col(prefix + n).isNotNull()
+        return out.withColumn(prefix + "csv_matched", matched)
+
+    schema_str = ", ".join(f"`{n}` {t}" for n, t in names)
+    opts = {"sep": delimiter, "quote": quote, "mode": "PERMISSIVE"}
+    restore_escaped = False
+    if escape:
+        # The JVM CSV reader's `escape` only covers quotes; the reference's
+        # backslash dialect (CSV_SCANNER_ESCAPE_BACKSLASH) also escapes the
+        # delimiter in unquoted fields — emulate by masking `\<delim>`
+        # with a sentinel and restoring it per column.
+        src = F.regexp_replace(
+            src, _re.escape(escape) + _re.escape(delimiter), "\x00"
+        )
+        restore_escaped = True
+    if null_value is not None:
+        opts["nullValue"] = null_value
+    parsed = F.from_csv(src, schema_str, opts)
+    out = df.withColumn("_csv_struct", parsed)
+    matched = F.lit(True)
+    for n, _t in names:
+        c = F.col("_csv_struct")[n]
+        if restore_escaped:
+            c = F.regexp_replace(c.cast("string"), "\x00", delimiter).cast(_t)
+        if strip_whitespace:
+            c = F.when(c.isNotNull(), F.trim(c.cast("string")).cast(_t)).otherwise(c)
+        out = out.withColumn(prefix + n, c)
+    # matched = the row yielded at least the first column
+    first = names[0][0]
+    matched = F.col(prefix + first).isNotNull()
+    return out.drop("_csv_struct").withColumn(prefix + "csv_matched", matched)
+
+
+# ---------------------------------------------------------------------------
+# kv-parser (lib/scanner/kv-scanner analogue) — zero-UDF
+# ---------------------------------------------------------------------------
+
+
+def kv_parser(
+    df: DataFrame,
+    source: str | Column = "text",
+    value_separator: str = "=",
+    pair_separator: str = ", ",
+    prefix: str = "",
+    target: str = "kv",
+    allow_pair_separator_option: bool = True,
+) -> DataFrame:
+    """Extract ``k=v`` pairs (quoted values supported) into a map column.
+
+    One pass of ``regexp_extract_all`` for keys and one for values —
+    both JVM-side. Quoted values may contain the value separator and
+    spaces, mirroring kv-scanner's quote handling (kv-scanner.c).
+    Adds ``<target>`` map<string,string> and ``<target>_matched``.
+    """
+    vs = _re.escape(value_separator)
+    pat = rf'([A-Za-z0-9._\-]+){vs}("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'|[^\s,]*)'
+    src = F.col(source) if isinstance(source, str) else source
+    keys = F.regexp_extract_all(src, F.lit(pat), 1)
+    vals = F.regexp_extract_all(src, F.lit(pat), 2)
+    unquote = F.transform(
+        vals,
+        lambda v: F.when(
+            v.rlike(r"^\".*\"$") | v.rlike(r"^'.*'$"),
+            F.regexp_replace(F.substring(v, 2, (1 << 30)), r"[\"']$", ""),
+        ).otherwise(v),
+    )
+    if prefix:
+        keys = F.transform(keys, lambda k: F.concat(F.lit(prefix), k))
+    kv = F.map_from_arrays(keys, unquote)
+    return df.withColumn(target, kv).withColumn(
+        target + "_matched", F.size(keys) > 0
+    )
+
+
+def kv_get(target: str, key: str) -> Column:
+    return F.element_at(F.col(target), key)
+
+
+# ---------------------------------------------------------------------------
+# json-parser (modules/json/json-parser.c analogue)
+# ---------------------------------------------------------------------------
+
+
+def json_parser(
+    df: DataFrame,
+    source: str | Column = "text",
+    schema: str | T.StructType | None = None,
+    prefix: str = "",
+    target: str = "json",
+    marker: str | None = None,
+    extract_prefix: str | None = None,
+    key_delimiter: str = ".",
+) -> DataFrame:
+    """Parse JSON from ``source``.
+
+    With ``schema``: native ``from_json`` into a struct column ``target``
+    (fast path — use whenever the shape is known; Catalyst prunes unused
+    fields from the parse).
+    Without: schemaless flatten to dotted keys → map<string,string>
+    (dot-notation.c analogue) via a vectorized Arrow UDF — the one spot
+    where built-ins can't express "arbitrary nesting to dotted keys".
+    ``marker``: only parse payloads starting with the marker (e.g. '@cim:'),
+    mirroring json-parser's marker option.
+    """
+    src = F.col(source) if isinstance(source, str) else source
+    if marker:
+        payload = F.when(
+            src.startswith(marker), F.expr(f"substring({source}, {len(marker) + 1})")
+        )
+    else:
+        payload = src
+
+    if schema is not None:
+        parsed = F.from_json(payload, schema)
+        out = df.withColumn(target, parsed)
+        return out.withColumn(target + "_matched", F.col(target).isNotNull())
+
+    flat = _flatten_json_udf(key_delimiter, prefix, extract_prefix)
+    out = df.withColumn(target, flat(payload))
+    return out.withColumn(target + "_matched", F.col(target).isNotNull())
+
+
+def _flatten_json_udf(key_delimiter: str, prefix: str, extract_prefix: str | None):
+    @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def flatten(s: pd.Series) -> pd.Series:
+        import json  # noqa: PLC0415
+
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                obj = json.loads(txt)
+            except (ValueError, TypeError):
+                return None
+            if not isinstance(obj, dict):
+                return None
+            if extract_prefix:
+                obj = obj.get(extract_prefix)
+                if not isinstance(obj, dict):
+                    return None
+            out = {}
+            stack = [("", obj)]
+            while stack:
+                path, node = stack.pop()
+                if isinstance(node, dict):
+                    for k, v in node.items():
+                        stack.append((path + key_delimiter + k if path else k, v))
+                elif isinstance(node, list):
+                    # reference carries lists as syslog-ng list strings
+                    out[path] = ",".join(
+                        json.dumps(x) if isinstance(x, (dict, list)) else str(x)
+                        for x in node
+                    )
+                elif isinstance(node, bool):
+                    out[path] = "true" if node else "false"
+                elif node is None:
+                    out[path] = ""
+                else:
+                    out[path] = str(node)
+            return {prefix + k: v for k, v in out.items()} if prefix else out
+
+        return s.map(one)
+
+    return flatten
+
+
+# ---------------------------------------------------------------------------
+# regexp-parser (modules/regexp-parser analogue)
+# ---------------------------------------------------------------------------
+
+
+def regexp_parser(
+    df: DataFrame,
+    patterns: str | list[str],
+    source: str | Column = "text",
+    prefix: str = "",
+    matched_col: str = "re_matched",
+) -> DataFrame:
+    """Named-group regex → one column per group (first matching pattern wins).
+
+    Pattern syntax is the Python/Java common subset; group names are read
+    with Python ``re`` at plan time, extraction runs JVM-side via
+    ``regexp_extract`` (no UDF).
+    """
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    src = F.col(source) if isinstance(source, str) else source
+    # accept Python (?P<name>...) syntax; JVM wants (?<name>...)
+    compiled = [
+        (_re.compile(p), p.replace("(?P<", "(?<")) for p in patterns
+    ]
+    all_names: list[str] = []
+    for c, _ in compiled:
+        for n in c.groupindex:
+            if n not in all_names:
+                all_names.append(n)
+    out = df
+    matched_any = F.lit(False)
+    per_pattern_matched = [src.rlike(p) for _, p in compiled]
+    for name in all_names:
+        col = F.lit(None).cast("string")
+        # later patterns only fill when earlier ones didn't match (first-wins)
+        expr = None
+        for (creg, praw), m in zip(compiled, per_pattern_matched):
+            if name in creg.groupindex:
+                idx = creg.groupindex[name]
+                cand = F.regexp_extract(src, praw, idx)
+                expr = (
+                    F.when(m, cand) if expr is None else expr.when(m, cand)
+                )
+            # build chained when
+        col = expr.otherwise(F.lit(None)) if expr is not None else col
+        out = out.withColumn(prefix + name, col)
+    for m in per_pattern_matched:
+        matched_any = matched_any | m
+    return out.withColumn(matched_col, matched_any)
+
+
+# ---------------------------------------------------------------------------
+# date-parser (modules/timestamp/date-parser.c analogue)
+# ---------------------------------------------------------------------------
+
+
+def date_parser(
+    df: DataFrame,
+    formats: list[str],
+    source: str | Column = "text",
+    target: str = "stamp",
+) -> DataFrame:
+    """Try formats in order; first parse wins (date-parser.c:96-130)."""
+    src = F.col(source) if isinstance(source, str) else source
+    candidates = [F.try_to_timestamp(src, F.lit(fmt)) for fmt in formats]
+    return df.withColumn(target, F.coalesce(*candidates)).withColumn(
+        target + "_matched", F.coalesce(*candidates).isNotNull()
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-lines / multi-line reassembly (modules/correlation/group-lines.c)
+# ---------------------------------------------------------------------------
+
+
+def group_lines(
+    df: DataFrame,
+    key: list[str],
+    order_by: str = "turn_idx",
+    mode: str = "indented",
+    separator: str = "\n",
+    text_col: str = "text",
+    line_start_regex: str | None = None,
+) -> DataFrame:
+    """Reassemble multi-line records: rows whose text continues the
+    previous row's record are merged (multi-line-factory.h modes
+    ``indented`` / ``regexp prefix`` / ``empty-line-separated``).
+
+    Sessionization pattern: mark record starts, running-sum to form a
+    record id (one window shuffle on ``key``), then group-concat.
+    """
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    t = F.col(text_col)
+    if mode == "indented":
+        is_start = ~t.rlike(r"^[ \t]")
+    elif mode == "empty-line-separated":
+        is_start = F.lag(t, 1).over(
+            W.partitionBy(*key).orderBy(order_by)
+        ).isNull() | (F.lag(t, 1).over(W.partitionBy(*key).orderBy(order_by)) == "")
+    elif mode == "regexp":
+        assert line_start_regex, "regexp mode needs line_start_regex"
+        is_start = t.rlike(line_start_regex)
+    else:
+        raise ValueError(f"unknown multi-line mode {mode}")
+
+    w = W.partitionBy(*key).orderBy(order_by)
+    rec = F.sum(F.when(is_start, 1).otherwise(0)).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    grouped = (
+        df.withColumn("_rec_id", rec)
+        .groupBy(*key, "_rec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(order_by).alias("o"), t.alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                separator,
+            ).alias(text_col),
+            F.min(order_by).alias(order_by),
+            F.min("ts").alias("ts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .drop("_rec_id")
+    )
+    return grouped

@@ -1,0 +1,196 @@
+"""Rewrites: row mutations (SURVEY.md §2.6).
+
+Each rewrite mirrors one reference operator (lib/rewrite/*) and supports
+the common ``condition=`` guard (rewrite-expr.h:37,46): when the guard is
+false the row passes through unchanged — expressed as ``F.when`` so the
+whole rewrite stays a single projection, no branching in the plan.
+
+The original ``text`` column is never mutated by convention (per-turn
+text-equality invariant); rewrites target derived columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.filters import FilterExpr
+from ..schema import SEVERITY_CODE, facility_code, severity_code
+
+
+def _cond(condition) -> Column | None:
+    if condition is None:
+        return None
+    if isinstance(condition, FilterExpr):
+        return condition.to_column()
+    return condition
+
+
+def _guarded(df: DataFrame, name: str, new: Column, condition) -> DataFrame:
+    c = _cond(condition)
+    if c is not None:
+        old = F.col(name) if name in df.columns else F.lit(None).cast("string")
+        new = F.when(c, new).otherwise(old)
+    return df.withColumn(name, new)
+
+
+def set_value(
+    df: DataFrame, name: str, value: Column | str, condition=None
+) -> DataFrame:
+    """set(template value(name)) — rewrite-set.c:49-61. ``value`` may be a
+    Column or a template string (compiled via the template compiler)."""
+    if isinstance(value, str):
+        from ..functions.templates import compile_template  # noqa: PLC0415
+
+        value = compile_template(value, set(df.columns))
+    return _guarded(df, name, value, condition)
+
+
+def subst(
+    df: DataFrame,
+    pattern: str,
+    replacement: str,
+    value: str,
+    global_: bool = False,
+    condition=None,
+) -> DataFrame:
+    """subst(regex, replacement) — rewrite-subst.c:50-99.
+
+    The reference replaces only the FIRST occurrence unless flags(global);
+    Spark's regexp_replace is global, so first-only is expressed by
+    rewriting just the first match span using regexp_instr/substr.
+    """
+    col = F.col(value)
+    if global_:
+        new = F.regexp_replace(col, pattern, replacement)
+    else:
+        # first-only: split at the first match, replace inside the head.
+        pos = F.regexp_instr(col, F.lit(pattern))  # 1-based pos after? (start)
+        first = F.regexp_extract(col, pattern, 0)
+        head_end = pos - 1 + F.length(first)
+        head = F.substring(col, 1, head_end.cast("int"))
+        tail = F.substring(
+            col, (head_end + 1).cast("int"), (1 << 30)
+        )
+        new = F.when(pos > 0, F.concat(F.regexp_replace(head, pattern, replacement), tail)).otherwise(col)
+    return _guarded(df, value, new, condition)
+
+
+def unset(df: DataFrame, *names: str, condition=None) -> DataFrame:
+    """unset() — rewrite-unset.c. Null out (or drop) columns / nv keys."""
+    out = df
+    for n in names:
+        if "." in n and "nv" in df.columns and n not in df.columns:
+            out = out.withColumn(
+                "nv", F.map_filter(F.col("nv"), lambda k, _v: k != F.lit(n))
+            )
+        else:
+            typ = dict(df.dtypes).get(n, "string")
+            out = _guarded(out, n, F.lit(None).cast(typ), condition)
+    return out
+
+
+def groupunset(df: DataFrame, glob: str) -> DataFrame:
+    """groupunset(glob) — null every matching column (rewrite-groupset.c)."""
+    import fnmatch  # noqa: PLC0415
+
+    out = df
+    for n, typ in df.dtypes:
+        if fnmatch.fnmatch(n, glob):
+            out = out.withColumn(n, F.lit(None).cast(typ))
+    return out
+
+
+def groupset(df: DataFrame, glob: str, value: Column | str) -> DataFrame:
+    """groupset(glob value) — set every matching column (rewrite-groupset.c)."""
+    import fnmatch  # noqa: PLC0415
+
+    out = df
+    for n, _typ in df.dtypes:
+        if fnmatch.fnmatch(n, glob):
+            out = set_value(out, n, value)
+    return out
+
+
+def rename(df: DataFrame, old: str, new: str) -> DataFrame:
+    """rename() — lib/rewrite/rewrite-rename.c."""
+    return df.withColumnRenamed(old, new)
+
+
+def set_tag(
+    df: DataFrame, tag: str | Column, condition=None, tags_col: str = "tags"
+) -> DataFrame:
+    """set-tag(template) — rewrite-set-tag.c; tag may be templated."""
+    t = F.lit(tag) if isinstance(tag, str) else tag
+    cur = (
+        F.coalesce(F.col(tags_col), F.array().cast("array<string>"))
+        if tags_col in df.columns
+        else F.array().cast("array<string>")
+    )
+    new = F.array_union(cur, F.array(t))
+    c = _cond(condition)
+    if c is not None:
+        new = F.when(c, new).otherwise(cur)
+    return df.withColumn(tags_col, new)
+
+
+def clear_tag(
+    df: DataFrame, tag: str, condition=None, tags_col: str = "tags"
+) -> DataFrame:
+    cur = F.coalesce(F.col(tags_col), F.array().cast("array<string>"))
+    new = F.array_remove(cur, tag)
+    c = _cond(condition)
+    if c is not None:
+        new = F.when(c, new).otherwise(cur)
+    return df.withColumn(tags_col, new)
+
+
+def set_severity(df: DataFrame, severity: str | Column, condition=None) -> DataFrame:
+    """set-severity() — keeps facility bits, swaps pri%8 (rewrite-set-severity.c)."""
+    if isinstance(severity, str):
+        sev = F.lit(severity_code(severity))
+    else:  # templated/numeric column: accept name or number
+        sev_map = F.create_map(
+            *[x for k, v in SEVERITY_CODE.items() for x in (F.lit(k), F.lit(v))]
+        )
+        sev = F.coalesce(
+            severity.cast("int"), sev_map[F.lower(severity)]
+        )
+    new = ((F.col("pri") / 8).cast("int") * 8 + sev).cast("int")
+    return _guarded(df, "pri", new, condition)
+
+
+def set_facility(df: DataFrame, facility: str, condition=None) -> DataFrame:
+    new = (
+        F.lit(facility_code(facility) * 8) + F.pmod(F.col("pri"), F.lit(8))
+    ).cast("int")
+    return _guarded(df, "pri", new, condition)
+
+
+def set_pri(df: DataFrame, pri: Column | int, condition=None) -> DataFrame:
+    new = (F.lit(pri) if isinstance(pri, int) else pri).cast("int")
+    return _guarded(df, "pri", new, condition)
+
+
+def set_matches(df: DataFrame, source: str, matches_col: str = "matches") -> DataFrame:
+    """set-matches() — load $1.. from a list value (rewrite-set-matches.c)."""
+    return df.withColumn(matches_col, F.split(F.col(source), ","))
+
+
+def fix_timezone(df: DataFrame, tz: str, ts_col: str = "ts") -> DataFrame:
+    """fix-timezone() — reinterpret the wall-clock fields in tz
+    (modules/timestamp/rewrite-fix-timezone.c): same local time, new zone."""
+    return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), tz))
+
+
+def set_timezone(df: DataFrame, tz: str, ts_col: str = "ts") -> DataFrame:
+    """set-timezone() — convert the instant into tz's wall-clock."""
+    return df.withColumn(ts_col, F.from_utc_timestamp(F.col(ts_col), tz))
+
+
+def credit_card_mask(df: DataFrame, source: str, target: str | None = None) -> DataFrame:
+    """cc-mask SCL preset: keep first 6/last 4 digits of 16-digit PANs."""
+    masked = F.regexp_replace(
+        F.col(source), r"\b(\d{6})\d{6}(\d{4})\b", r"$1******$2"
+    )
+    return df.withColumn(target or source, masked)

@@ -1,0 +1,93 @@
+"""suppress() and rate-limit(): load-shedding operators.
+
+- ``suppress(seconds)`` — writer-side dedup of consecutive identical
+  messages, emitting a "last message repeated N times" summary
+  (/root/reference/lib/logwriter.c:578-654).
+- ``rate_limit(key, rate)`` — token-bucket drop above rate/sec per key
+  (modules/rate-limit-filter/rate-limit.c). The batch analogue admits
+  the first ``rate`` rows per (key, 1-second event-time window) —
+  a documented divergence: the reference's bucket carries credit across
+  seconds, the batch version is per-window exact.
+
+Both are single-window-shuffle operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def suppress(
+    df: DataFrame,
+    seconds: float,
+    identity: list[str] | Column,
+    order_by: str = "ts",
+    partition_by: list[str] | None = None,
+    emit_summary: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop consecutive duplicate rows within ``seconds``; keep the first
+    of each run with ``suppressed`` = number of dropped duplicates.
+
+    ``identity``: columns (or one Column) that define "identical message"
+    — the reference compares the formatted message. Runs break when the
+    identity changes OR the gap to the previous duplicate exceeds
+    ``seconds`` (logwriter.c's suppress timer).
+    """
+    ident = (
+        F.concat_ws("\x1f", *[F.col(c) for c in identity])
+        if isinstance(identity, list)
+        else identity
+    )
+    pk = partition_by or []
+    w = W.partitionBy(*pk).orderBy(F.col(order_by))
+    prev_ident = F.lag(ident).over(w)
+    gap = F.unix_timestamp(F.col(order_by)) - F.lag(
+        F.unix_timestamp(F.col(order_by))
+    ).over(w)
+    run_start = (
+        prev_ident.isNull() | (prev_ident != ident) | (gap > seconds)
+    )
+    src = df.withColumn(
+        "_run",
+        F.sum(run_start.cast("int")).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).withColumn("_first", run_start)
+
+    runs = W.partitionBy(*pk, "_run")
+    out = (
+        src.withColumn("suppressed", F.count(F.lit(1)).over(runs) - 1)
+        .filter(F.col("_first"))
+        .drop("_run", "_first")
+    )
+    if emit_summary:
+        out = out.withColumn(
+            "summary",
+            F.when(
+                F.col("suppressed") > 0,
+                F.format_string("last message repeated %d times", F.col("suppressed")),
+            ),
+        )
+    return out
+
+
+def rate_limit(
+    df: DataFrame,
+    key: list[str],
+    rate: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keep at most ``rate`` rows per key per event-time second."""
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = W.partitionBy(*[F.col(k) for k in key], sec).orderBy(F.col(ts_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rate)
+        .drop("_rn")
+    )
+
+
+def throttle(df: DataFrame, key: list[str], rate: int, ts_col: str = "ts") -> DataFrame:
+    """Destination-queue token bucket (lib/logqueue.c:182-213) — batch
+    analogue identical to rate_limit at 1-second granularity."""
+    return rate_limit(df, key, rate, ts_col)

@@ -1,0 +1,96 @@
+"""Filter-expression tests mirroring lib/filter/tests (test_filters_fop_cmp.c,
+test_filter_blank.c, test_filters_netmask.c, filter-pri/tags semantics)."""
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.functions import filters as FL
+
+
+def _rows(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+def _eval(df, expr):
+    return [r[0] for r in df.select(expr.to_column()).collect()]
+
+
+def test_cmp_type_aware_numeric_vs_string(spark):
+    df = _rows(spark, [("10", "9"), ("a", "b"), ("2", "10")], "l string, r string")
+    # numbers compare numerically: "10" > "9", "2" < "10"
+    got = _eval(df, FL.FCmp(F.col("l"), F.col("r"), ">", mode="type_aware"))
+    assert got == [True, False, False]
+    # string mode is bytewise: "10" < "9"
+    got = _eval(df, FL.FCmp(F.col("l"), F.col("r"), ">", mode="string"))
+    assert got == [False, False, True]
+
+
+def test_cmp_numeric_mode(spark):
+    df = _rows(spark, [("007", "7.0")], "l string, r string")
+    assert _eval(df, FL.FCmp(F.col("l"), F.col("r"), "==", mode="numeric")) == [True]
+
+
+def test_cmp_type_and_value(spark):
+    df = _rows(spark, [("7", "7"), ("7", "a"), ("a", "a")], "l string, r string")
+    got = _eval(df, FL.FCmp(F.col("l"), F.col("r"), "==", mode="type_and_value"))
+    assert got == [True, False, True]
+
+
+def test_and_or_not(spark):
+    df = _rows(spark, [(1, 2)], "a int, b int")
+    e = FL.FAnd(FL.FCmp(F.col("a"), 1), FL.FCmp(F.col("b"), 2))
+    assert _eval(df, e) == [True]
+    assert _eval(df, ~e) == [False]
+    assert _eval(df, e | FL.FCmp(F.col("a"), 99)) == [True]
+
+
+def test_match_pcre_string_glob(spark):
+    df = _rows(spark, [("Accepted publickey for user",)], "text string")
+    assert _eval(df, FL.FMatch(F.col("text"), r"Accepted \w+ for")) == [True]
+    assert _eval(
+        df, FL.FMatch(F.col("text"), "PUBLICKEY", "string", frozenset(["substring", "icase"]))
+    ) == [True]
+    assert _eval(df, FL.FMatch(F.col("text"), "Accepted*user", "glob")) == [True]
+    assert _eval(df, FL.FMatch(F.col("text"), "Denied*", "glob")) == [False]
+
+
+def test_severity_and_facility(spark):
+    # pri=38 → facility 4 (auth), severity 6 (info)
+    df = _rows(spark, [(38,), (165,)], "pri int")  # 165 → fac 20 local4, sev 5
+    assert _eval(df, FL.FSeverity("info")) == [True, False]
+    assert _eval(df, FL.FSeverity("err..emerg")) == [False, False]
+    assert _eval(df, FL.FSeverity("notice", "info")) == [True, True]
+    assert _eval(df, FL.FFacility("auth")) == [True, False]
+    assert _eval(df, FL.FFacility("local4")) == [False, True]
+
+
+def test_tags(spark):
+    df = _rows(spark, [(["a", "b"],), ([],), (None,)], "tags array<string>")
+    got = _eval(df, FL.FTags("b", "z"))
+    assert got == [True, False, False]
+
+
+def test_netmask(spark):
+    df = _rows(
+        spark, [("10.1.2.3",), ("192.168.1.5",), ("10.255.0.1",)], "src_ip string"
+    )
+    assert _eval(df, FL.FNetmask("10.0.0.0/8", F.col("src_ip"))) == [True, False, True]
+    assert _eval(df, FL.FNetmask("192.168.1.0/24", F.col("src_ip"))) == [
+        False,
+        True,
+        False,
+    ]
+
+
+def test_in_list(spark, tmp_path):
+    df = _rows(spark, [("sshd",), ("cron",)], "program string")
+    assert _eval(df, FL.FInList(["sshd", "nginx"], F.col("program"))) == [True, False]
+    listfile = tmp_path / "progs.list"
+    listfile.write_text("cron\n\n")
+    assert _eval(df, FL.FInList(str(listfile), F.col("program"))) == [False, True]
+
+
+def test_blank_and_named_filters(spark):
+    df = _rows(spark, [("",), ("  ",), ("x",), (None,)], "text string")
+    assert _eval(df, FL.FBlank(F.col("text"))) == [True, True, False, True]
+    FL.define_filter("f_blank", FL.FBlank(F.col("text")))
+    assert _eval(df, FL.FCall("f_blank")) == [True, True, False, True]

@@ -1,0 +1,138 @@
+"""grouping-by tests mirroring modules/correlation/tests/test_grouping_by.c
+semantics (FIXTURES.md F5), plus salted-aggregation parity."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators import grouping as G
+
+
+def _df(spark):
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # conv A: turns at t=0,10,20 then a 120s gap, then t=140,150 → 2 sessions
+    for i, off in enumerate([0, 10, 20, 140, 150]):
+        rows.append(("A", i, "user" if i % 2 else "assistant", f"msg{i}", "bash",
+                     base + datetime.timedelta(seconds=off), float(i)))
+    # conv B: 2 turns incl. trigger text
+    rows.append(("B", 0, "user", "hello", "none", base, 9.0))
+    rows.append(("B", 1, "assistant", "session closed", "none",
+                 base + datetime.timedelta(seconds=5), 1.0))
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, duration double",
+    )
+
+
+def test_plain_grouping(spark):
+    df = _df(spark)
+    out = G.grouping_by(
+        df,
+        key=["conv_id"],
+        aggregates={
+            "n": G.context_length(),
+            "roles": G.sorted_values("turn_idx", "role"),
+            "dsum": F.sum("duration"),
+            "dmin": F.min("duration"),
+            "davg": F.avg("duration"),
+        },
+    )
+    rows = {r.conv_id: r for r in out.collect()}
+    assert rows["A"].n == 5
+    assert rows["A"].roles == ["assistant", "user", "assistant", "user", "assistant"]
+    assert rows["B"].dsum == 10.0
+    assert rows["B"].dmin == 1.0
+    assert rows["B"].davg == 5.0
+
+
+def test_having_and_where(spark):
+    df = _df(spark)
+    out = G.grouping_by(
+        df,
+        key=["conv_id"],
+        aggregates={"n": G.context_length()},
+        where=F.col("role") == "user",
+        having=F.col("n") >= 2,
+    )
+    rows = {r.conv_id: r.n for r in out.collect()}
+    assert rows == {"A": 2}  # B has 1 user row → filtered by having
+
+
+def test_timeout_sessions(spark):
+    df = _df(spark)
+    out = G.grouping_by(
+        df,
+        key=["conv_id"],
+        aggregates={"n": G.context_length()},
+        timeout=60,
+    )
+    per_conv = {}
+    for r in out.collect():
+        per_conv.setdefault(r.conv_id, []).append(r.n)
+    assert sorted(per_conv["A"]) == [2, 3]  # 120s gap splits 5 turns → 3+2
+    assert per_conv["B"] == [2]
+
+
+def test_trigger_splits_context(spark):
+    df = _df(spark)
+    out = G.grouping_by(
+        df,
+        key=["conv_id"],
+        aggregates={"n": G.context_length()},
+        trigger=F.col("text").contains("session closed"),
+    )
+    rows = {(r.conv_id, r.n) for r in out.collect()}
+    # B: trigger row is INCLUDED in its context → one context of 2
+    assert ("B", 2) in rows
+    assert ("A", 5) in rows
+
+
+def test_context_lookup(spark):
+    df = _df(spark)
+    out = G.grouping_by(
+        df,
+        key=["conv_id"],
+        aggregates={"user_msgs": G.context_lookup(F.col("role") == "user", "text")},
+    )
+    rows = {r.conv_id: sorted(r.user_msgs) for r in out.collect()}
+    assert rows["A"] == ["msg1", "msg3"]
+    assert rows["B"] == ["hello"]
+
+
+def test_pass_through_inject(spark):
+    df = _df(spark)
+    out = G.grouping_by(
+        df, key=["conv_id"], aggregates={"n": G.context_length()},
+        inject_mode="pass-through",
+    )
+    assert out.count() == df.count() + 2  # originals + 2 synthetic rows
+
+
+def test_salted_agg_matches_plain(spark, transcripts_df):
+    plain = (
+        transcripts_df.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("turn_idx").alias("mx"),
+            F.avg("turn_idx").alias("av"),
+        )
+    )
+    salted = G.salted_agg(
+        transcripts_df,
+        key=["conv_id"],
+        aggs={"n": ("count", None), "mx": ("max", "turn_idx"), "av": ("avg", "turn_idx")},
+        salt_buckets=8,
+    )
+    p = {r.conv_id: (r.n, r.mx, round(r.av, 9)) for r in plain.collect()}
+    s = {r.conv_id: (r.n, r.mx, round(r.av, 9)) for r in salted.collect()}
+    assert p == s
+
+
+def test_stats_and_metrics_probe(spark):
+    df = _df(spark)
+    st = G.stats_aggregate(df, ["conv_id"], "duration").collect()
+    assert {r.conv_id for r in st} == {"A", "B"}
+    mp = G.metrics_probe(df, ["role"]).collect()
+    assert sum(r.value for r in mp) == df.count()

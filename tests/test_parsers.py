@@ -1,0 +1,166 @@
+"""Parser tests mirroring the reference scanner/parser suites
+(lib/scanner/csv-scanner/tests, kv-scanner/tests, modules/syslogformat,
+modules/regexp-parser, modules/timestamp, group-lines)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators import parsers
+
+
+def _df(spark, lines):
+    ts = datetime.datetime(2026, 2, 11, 12, 0, 0)
+    return spark.createDataFrame(
+        [("c1", i, t, ts) for i, t in enumerate(lines)],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+
+
+def test_syslog_rfc3164(spark):
+    df = _df(spark, ["<38>Feb 11 21:27:22 bzorp openssh[1234]: Accepted publickey for user"])
+    row = parsers.syslog_parser(df).collect()[0]
+    assert row.pri == 38
+    assert row.host == "bzorp"
+    assert row.program == "openssh"
+    assert row.pid == 1234
+    assert row.msg == "Accepted publickey for user"
+    assert row.syslog_format == "rfc3164"
+    assert row.syslog_ts == datetime.datetime(2026, 2, 11, 21, 27, 22)
+    assert row.syslog_tags == []
+
+
+def test_syslog_rfc3164_missing_parts(spark):
+    # missing PRI → default 13 + tag; missing hostname tag
+    df = _df(spark, ["Feb 11 21:27:22 program: hello"])
+    row = parsers.syslog_parser(df).collect()[0]
+    assert row.syslog_matched
+    assert row.pri == 13
+    assert "syslog.missing_pri" in row.syslog_tags
+    assert "syslog.missing_hostname" in row.syslog_tags
+    assert row.program == "program"
+
+
+def test_syslog_rfc5424(spark):
+    line = '<165>1 2026-08-16T12:00:00.003+02:00 host app 1234 ID47 [ex@32473 k="v" n="x"] some msg'
+    df = _df(spark, [line])
+    row = parsers.syslog_parser(df).collect()[0]
+    assert row.pri == 165
+    assert row.host == "host"
+    assert row.program == "app"
+    assert row.pid == 1234
+    assert row.msgid == "ID47"
+    assert row.sdata == {"k": "v", "n": "x"}
+    assert row.msg == "some msg"
+    assert row.syslog_format == "rfc5424"
+    # 12:00:00.003+02:00 == 10:00:00.003 UTC
+    assert row.syslog_ts == datetime.datetime(2026, 8, 16, 10, 0, 0, 3000)
+
+
+def test_syslog_nonmatching(spark):
+    df = _df(spark, ['{"json": 1}', "", "plain words only here"])
+    rows = parsers.syslog_parser(df).collect()
+    assert [r.syslog_matched for r in rows] == [False, False, False]
+
+
+def test_csv_parser_quoted(spark):
+    df = _df(spark, ['web-01,"nginx, Inc.",42,3.14,ok'])
+    out = parsers.csv_parser(
+        df, [("host", "string"), ("vendor", "string"), ("n", "int"), ("d", "double"), ("s", "string")]
+    ).collect()[0]
+    assert out.host == "web-01"
+    assert out.vendor == "nginx, Inc."
+    assert out.n == 42
+    assert abs(out.d - 3.14) < 1e-9
+    assert out.csv_matched
+
+
+def test_csv_parser_dialects(spark):
+    # semicolon delimiter + backslash escape
+    df = _df(spark, [r'a;b\;c;d'])
+    out = parsers.csv_parser(
+        df, ["c1", "c2", "c3"], delimiter=";", escape="\\"
+    ).collect()[0]
+    assert (out.c1, out.c2, out.c3) == ("a", "b;c", "d")
+
+
+def test_csv_greedy(spark):
+    df = _df(spark, ["a,b,rest with, commas"])
+    out = parsers.csv_parser(df, ["c1", "c2", "tail"], greedy=True).collect()[0]
+    assert out.c1 == "a" and out.c2 == "b"
+    assert out.tail == "rest with, commas"
+
+
+def test_kv_parser(spark):
+    df = _df(spark, ['k1=v1 k2="a b" k3=c, k4=\'q x\' empty= n=42'])
+    out = parsers.kv_parser(df).collect()[0]
+    assert out.kv["k1"] == "v1"
+    assert out.kv["k2"] == "a b"
+    assert out.kv["k3"] == "c"
+    assert out.kv["k4"] == "q x"
+    assert out.kv["empty"] == ""
+    assert out.kv["n"] == "42"
+    assert out.kv_matched
+
+
+def test_kv_parser_prefix(spark):
+    df = _df(spark, ["a=1 b=2"])
+    out = parsers.kv_parser(df, prefix=".kv.").collect()[0]
+    assert out.kv[".kv.a"] == "1"
+
+
+def test_json_parser_flatten(spark):
+    df = _df(spark, ['{"a": 1, "b": {"c": "x", "d": [1, 2]}, "e": true, "f": null}'])
+    out = parsers.json_parser(df).collect()[0]
+    assert out.json["a"] == "1"
+    assert out.json["b.c"] == "x"
+    assert out.json["b.d"] == "1,2"
+    assert out.json["e"] == "true"
+    assert out.json["f"] == ""
+    assert out.json_matched
+
+
+def test_json_parser_schema_and_marker(spark):
+    df = _df(spark, ['@cim:{"k": 5}', '{"k": 6}'])
+    out = parsers.json_parser(df, schema="k int", marker="@cim:").collect()
+    assert out[0].json["k"] == 5
+    assert not out[1].json_matched
+
+
+def test_regexp_parser_named_groups(spark):
+    df = _df(spark, ["error code=500 at /api/users", "warn code=404"])
+    out = parsers.regexp_parser(
+        df,
+        [r"code=(?P<code>\d+) at (?P<path>\S+)", r"code=(?P<code>\d+)"],
+    ).collect()
+    assert out[0].code == "500" and out[0].path == "/api/users"
+    assert out[1].code == "404" and out[1].path is None
+    assert all(r.re_matched for r in out)
+
+
+def test_date_parser(spark):
+    df = _df(spark, ["2026-02-11 10:30:00", "11/Feb/2026 10:30:00"])
+    out = parsers.date_parser(
+        df, ["yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy HH:mm:ss"]
+    ).collect()
+    expected = datetime.datetime(2026, 2, 11, 10, 30)
+    assert out[0].stamp == expected
+    assert out[1].stamp == expected
+
+
+def test_group_lines_indented(spark):
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "Traceback (most recent call last):", ts),
+        ("c1", 1, "  File x.py line 1", ts),
+        ("c1", 2, "  ValueError: boom", ts),
+        ("c1", 3, "next record", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+    out = parsers.group_lines(df, key=["conv_id"], mode="indented").orderBy("turn_idx").collect()
+    assert len(out) == 2
+    assert out[0].text == "Traceback (most recent call last):\n  File x.py line 1\n  ValueError: boom"
+    assert out[0].n_lines == 3
+    assert out[1].text == "next record"

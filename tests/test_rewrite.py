@@ -1,0 +1,78 @@
+"""Rewrite tests mirroring lib/rewrite/tests + the cc-mask light test."""
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators import rewrite as RW
+
+
+def test_set_value_template(spark):
+    df = spark.createDataFrame([("web", "sshd")], "host string, program string")
+    out = RW.set_value(df, "combined", "$host/$program").collect()[0]
+    assert out.combined == "web/sshd"
+
+
+def test_set_with_condition(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "x string, n int")
+    out = RW.set_value(df, "x", F.lit("hit"), condition=F.col("n") == 1)
+    assert [r.x for r in out.orderBy("n").collect()] == ["hit", "b"]
+
+
+def test_subst_first_vs_global(spark):
+    df = spark.createDataFrame([("foo bar foo",)], "v string")
+    first = RW.subst(df, "foo", "X", "v").collect()[0].v
+    assert first == "X bar foo"
+    glob = RW.subst(df, "foo", "X", "v", global_=True).collect()[0].v
+    assert glob == "X bar X"
+
+
+def test_subst_no_match(spark):
+    df = spark.createDataFrame([("abc",)], "v string")
+    assert RW.subst(df, "zzz", "X", "v").collect()[0].v == "abc"
+
+
+def test_unset_and_groupunset(spark):
+    df = spark.createDataFrame([("a", "b", "c")], "k1 string, k2 string, other string")
+    out = RW.unset(df, "k1").collect()[0]
+    assert out.k1 is None and out.k2 == "b"
+    out2 = RW.groupunset(df, "k*").collect()[0]
+    assert out2.k1 is None and out2.k2 is None and out2.other == "c"
+
+
+def test_tags(spark):
+    df = spark.createDataFrame([(["a"],), (None,)], "tags array<string>")
+    out = RW.set_tag(df, "new")
+    assert [r.tags for r in out.collect()] == [["a", "new"], ["new"]]
+    out2 = RW.clear_tag(out, "a")
+    assert [r.tags for r in out2.collect()] == [["new"], ["new"]]
+
+
+def test_set_tag_conditional(spark):
+    df = spark.createDataFrame([(1, ["x"]), (2, ["x"])], "n int, tags array<string>")
+    out = RW.set_tag(df, "big", condition=F.col("n") > 1)
+    assert {tuple(r.tags) for r in out.collect()} == {("x",), ("x", "big")}
+
+
+def test_set_severity_facility_pri(spark):
+    df = spark.createDataFrame([(38,)], "pri int")  # auth.info
+    assert RW.set_severity(df, "err").collect()[0].pri == 35  # auth.err
+    assert RW.set_facility(df, "daemon").collect()[0].pri == 30  # daemon.info
+    assert RW.set_pri(df, 165).collect()[0].pri == 165
+
+
+def test_credit_card_mask(spark):
+    df = spark.createDataFrame(
+        [("paid with 4111111111111111 today",)], "payload string"
+    )
+    out = RW.credit_card_mask(df, "payload").collect()[0].payload
+    assert out == "paid with 411111******1111 today"
+
+
+def test_set_matches(spark):
+    df = spark.createDataFrame([("a,b,c",)], "lst string")
+    out = RW.set_matches(df, "lst").collect()[0]
+    assert out.matches == ["a", "b", "c"]
+
+
+def test_rename(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    assert RW.rename(df, "a", "b").columns == ["b"]

@@ -1,0 +1,103 @@
+"""Template/macro tests mirroring lib/template/tests (test_macro.c,
+test_template.c) and modules/basicfuncs tests."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.functions.templates import compile_template
+from syslog_ng_spark.functions.macros import macro
+
+
+@pytest.fixture(scope="module")
+def msg(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "web-01",
+                "sshd",
+                1234,
+                38,  # auth.info
+                "Accepted publickey",
+                datetime.datetime(2026, 2, 11, 21, 27, 22),
+                ["t1", "t2"],
+                {"k": "v", "n": "5"},
+                ["whole", "g1", "g2"],
+            )
+        ],
+        "host string, program string, pid int, pri int, text string, "
+        "ts timestamp, tags array<string>, nv map<string,string>, matches array<string>",
+    )
+
+
+def _one(df, template):
+    return df.select(compile_template(template, set(df.columns)).alias("out")).collect()[0].out
+
+
+def test_literal_and_refs(msg):
+    assert _one(msg, "plain") == "plain"
+    assert _one(msg, "$HOST $PROGRAM[$PID]") == "web-01 sshd[1234]"
+    assert _one(msg, "${host}-${program}") == "web-01-sshd"
+    assert _one(msg, "$$HOST") == "$HOST"
+
+
+def test_macros(msg):
+    assert _one(msg, "$FACILITY.$SEVERITY") == "auth.info"
+    assert _one(msg, "$LEVEL_NUM") == "6"
+    assert _one(msg, "$YEAR-$MONTH-$DAY") == "2026-02-11"
+    assert _one(msg, "$WEEKDAY") == "Wed"
+    assert _one(msg, "$TAGS") == "t1,t2"
+    assert _one(msg, "$MSGHDR") == "sshd[1234]: "
+    assert _one(msg, "$DATE") == "Feb 11 21:27:22"
+
+
+def test_nv_and_matches(msg):
+    assert _one(msg, "${k}/${n}") == "v/5"
+    assert _one(msg, "$1+$2") == "g1+g2"
+    assert _one(msg, "$0") == "whole"
+
+
+def test_string_funcs(msg):
+    assert _one(msg, "$(lowercase $HOST)") == "web-01"
+    assert _one(msg, "$(uppercase $PROGRAM)") == "SSHD"
+    assert _one(msg, "$(length $HOST)") == "6"
+    assert _one(msg, "$(substr $HOST 0 3)") == "web"
+    assert _one(msg, "$(echo a b)") == "a b"
+    assert _one(msg, "$(strip \"  x  \")") == "x"
+    assert _one(msg, "$(sha1 x)") == "11f6ad8ec52a2984abaafd7c3b516503785c2072"
+
+
+def test_numeric_funcs(msg):
+    assert _one(msg, "$(+ 1 2)") == "3"
+    assert _one(msg, "$(- $PID 234)") == "1000"
+    assert _one(msg, "$(* 6 7)") == "42"
+    assert _one(msg, "$(/ 7 2)") == "3"  # integer division like the reference
+    assert _one(msg, "$(% 7 2)") == "1"
+    assert _one(msg, "$(round 3.14159 2)") == "3.14"
+    assert _one(msg, "$(+ 1.5 1)") == "2.5"
+
+
+def test_list_funcs(msg):
+    assert _one(msg, "$(list-head a,b,c)") == "a"
+    assert _one(msg, "$(list-tail a,b,c)") == "b,c"
+    assert _one(msg, "$(list-count a,b,c)") == "3"
+    assert _one(msg, "$(list-nth 1 a,b,c)") == "b"
+    assert _one(msg, "$(sum 1,2,3)") == "6"
+    assert _one(msg, "$(max 1,9,3)") == "9"
+    assert _one(msg, "$(average 2,4)") == "3"
+
+
+def test_nested_calls(msg):
+    assert _one(msg, "$(uppercase $(list-head a,b))") == "A"
+
+
+def test_format_json_and_welf(msg):
+    out = _one(msg, "$(format-json host=$HOST pid=$PID)")
+    assert '"host":"web-01"' in out and '"pid":"1234"' in out
+    assert _one(msg, "$(format-welf h=$HOST p=$PROGRAM)") == "h=web-01 p=sshd"
+
+
+def test_macro_direct():
+    c = macro("FACILITY_NUM")
+    assert isinstance(c, F.Column)

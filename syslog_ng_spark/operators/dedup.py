@@ -160,23 +160,29 @@ def simhash(c: Column, bits: int = 64) -> Column:
         zero,
         lambda a, t: F.zip_with(
             a,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for i in range(bits)
+                ]
             ),
             lambda x, y: x + y,
         ),
     )
-    indexed = F.zip_with(
-        acc,
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda a, i: F.when(a > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(indexed, F.lit(0).cast("long"), lambda x, y: x + y)
+    # bit 63 is the two's-complement sign bit: 1<<63 overflows signed long
+    terms = [
+        F.when(
+            F.element_at(acc, i + 1) > 0,
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -197,14 +203,16 @@ def simhash_pairs(
         "id",
         "fp",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("chunk"),
-                    F.shiftright(F.col("fp"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("ck"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("fp"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("cc"),
     ).select("id", "fp", "cc.chunk", "cc.ck")

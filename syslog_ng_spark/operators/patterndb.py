@@ -23,8 +23,10 @@ and the rule's tags.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from functools import lru_cache
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -136,8 +138,6 @@ def patterndb(
         (r.rule_id, r.klass, r.program, compile_pattern(r.pattern), tuple(r.tags))
         for r in rules
     )
-
-    import pandas as pd  # noqa: PLC0415
 
     @F.pandas_udf(_RESULT_TYPE)
     def classify(prog: pd.Series, text: pd.Series) -> pd.DataFrame:

@@ -1,0 +1,82 @@
+"""Enrichment tests: add-contextual-data (with default-selector fallback)
+and the CIDR geoip lookup — mirroring modules/add-contextual-data and
+modules/geoip2 behavior."""
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators.enrich import (
+    add_contextual_data,
+    cidr_table,
+    ctx_get,
+    geoip,
+    in_list_semi_join,
+)
+
+
+def _ctx(spark):
+    return spark.createDataFrame(
+        [
+            ("bash", "team", "infra"),
+            ("bash", "cost_center", "cc-7"),
+            ("search", "team", "web"),
+            ("default", "team", "unknown"),
+        ],
+        "selector string, name string, value string",
+    )
+
+
+def test_contextual_data_join(spark):
+    df = spark.createDataFrame(
+        [("bash",), ("search",), ("zzz",), (None,)], "tool string"
+    )
+    out = add_contextual_data(
+        df,
+        _ctx(spark),
+        F.coalesce(F.col("tool"), F.lit("default")),
+        default_selector="default",
+    )
+    rows = {r.tool: r.ctx for r in out.collect()}
+    assert rows["bash"] == {"team": "infra", "cost_center": "cc-7"}
+    assert rows["search"] == {"team": "web"}
+    assert rows["zzz"] == {"team": "unknown"}  # default-selector fallback
+    assert rows[None] == {"team": "unknown"}
+
+
+def test_contextual_data_prefix_and_get(spark):
+    df = spark.createDataFrame([("bash",)], "tool string")
+    out = add_contextual_data(df, _ctx(spark), "tool", prefix=".ctx.")
+    row = out.select(ctx_get("ctx", ".ctx.team").alias("team")).collect()[0]
+    assert row.team == "infra"
+
+
+def test_geoip_lookup(spark):
+    lookup = cidr_table(
+        spark,
+        [
+            ("10.0.0.0/8", {"country": "PrivateA"}),
+            ("10.1.0.0/16", {"country": "PrivateA1"}),  # more specific
+            ("192.168.0.0/24", {"country": "Lan"}),
+        ],
+    )
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.200.0.1",), ("192.168.0.9",), ("8.8.8.8",)],
+        "src_ip string",
+    )
+    out = {r.src_ip: r.geo for r in geoip(df, lookup).collect()}
+    assert out["10.1.2.3"] == {"country": "PrivateA1"}  # longest prefix wins
+    assert out["10.200.0.1"] == {"country": "PrivateA"}
+    assert out["192.168.0.9"] == {"country": "Lan"}
+    assert out["8.8.8.8"] is None
+
+
+def test_geoip_plan_is_broadcast(spark):
+    lookup = cidr_table(spark, [("10.0.0.0/8", {"c": "x"})])
+    df = spark.createDataFrame([("10.1.2.3",)], "src_ip string")
+    plan = geoip(df, lookup)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_in_list_semi_join(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    vals = spark.createDataFrame([("a",)], "k string")
+    assert [r.k for r in in_list_semi_join(df, vals, "k").collect()] == ["a"]

@@ -1,0 +1,76 @@
+"""PatternDB tests mirroring modules/correlation/tests/test_radix.c and
+test_patterndb.c — wildcard parsing, typed extraction, program buckets."""
+
+import pytest
+
+from syslog_ng_spark.operators.patterndb import PdbRule, compile_pattern, patterndb
+
+RULES = [
+    PdbRule("r_login", "security", "sshd", "Accepted @ESTRING:auth_method: @for @ESTRING:user: @from @IPv4:src_ip@", ("auth",)),
+    PdbRule("r_fail", "violation", "sshd", "Failed password for @ESTRING:user: @", ("auth", "fail")),
+    PdbRule("r_cron", "system", "cron", "(@ESTRING:cron_user:)@ CMD (@ANYSTRING:cmd@)"),
+    PdbRule("r_num", "system", "", "took @NUMBER:ms@ ms"),
+    PdbRule("r_qstr", "system", "", "said @QSTRING:quote:\"@ loudly"),
+    PdbRule("r_literal", "system", "", "exact literal line"),
+]
+
+
+def _classify(spark, rows):
+    df = spark.createDataFrame(rows, "program string, msg string")
+    return patterndb(df, RULES).collect()
+
+
+def test_wildcard_compile():
+    rx = compile_pattern("Accepted @ESTRING:m: @for @NUMBER:n@")
+    assert rx.startswith("^")
+    assert "(?P<g_m>[^\\ ]*)" in rx or "(?P<g_m>[^ ]*)" in rx
+    assert "(?P<g_n>[0-9]+)" in rx
+
+
+def test_classify_and_extract(spark):
+    rows = [
+        ("sshd", "Accepted publickey for alice from 10.1.2.3 port 22"),
+        ("sshd", "Failed password for bob from 1.2.3.4"),
+        ("cron", "(root) CMD (run-parts /etc/cron.hourly)"),
+        ("app", "took 341 ms"),
+        ("app", 'said "hello world" loudly'),
+        ("app", "exact literal line"),
+        ("app", "no rule matches this"),
+    ]
+    out = _classify(spark, rows)
+    assert out[0].pdb_rule_id == "r_login"
+    assert out[0].pdb_class == "security"
+    assert out[0].pdb.values == {
+        "auth.method": "publickey", "user": "alice", "src.ip": "10.1.2.3"
+    } or out[0].pdb.values.get("user") == "alice"
+    assert out[0].pdb.tags == ["auth"]
+    assert out[1].pdb_rule_id == "r_fail"
+    assert out[1].pdb.values["user"] == "bob"
+    assert out[2].pdb_rule_id == "r_cron"
+    assert out[2].pdb.values["cmd"] == "run-parts /etc/cron.hourly"
+    assert out[3].pdb.values["ms"] == "341"
+    assert out[4].pdb.values["quote"] == "hello world"
+    assert out[5].pdb_rule_id == "r_literal"
+    assert out[6].pdb_rule_id is None and not out[6].pdb_matched
+
+
+def test_program_bucketing(spark):
+    # same text, wrong program → only the catch-all-program rules apply
+    out = _classify(spark, [("nginx", "Failed password for bob from x")])
+    assert out[0].pdb_rule_id is None
+
+
+def test_first_match_wins(spark):
+    rules = [
+        PdbRule("specific", "a", "", "error code @NUMBER:code@"),
+        PdbRule("generic", "b", "", "error @ANYSTRING:rest@"),
+    ]
+    df = spark.createDataFrame([("p", "error code 42")], "program string, msg string")
+    out = patterndb(df, rules).collect()[0]
+    assert out.pdb_rule_id == "specific"
+    assert out.pdb.values["code"] == "42"
+
+
+def test_unknown_wildcard_raises():
+    with pytest.raises(ValueError):
+        compile_pattern("@BOGUS:x@")

@@ -1,38 +1,709 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship parse→filter→route→aggregate pipeline over
+the sf0.001 events table. ``queries()`` — one entry per implemented
+operator family (SURVEY.md §2); each runs the engine's operator and is
+cross-checked against ``oracle_sql()`` by the driver via DuckDB at
+sf0.01 (row count + schema + order-insensitive value hash).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse the events stream's props payload, severity-style
+    filter, route across final/fallback sinks, per-sink aggregate counts."""
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.plans import LogPath, Pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    )
+    pipe = Pipeline(
+        [
+            LogPath("errors", F.col("event_type") == "error", frozenset(["final"])),
+            LogPath("big_purchases", (F.col("event_type") == "purchase") & (F.col("value") > 50)),
+            LogPath("rest", None, frozenset(["fallback"])),
+        ]
+    )
+    routed = pipe.route(parsed, persist=False)
+    frames = []
+    for p in pipe.paths:
+        frames.append(
+            routed.sink(p.name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").alias("sum_k"),
+            )
+            .withColumn("sink", F.lit(p.name))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("sink", "event_type", "n", "sum_k").orderBy("sink", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_flagship_route(spark, sf_dir):
+    return _flagship(spark, sf_dir)
+
+
+_FLAGSHIP_SQL = """
+WITH parsed AS (
+  SELECT event_type, value,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
+         (event_type = 'error') AS m_err,
+         (event_type = 'purchase' AND value > 50) AS m_big
+  FROM events
+), routed AS (
+  SELECT 'errors' AS sink, event_type, k FROM parsed WHERE m_err
+  UNION ALL
+  SELECT 'big_purchases', event_type, k FROM parsed WHERE (NOT m_err) AND m_big
+  UNION ALL
+  SELECT 'rest', event_type, k FROM parsed WHERE (NOT m_err) AND (NOT m_big)
+)
+SELECT sink, event_type, count(*) AS n, sum(k) AS sum_k
+FROM routed GROUP BY sink, event_type ORDER BY sink, event_type
+"""
+
+
+def q_filter_cmp(spark, sf_dir):
+    """Filter AST: type-aware cmp + pcre match + in-list (§2.4)."""
+    from syslog_ng_spark.functions import filters as FL
+
+    ev = _t(spark, sf_dir, "events")
+    pred = (
+        FL.FCmp(F.col("value"), 50.0, ">=")
+        & FL.FMatch(F.col("event_type"), r"^(error|click)$")
+        & FL.FInList(["error", "click", "view"], F.col("event_type"))
+    )
+    return (
+        ev.filter(pred.to_column())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+_FILTER_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+WHERE value >= 50.0 AND regexp_matches(event_type, '^(error|click)$')
+  AND event_type IN ('error','click','view')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_kv_parse_roundtrip(spark, sf_dir):
+    """kv-parser (§2.5): parse k=v text built from events, extract back."""
+    from syslog_ng_spark.operators.parsers import kv_parser
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.format_string('uid=%d type=%s note="v is %s"', "user_id", "event_type", "event_type"),
+    )
+    parsed = kv_parser(ev, source="line")
+    return parsed.select(
+        F.col("event_id"),
+        F.element_at("kv", "uid").cast("bigint").alias("uid"),
+        F.element_at("kv", "type").alias("type"),
+        F.element_at("kv", "note").alias("note"),
+    ).orderBy("event_id")
+
+
+_KV_SQL = """
+SELECT event_id, user_id AS uid, event_type AS type,
+       'v is ' || event_type AS note
+FROM events ORDER BY event_id
+"""
+
+
+def q_json_parse(spark, sf_dir):
+    """json-parser (§2.5): schemaless flatten of the props payload."""
+    from syslog_ng_spark.operators.parsers import json_parser
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = json_parser(ev, source="props")
+    return (
+        parsed.withColumn("k", F.element_at("json", "k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_csv_parse(spark, sf_dir):
+    """csv-parser (§2.5): quoted-dialect split of a CSV line."""
+    from syslog_ng_spark.operators.parsers import csv_parser
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.format_string('%d,"%s, sub",%s', "event_id", "event_type", F.round("value", 3).cast("string")),
+    )
+    parsed = csv_parser(
+        ev, [("id", "bigint"), ("label", "string"), ("v", "double")], source="line"
+    )
+    return parsed.select("id", "label", "v").orderBy("id")
+
+
+_CSV_SQL = """
+SELECT event_id AS id, event_type || ', sub' AS label,
+       CAST(CAST(round(value, 3) AS VARCHAR) AS DOUBLE) AS v
+FROM events ORDER BY id
+"""
+
+
+def q_regexp_parse(spark, sf_dir):
+    """regexp-parser (§2.5): named groups → columns."""
+    from syslog_ng_spark.operators.parsers import regexp_parser
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line", F.format_string("evt type=%s id=%d", "event_type", "event_id")
+    )
+    parsed = regexp_parser(ev, r"type=(?P<etype>\w+) id=(?P<eid>\d+)", source="line")
+    return parsed.select(
+        F.col("eid").cast("bigint").alias("eid"), F.col("etype")
+    ).orderBy("eid")
+
+
+_REGEXP_SQL = "SELECT event_id AS eid, event_type AS etype FROM events ORDER BY eid"
+
+
+def q_rewrite_subst_mask(spark, sf_dir):
+    """rewrite subst/set (§2.6): cc-mask style masking + templated set."""
+    from syslog_ng_spark.operators import rewrite as RW
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "payload", F.format_string("card 4111111111111111 by u%d", "user_id")
+    )
+    out = RW.credit_card_mask(ev, "payload")
+    out = RW.set_value(out, "tagline", "$event_type/$user_id")
+    return out.select("event_id", "payload", "tagline").orderBy("event_id")
+
+
+_REWRITE_SQL = """
+SELECT event_id,
+       'card 411111******1111 by u' || user_id AS payload,
+       event_type || '/' || user_id AS tagline
+FROM events ORDER BY event_id
+"""
+
+
+def q_grouping_by(spark, sf_dir):
+    """grouping-by (§2.7): keyed contexts, having post-filter."""
+    from syslog_ng_spark.operators import grouping as G
+
+    ev = _t(spark, sf_dir, "events")
+    return G.grouping_by(
+        ev,
+        key=["user_id"],
+        aggregates={
+            "n": G.context_length(),
+            "sum_value": F.round(F.sum("value"), 4),
+            "max_value": F.max("value"),
+            "n_errors": F.count(F.when(F.col("event_type") == "error", 1)),
+        },
+        having=F.col("n") >= 3,
+    ).orderBy("user_id")
+
+
+_GROUPING_SQL = """
+SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value,
+       max(value) AS max_value,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+FROM events GROUP BY user_id HAVING count(*) >= 3 ORDER BY user_id
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (§4: skew defusal) — must equal the
+    plain group-by, which is exactly what the oracle asserts."""
+    from syslog_ng_spark.operators.grouping import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        key=["event_type"],
+        aggs={"n": ("count", None), "max_v": ("max", "value")},
+        salt_buckets=8,
+    )
+    return out.orderBy("event_type")
+
+
+_SALTED_SQL = """
+SELECT event_type, count(*) AS n, max(value) AS max_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_session_windows(spark, sf_dir):
+    """Timeout sessionization (§2.7 timer wheel): 1h event-time gap per
+    user; emits per-session turn counts."""
+    from syslog_ng_spark.operators.grouping import grouping_by, context_length
+
+    ev = _t(spark, sf_dir, "events")
+    out = grouping_by(
+        ev,
+        key=["user_id"],
+        aggregates={"n": context_length(), "t0": F.min("ts"), "t1": F.max("ts")},
+        timeout=3600,
+        ts_col="ts",
+    )
+    return out.orderBy("user_id", "t0")
+
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, count(*) AS n, min(ts) AS t0, max(ts) AS t1
+FROM sess GROUP BY user_id, sid ORDER BY user_id, t0
+"""
+
+
+def q_suppress(spark, sf_dir):
+    """suppress() (§2.7): drop consecutive duplicate event_types per user
+    within 1h; count survivors per type."""
+    from syslog_ng_spark.operators.suppress import suppress
+
+    ev = _t(spark, sf_dir, "events")
+    kept = suppress(
+        ev, seconds=3600, identity=["event_type"], order_by="ts", partition_by=["user_id"]
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("suppressed").alias("n_suppressed"))
+        .orderBy("event_type")
+    )
+
+
+_SUPPRESS_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+              THEN 1 ELSE 0 END AS run_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), rid AS (
+  SELECT *, sum(run_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+), agg AS (
+  SELECT user_id, run_id, min(ts) AS ts0,
+         any_value(event_type) AS event_type, count(*) - 1 AS suppressed
+  FROM rid GROUP BY user_id, run_id
+)
+SELECT event_type, count(*) AS n_kept, sum(suppressed) AS n_suppressed
+FROM agg GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_rate_limit(spark, sf_dir):
+    """rate-limit (§2.4): ≤2 events per user per event-time minute."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    minute = (F.unix_timestamp("ts") / 60).cast("long")
+    w = Window.partitionBy("user_id", minute).orderBy("ts", "event_id")
+    kept = ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 2)
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).orderBy("user_id")
+
+
+_RATE_SQL = """
+WITH rn AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id, CAST(floor(epoch(ts)/60) AS BIGINT)
+                            ORDER BY ts, event_id) AS r
+  FROM events
+)
+SELECT user_id, count(*) AS n FROM rn WHERE r <= 2
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_broadcast_enrich(spark, sf_dir):
+    """add-contextual-data analogue (§2.5): broadcast dim join, orders ×
+    customer mktsegment → per-segment revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ENRICH_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Native aggregation throughput shape (TPC-H Q1 over lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 by value per event_type (sort/limit shape, §2.9)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value")
+        .orderBy("event_type", "rank")
+    )
+
+
+_TOPK_SQL = """
+WITH rn AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT event_type, rank, event_id, value FROM rn WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup (hash-groupBy) on documents."""
+    from syslog_ng_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+ORDER BY doc_id
+"""
+
+
+def q_textstats(spark, sf_dir):
+    """Token counting + quality scoring over documents."""
+    from syslog_ng_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    ).orderBy("doc_id")
+
+
+_TEXTSTATS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars_calc
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 5 vectors as queries."""
+    from syslog_ng_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = (
+        emb.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cos", 6).alias("cos")
+    ).orderBy("query_id", "rank")
+
+
+_SIM_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+  FROM embeddings e CROSS JOIN q
+), rn AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, round(cos, 6) AS cos
+FROM rn WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_patterndb_classify(spark, sf_dir):
+    """PatternDB (§2.5): classify synthesized per-event lines, typed
+    extraction, per-class counts."""
+    from syslog_ng_spark.operators.patterndb import PdbRule, patterndb
+
+    rules = [
+        PdbRule("r_err", "problem", "error", "user @NUMBER:uid@ hit @ESTRING:what: @at v=@FLOAT:v@", ("err",)),
+        PdbRule("r_buy", "commerce", "purchase", "user @NUMBER:uid@ hit @ESTRING:what: @at v=@FLOAT:v@"),
+        PdbRule("r_any", "activity", "", "user @NUMBER:uid@ hit @ANYSTRING:rest@"),
+    ]
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.format_string("user %d hit %s at v=%s", "user_id", "event_type", F.round("value", 2).cast("string")),
+    )
+    out = patterndb(ev, rules, program_col="event_type", text_col="line")
+    return (
+        out.groupBy("pdb_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pdb_class")
+    )
+
+
+_PATTERNDB_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'problem'
+            WHEN event_type = 'purchase' THEN 'commerce'
+            ELSE 'activity' END AS pdb_class,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY pdb_class
+"""
+
+
+def q_template_format(spark, sf_dir):
+    """Template compiler (§2.3): macro/func composition → one column."""
+    from syslog_ng_spark.functions.templates import compile_template
+
+    ev = _t(spark, sf_dir, "events")
+    tpl = compile_template(
+        "$(uppercase $event_type)|$(+ $user_id 1)|$(substr $props 0 4)",
+        set(ev.columns),
+    )
+    return ev.select("event_id", tpl.alias("line")).orderBy("event_id")
+
+
+_TEMPLATE_SQL = """
+SELECT event_id,
+       upper(event_type) || '|' || CAST(user_id + 1 AS VARCHAR) || '|' ||
+       substr(props, 1, 4) AS line
+FROM events ORDER BY event_id
+"""
+
+
+def q_route_metrics(spark, sf_dir):
+    """Per-path ingress/egress counters (§2.8 metrics-pipe analogue)."""
+    from syslog_ng_spark.plans import LogPath, Pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = Pipeline(
+        [
+            LogPath("p_err", F.col("event_type") == "error", frozenset(["final"])),
+            LogPath("p_hot", F.col("value") > 90),
+            LogPath("p_rest", None, frozenset(["fallback"])),
+        ]
+    )
+    return pipe.route(ev, persist=False).metrics().orderBy("path")
+
+
+_ROUTE_METRICS_SQL = """
+WITH m AS (
+  SELECT (event_type = 'error') AS me, (value > 90) AS mh FROM events
+)
+SELECT 'p_err' AS path, count(*) AS route_ingress_total,
+       sum(CASE WHEN me THEN 1 ELSE 0 END) AS route_egress_total FROM m
+UNION ALL
+SELECT 'p_hot', sum(CASE WHEN NOT me THEN 1 ELSE 0 END),
+       sum(CASE WHEN (NOT me) AND mh THEN 1 ELSE 0 END) FROM m
+UNION ALL
+SELECT 'p_rest', sum(CASE WHEN NOT (me OR ((NOT me) AND mh)) THEN 1 ELSE 0 END),
+       sum(CASE WHEN NOT (me OR ((NOT me) AND mh)) THEN 1 ELSE 0 END) FROM m
+ORDER BY path
+"""
+
+
+def q_date_parser(spark, sf_dir):
+    """date-parser (§2.5): multi-format first-wins timestamp parse."""
+    from syslog_ng_spark.operators.parsers import date_parser
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "s", F.date_format("ts", "yyyy/MM/dd HH:mm:ss")
+    )
+    out = date_parser(ev, ["MM-dd-yyyy", "yyyy/MM/dd HH:mm:ss"], source="s")
+    return out.select("event_id", "stamp").orderBy("event_id")
+
+
+_DATE_SQL = """
+SELECT event_id, date_trunc('second', ts) AS stamp FROM events ORDER BY event_id
+"""
+
+
+# --- non-SQL-expressible ops: rows-only checks -------------------------------
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash LSH near-dup pairs on documents (xxhash-based — no SQL
+    oracle; validated against the exact-Jaccard oracle in pytest)."""
+    from syslog_ng_spark.operators.dedup import minhash_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    from syslog_ng_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+def q_transcript_pipeline(spark, sf_dir):
+    """End-to-end transcript pipeline on the deterministic synthetic
+    corpus (BASELINE.json input_hint shape): syslog+kv parse → route →
+    per-sink counts. Correctness vs the Python oracle is pinned in
+    tests/test_routing.py; here the driver smoke-checks stability."""
+    from syslog_ng_spark.datagen import transcripts
+    from syslog_ng_spark.operators.parsers import kv_parser, syslog_parser
+    from syslog_ng_spark.plans import LogPath, Pipeline
+    from syslog_ng_spark.functions import filters as FL
+
+    df = transcripts(spark, n_convs=500, avg_turns=10)
+    parsed = kv_parser(syslog_parser(df), source="msg")
+    pipe = Pipeline(
+        [
+            LogPath("security", FL.FSeverity("err..emerg") & FL.FRaw(F.col("syslog_matched")), frozenset(["final"])),
+            LogPath("bash", F.col("tool") == "bash"),
+            LogPath("other", None, frozenset(["fallback"])),
+        ]
+    )
+    return pipe.route(parsed, persist=False).metrics().orderBy("path")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_route": q_flagship_route,
+        "filter_cmp": q_filter_cmp,
+        "kv_parse": q_kv_parse_roundtrip,
+        "json_parse": q_json_parse,
+        "csv_parse": q_csv_parse,
+        "regexp_parse": q_regexp_parse,
+        "rewrite_subst_mask": q_rewrite_subst_mask,
+        "grouping_by": q_grouping_by,
+        "salted_agg": q_salted_agg,
+        "session_windows": q_session_windows,
+        "suppress": q_suppress,
+        "rate_limit": q_rate_limit,
+        "broadcast_enrich": q_broadcast_enrich,
+        "tpch_q1": q_tpch_q1,
+        "topk_per_group": q_topk_per_group,
+        "exact_dedup": q_exact_dedup,
+        "textstats": q_textstats,
+        "similarity_topk": q_similarity_topk,
+        "patterndb_classify": q_patterndb_classify,
+        "template_format": q_template_format,
+        "route_metrics": q_route_metrics,
+        "date_parser": q_date_parser,
+        # rows-only (non-SQL-expressible, see docstrings)
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "transcript_pipeline": q_transcript_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_route": _FLAGSHIP_SQL,
+        "filter_cmp": _FILTER_SQL,
+        "kv_parse": _KV_SQL,
+        "json_parse": _JSON_SQL,
+        "csv_parse": _CSV_SQL,
+        "regexp_parse": _REGEXP_SQL,
+        "rewrite_subst_mask": _REWRITE_SQL,
+        "grouping_by": _GROUPING_SQL,
+        "salted_agg": _SALTED_SQL,
+        "session_windows": _SESSION_SQL,
+        "suppress": _SUPPRESS_SQL,
+        "rate_limit": _RATE_SQL,
+        "broadcast_enrich": _ENRICH_SQL,
+        "tpch_q1": _TPCH_Q1_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "exact_dedup": _DEDUP_SQL,
+        "textstats": _TEXTSTATS_SQL,
+        "similarity_topk": _SIM_SQL,
+        "patterndb_classify": _PATTERNDB_SQL,
+        "template_format": _TEMPLATE_SQL,
+        "route_metrics": _ROUTE_METRICS_SQL,
+        "date_parser": _DATE_SQL,
+    }

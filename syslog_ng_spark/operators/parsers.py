@@ -79,25 +79,40 @@ def syslog_parser(
     sdata map<string,string>, msg, syslog_format ('rfc3164'|'rfc5424'|null),
     syslog_tags array<string> (LM_T_SYSLOG_* analogues), syslog_matched bool.
 
-    All-native: two regexes evaluated JVM-side; the RFC3164 year is
-    inferred from ``year_hint_col`` (the reference uses wall clock —
-    logmsg has no year either).
+    All-native and **match-once**: each regex executes at most twice per
+    row (rlike guard + a single ``regexp_replace`` that packs every capture
+    group into one delimited string, unpacked with ``split``) instead of
+    one full match per extracted group — at 17 groups that is an ~8×
+    cut in regex work, and it keeps the projection small enough for
+    whole-stage codegen. The RFC3164 year is inferred from
+    ``year_hint_col`` (the reference uses wall clock — logmsg has no
+    year either).
 
     ``require_header=True`` (default) only counts a row as matched when a
     PRI or syslog timestamp is present. The reference is laxer — its 3164
     parser accepts almost any line, tagging the missing pieces — set
     False for that behavior.
+
+    Known limitation: a payload containing the 0x1E record-separator
+    byte would corrupt group unpacking; the reference has no such byte
+    in any test corpus.
     """
+    SEP = "\x1e"
     t = F.col(text_col)
     p = prefix
     is5424 = t.rlike(r"^<\d{1,3}>\d+\s")
 
-    g3 = [F.regexp_extract(t, _RFC3164, i) for i in range(7)]
-    g5 = [F.regexp_extract(t, _RFC5424, i) for i in range(10)]
-    m3 = t.rlike(_RFC3164)
+    repl3 = SEP.join(f"${i}" for i in range(1, 7))
+    repl5 = SEP.join(f"${i}" for i in range(1, 10))
+    parts3 = F.split(F.regexp_replace(t, _RFC3164, repl3), SEP, -1)
+    parts5 = F.split(F.regexp_replace(t, _RFC5424, repl5), SEP, -1)
+    # group i (1-based) — packed layout has exactly n_groups fields iff matched
+    g3 = [None] + [F.element_at(parts3, i) for i in range(1, 7)]
+    g5 = [None] + [F.element_at(parts5, i) for i in range(1, 10)]
+    m3 = F.size(parts3) == 6
     if require_header:
         m3 = m3 & ((g3[1] != "") | (g3[2] != ""))
-    m5 = t.rlike(_RFC5424)
+    m5 = F.size(parts5) == 9
 
     matched = F.when(is5424, m5).otherwise(m3)
     fmt = F.when(is5424 & m5, F.lit("rfc5424")).when(
@@ -268,18 +283,47 @@ def kv_parser(
     pair_separator: str = ", ",
     prefix: str = "",
     target: str = "kv",
-    allow_pair_separator_option: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Extract ``k=v`` pairs (quoted values supported) into a map column.
 
-    One pass of ``regexp_extract_all`` for keys and one for values —
-    both JVM-side. Quoted values may contain the value separator and
-    spaces, mirroring kv-scanner's quote handling (kv-scanner.c).
-    Adds ``<target>`` map<string,string> and ``<target>_matched``.
+    Quoted values may contain the value separator and spaces, mirroring
+    kv-scanner's quote handling (kv-scanner.c); a repeated key overwrites
+    (last wins). Adds ``<target>`` map<string,string> + ``<target>_matched``.
+
+    ``engine='arrow'`` (default): one vectorized Arrow UDF with a
+    precompiled regex — measured 3.4× faster than the JVM path on this
+    workload, because ``regexp_extract_all`` pays two full scans plus
+    heavy per-match string churn (see BENCH.md notes).
+    ``engine='jvm'``: pure column expressions (regexp_extract_all ×2),
+    zero Python — use when Python workers are undesirable.
     """
     vs = _re.escape(value_separator)
     pat = rf'([A-Za-z0-9._\-]+){vs}("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'|[^\s,]*)'
     src = F.col(source) if isinstance(source, str) else source
+
+    if engine == "arrow":
+        creg = _re.compile(pat)
+
+        @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+        def scan(s: pd.Series) -> pd.Series:
+            def one(t):
+                if t is None:
+                    return None
+                out = {}
+                for k, v in creg.findall(t):
+                    if v[:1] in ('"', "'") and v[-1:] == v[:1] and len(v) >= 2:
+                        v = v[1:-1]
+                    out[prefix + k] = v
+                return out
+
+            return s.map(one)
+
+        kv = scan(src)
+        return df.withColumn(target, kv).withColumn(
+            target + "_matched", F.size(F.col(target)) > 0
+        )
+
     keys = F.regexp_extract_all(src, F.lit(pat), 1)
     vals = F.regexp_extract_all(src, F.lit(pat), 2)
     unquote = F.transform(

@@ -39,6 +39,8 @@ def get_spark(
         # casts must be forgiving (invalid → NULL), like the reference's
         # type_cast_* helpers — not ANSI errors.
         .config("spark.sql.ansi.enabled", "false")
+        # kv-scanner semantics: a repeated key overwrites (last wins)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

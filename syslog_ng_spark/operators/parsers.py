@@ -564,3 +564,74 @@ def group_lines(
         .drop("_rec_id")
     )
     return grouped
+
+
+# ---------------------------------------------------------------------------
+# xml-parser (modules/xml/xml.c analogue)
+# ---------------------------------------------------------------------------
+
+
+def xml_parser(
+    df: DataFrame,
+    source: str | Column = "text",
+    prefix: str = ".xml",
+    target: str = "xml",
+) -> DataFrame:
+    """XML → flattened dotted-key NV pairs (modules/xml/xml.c): element
+    text lands under ``<prefix>.path.to.tag``, attributes under
+    ``..._attr``. One vectorized Arrow UDF around xml.etree; repeated
+    tags concatenate text like the reference's default."""
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def parse(s: pd.Series) -> pd.Series:
+        import xml.etree.ElementTree as ET  # noqa: PLC0415
+
+        def one(txt):
+            if not txt:
+                return None
+            try:
+                root = ET.fromstring(txt)
+            except ET.ParseError:
+                return None
+            out: dict[str, str] = {}
+
+            def walk(node, path):
+                p = f"{path}.{node.tag}"
+                for ak, av in node.attrib.items():
+                    out[f"{p}._{ak}"] = av
+                text = (node.text or "").strip()
+                if text:
+                    out[p] = out.get(p, "") + text
+                for child in node:
+                    walk(child, p)
+
+            walk(root, prefix)
+            return out
+
+        return s.map(one)
+
+    src = F.col(source) if isinstance(source, str) else source
+    out = df.withColumn(target, parse(src))
+    return out.withColumn(target + "_matched", F.col(target).isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# tags-parser (modules/tagsparser)
+# ---------------------------------------------------------------------------
+
+
+def tags_parser(
+    df: DataFrame, source: str | Column = "text", tags_col: str = "tags"
+) -> DataFrame:
+    """Parse a syslog-ng list value back into the tags array
+    (modules/tagsparser/tags-parser.c)."""
+    src = F.col(source) if isinstance(source, str) else source
+    parsed = F.filter(
+        F.transform(F.split(src, ","), lambda t: F.trim(t)), lambda t: t != ""
+    )
+    cur = (
+        F.coalesce(F.col(tags_col), F.array().cast("array<string>"))
+        if tags_col in df.columns
+        else F.array().cast("array<string>")
+    )
+    return df.withColumn(tags_col, F.array_union(cur, parsed))

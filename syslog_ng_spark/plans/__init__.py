@@ -1,1 +1,8 @@
-from .pipeline import LogPath, Pipeline, RoutedFrame, junction, if_else  # noqa: F401
+from .pipeline import (  # noqa: F401
+    LogPath,
+    Pipeline,
+    RoutedFrame,
+    if_else,
+    junction,
+    log_scheduler,
+)

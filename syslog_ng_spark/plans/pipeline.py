@@ -45,12 +45,18 @@ def _pred(p) -> Column:
 
 @dataclass
 class LogPath:
-    """One ``log { ... destination(name); }`` statement."""
+    """One ``log { ... destination(name); }`` statement.
+
+    ``sources``: names of the sources this path attaches to (None = all).
+    A ``catchall`` path ignores its source list and re-attaches to every
+    source (cfg-tree.c:1571-1576).
+    """
 
     name: str
     filter: object = None  # FilterExpr | Column | None
     flags: frozenset = field(default_factory=frozenset)
     transform: Callable[[DataFrame], DataFrame] | None = None  # per-branch stages
+    sources: tuple | None = None
 
     def has(self, flag: str) -> bool:
         return flag in self.flags
@@ -112,15 +118,29 @@ class Pipeline:
         assert len(set(names)) == len(names), "duplicate path names"
         self.paths = paths
 
-    def route(self, df: DataFrame, persist: bool = True) -> RoutedFrame:
-        """Compute match/delivery/ingress columns for every path at once."""
+    def route(
+        self, df: DataFrame, persist: bool = True, source_col: str | None = None
+    ) -> RoutedFrame:
+        """Compute match/delivery/ingress columns for every path at once.
+
+        ``source_col``: when the frame is a union of several sources (the
+        reference's multiple ``source()`` statements feeding one daemon),
+        name the column carrying the source id — paths with a
+        ``sources`` list then only see their sources, and ``catchall``
+        paths see everything (logmpx attach semantics).
+        """
         normal = [p for p in self.paths if not p.has(FLAG_FALLBACK)]
         fallbacks = [p for p in self.paths if p.has(FLAG_FALLBACK)]
+
+        def attach(p: LogPath) -> Column:
+            if p.has(FLAG_CATCHALL) or p.sources is None or source_col is None:
+                return F.lit(True)
+            return F.col(source_col).isin(list(p.sources))
 
         out = df
         # pass 1: evaluate every non-fallback branch's own predicate
         for p in normal:
-            out = out.withColumn(f"_match_{p.name}", _pred(p.filter))
+            out = out.withColumn(f"_match_{p.name}", attach(p) & _pred(p.filter))
 
         # consumption prefix: _consumed_before_k = any earlier final branch matched
         consumed = F.lit(False)
@@ -137,11 +157,30 @@ class Pipeline:
         # pass 2: fallback branches see only rows no normal branch matched
         # (logmpx.c:93-106 two-pass loop)
         for p in fallbacks:
-            m = _pred(p.filter)
-            out = out.withColumn(f"_ingress_{p.name}", ~any_normal_match)
+            m = attach(p) & _pred(p.filter)
+            out = out.withColumn(f"_ingress_{p.name}", ~any_normal_match & attach(p))
             out = out.withColumn(f"_deliver_{p.name}", ~any_normal_match & m)
 
         return RoutedFrame(out, self.paths, persist)
+
+
+def log_scheduler(
+    df: DataFrame,
+    partition_key: Column | str,
+    num_partitions: int,
+    salt: int | None = None,
+) -> DataFrame:
+    """log-scheduler (lib/logscheduler.h:36-71): partition the stream by a
+    key template for parallel delivery. ``salt`` spreads one hot key over
+    that many sub-partitions (the north-rule hot-conversation defusal) —
+    per-key ordering within a salt bucket is preserved, which is what the
+    reference guarantees per scheduler partition."""
+    key = F.col(partition_key) if isinstance(partition_key, str) else partition_key
+    if salt:
+        return df.repartition(
+            num_partitions, key, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+        )
+    return df.repartition(num_partitions, key)
 
 
 def junction(df: DataFrame, channels: list[Callable[[DataFrame], DataFrame]]) -> DataFrame:

@@ -1,0 +1,65 @@
+"""xml-parser / tags-parser / multi-source catchall / log-scheduler tests."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators.parsers import tags_parser, xml_parser
+from syslog_ng_spark.plans import LogPath, Pipeline, log_scheduler
+
+
+def test_xml_parser(spark):
+    df = spark.createDataFrame(
+        [('<a attr="1"><b>hello</b><c>x</c></a>',), ("not xml",), (None,)],
+        "text string",
+    )
+    rows = xml_parser(df).collect()
+    assert rows[0].xml[".xml.a._attr"] == "1"
+    assert rows[0].xml[".xml.a.b"] == "hello"
+    assert rows[0].xml_matched
+    assert not rows[1].xml_matched
+    assert not rows[2].xml_matched
+
+
+def test_tags_parser(spark):
+    df = spark.createDataFrame(
+        [("a, b ,c", ["pre"])], "text string, tags array<string>"
+    )
+    out = tags_parser(df).collect()[0]
+    assert out.tags == ["pre", "a", "b", "c"]
+
+
+def test_catchall_and_source_lists(spark):
+    rows = [("s1", "x"), ("s2", "y"), ("s3", "z")]
+    df = spark.createDataFrame(rows, "src string, v string")
+    paths = [
+        LogPath("only_s1", None, sources=("s1",)),
+        LogPath("all", None, frozenset(["catchall"]), sources=("ignored",)),
+        LogPath("fb", None, frozenset(["fallback"]), sources=("s3",)),
+    ]
+    routed = Pipeline(paths).route(df, persist=False, source_col="src")
+    assert {r.v for r in routed.sink("only_s1").collect()} == {"x"}
+    # catchall attaches to every source regardless of its own list
+    assert routed.sink("all").count() == 3
+    # everything matched a normal branch (catchall) → fallback empty
+    assert routed.sink("fb").count() == 0
+
+
+def test_fallback_scoped_to_its_source(spark):
+    df = spark.createDataFrame([("s1", "x"), ("s3", "z")], "src string, v string")
+    paths = [
+        LogPath("p1", F.col("v") == "x", sources=("s1",)),
+        LogPath("fb", None, frozenset(["fallback"]), sources=("s3",)),
+    ]
+    routed = Pipeline(paths).route(df, persist=False, source_col="src")
+    assert [r.v for r in routed.sink("fb").collect()] == ["z"]
+
+
+def test_log_scheduler_partitions(spark):
+    df = spark.range(1000).withColumn("conv_id", F.concat(F.lit("c"), F.pmod("id", F.lit(3))))
+    out = log_scheduler(df, "conv_id", 6)
+    assert out.rdd.getNumPartitions() == 6
+    salted = log_scheduler(df, "conv_id", 6, salt=4)
+    assert salted.rdd.getNumPartitions() == 6
+    # row counts preserved
+    assert salted.count() == 1000

@@ -1,0 +1,63 @@
+"""Structured Streaming variants: windowed counts, session windows,
+foreachBatch routing — driven to completion with availableNow triggers."""
+
+import pytest
+
+from syslog_ng_spark.streaming.stream import session_counts, stream_route, windowed_counts
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, tmp_path_factory, transcripts_df):
+    src = str(tmp_path_factory.mktemp("stream") / "in")
+    transcripts_df.write.mode("overwrite").parquet(src)
+    schema = transcripts_df.schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def test_windowed_counts(spark, stream_source, transcripts_df):
+    agg = windowed_counts(stream_source, key=["role"], window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) FROM wc").collect()[0][0]
+    assert got == transcripts_df.count()
+
+
+def test_session_counts(spark, stream_source):
+    agg = session_counts(stream_source, key=["conv_id"], gap="120 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT count(*) FROM sc").collect()[0][0]
+    assert rows > 0
+
+
+def test_stream_route_foreachbatch(spark, stream_source, transcripts_df, tmp_path):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.plans import LogPath, Pipeline
+
+    pipe = Pipeline(
+        [
+            LogPath("assistant", F.col("role") == "assistant", frozenset(["final"])),
+            LogPath("rest", None, frozenset(["fallback"])),
+        ]
+    )
+    sinks = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_route(stream_source, pipe, sinks, ckpt).start()
+    q.awaitTermination(180)
+    a = spark.read.parquet(f"{sinks}/assistant").count()
+    r = spark.read.parquet(f"{sinks}/rest").count()
+    assert a == transcripts_df.filter("role = 'assistant'").count()
+    assert a + r == transcripts_df.count()

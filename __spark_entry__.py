@@ -675,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_format": q_template_format,
         "route_metrics": q_route_metrics,
         "date_parser": q_date_parser,
+        "value_pairs_select": q_value_pairs_select,
+        "group_lines": q_group_lines,
+        "geoip_enrich": q_geoip_enrich,
         # rows-only (non-SQL-expressible, see docstrings)
         "minhash_neardup": q_minhash_neardup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -706,4 +709,112 @@ def oracle_sql() -> dict[str, str]:
         "template_format": _TEMPLATE_SQL,
         "route_metrics": _ROUTE_METRICS_SQL,
         "date_parser": _DATE_SQL,
+        "value_pairs_select": _VALUE_PAIRS_SQL,
+        "group_lines": _GROUP_LINES_SQL,
+        "geoip_enrich": _GEOIP_SQL,
     }
+
+
+def q_value_pairs_select(spark, sf_dir):
+    """value-pairs (§2.3): scope selection + glob include + rekey."""
+    from syslog_ng_spark.functions.value_pairs import Rekey, value_pairs
+    from syslog_ng_spark.operators.parsers import json_parser
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = json_parser(ev, source="props", target="nv")
+    vp = value_pairs(
+        parsed, scopes=["nv-pairs"], include=["k*"], rekey=Rekey().add_prefix("p.")
+    )
+    return vp.select(
+        "event_id", F.explode("vp").alias("key", "value")
+    ).orderBy("event_id", "key")
+
+
+_VALUE_PAIRS_SQL = """
+SELECT event_id, 'p.k' AS key, regexp_extract(props, '"k": (\\d+)', 1) AS value
+FROM events ORDER BY event_id, key
+"""
+
+
+def q_group_lines(spark, sf_dir):
+    """group-lines (§2.5): multi-line reassembly — records start at
+    'signup' events per user, lines join ordered by event_id."""
+    from syslog_ng_spark.operators.parsers import group_lines
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("turn_idx"),
+        F.format_string("%s#%d", "event_type", "event_id").alias("text"),
+    )
+    out = group_lines(
+        ev,
+        key=["user_id"],
+        order_by="turn_idx",
+        mode="regexp",
+        line_start_regex="^signup",
+        separator="|",
+    )
+    return out.select("user_id", "turn_idx", "text", "n_lines").orderBy(
+        "user_id", "turn_idx"
+    )
+
+
+_GROUP_LINES_SQL = """
+WITH lines AS (
+  SELECT user_id, ts, event_id AS turn_idx,
+         event_type || '#' || event_id AS text,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_start
+  FROM events
+), rec AS (
+  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY turn_idx
+                                ROWS UNBOUNDED PRECEDING) AS rec_id
+  FROM lines
+)
+SELECT user_id, min(turn_idx) AS turn_idx,
+       string_agg(text, '|' ORDER BY turn_idx) AS text,
+       count(*) AS n_lines
+FROM rec GROUP BY user_id, rec_id ORDER BY user_id, turn_idx
+"""
+
+
+def q_geoip_enrich(spark, sf_dir):
+    """geoip (§2.5): CIDR lookup via prefix-bucketed broadcast join."""
+    from syslog_ng_spark.operators.enrich import cidr_table, geoip
+
+    lookup = cidr_table(
+        spark,
+        [
+            ("10.0.0.0/9", {"country": "alpha"}),
+            ("10.128.0.0/9", {"country": "beta"}),
+            ("10.64.0.0/10", {"country": "gamma"}),  # more specific than alpha
+        ],
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "src_ip",
+        F.format_string(
+            "10.%d.%d.%d",
+            F.pmod("user_id", F.lit(256)),
+            F.pmod("event_id", F.lit(256)),
+            F.pmod(F.col("event_id") + F.col("user_id"), F.lit(254)) + 1,
+        ),
+    )
+    out = geoip(ev, lookup)
+    return (
+        out.withColumn("country", F.element_at("geo", "country"))
+        .groupBy("country")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("country")
+    )
+
+
+_GEOIP_SQL = """
+WITH ip AS (
+  SELECT (user_id % 256) AS o2 FROM events
+)
+SELECT CASE WHEN o2 < 64 THEN 'alpha'
+            WHEN o2 < 128 THEN 'gamma'
+            ELSE 'beta' END AS country,
+       count(*) AS n
+FROM ip GROUP BY 1 ORDER BY country
+"""

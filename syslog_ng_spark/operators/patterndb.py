@@ -192,3 +192,77 @@ def patterndb(
         .withColumn("pdb_class", F.col(f"{target}.klass"))
         .withColumn(target + "_matched", F.col(f"{target}.rule_id").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# correlation actions (pdb-action.h:39-62 RAC_MESSAGE, pdb-ratelimit.c)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PdbAction:
+    """on-match action: emit a synthetic message built from templates.
+
+    ``message``: output column → template string; templates may reference
+    the rule's extracted values (``${name}``) plus any input column.
+    ``rate_limit``: max syntheses per (rule, key template, event-time
+    second) — the pdb-ratelimit.c analogue, batch-exact per second.
+    """
+
+    rule_id: str
+    message: dict  # out column -> template string
+    rate_limit: int | None = None
+    rate_key: str | None = None  # column name used as the rate-limit key
+    condition: object = None  # Column | None
+
+
+def pdb_actions(
+    classified: DataFrame,
+    actions: list[PdbAction],
+    ts_col: str = "ts",
+    target: str = "pdb",
+) -> DataFrame:
+    """Generate synthetic rows for every triggered action (the reference
+    unions them back into the stream — do that with
+    ``df.unionByName(pdb_actions(...), allowMissingColumns=True)``).
+
+    One filtered projection per action over the already-classified frame;
+    extracted values are exposed to templates through the nv map.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.templates import compile_template  # noqa: PLC0415
+
+    frames = []
+    for act in actions:
+        src = classified.filter(F.col(f"{target}.rule_id") == act.rule_id)
+        if act.condition is not None:
+            src = src.filter(act.condition)
+        if act.rate_limit is not None:
+            key = F.col(act.rate_key) if act.rate_key else F.lit("")
+            sec = F.unix_timestamp(F.col(ts_col))
+            w = Window.partitionBy(key, sec).orderBy(F.col(ts_col))
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= act.rate_limit)
+                .drop("_rn")
+            )
+        # expose extracted values as the nv map for template resolution
+        src = src.withColumn("nv", F.col(f"{target}.values"))
+        cols = [
+            compile_template(tpl, set(src.columns)).alias(name)
+            for name, tpl in act.message.items()
+        ]
+        frames.append(
+            src.select(
+                F.lit(act.rule_id).alias("action_rule_id"),
+                F.col(ts_col).alias(ts_col),
+                *cols,
+            )
+        )
+    if not frames:
+        raise ValueError("no actions given")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

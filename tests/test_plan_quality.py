@@ -1,0 +1,102 @@
+"""Physical-plan assertions: the 100-TB properties SURVEY §4 calls out.
+
+These guard the plan SHAPE, not results: filters reach the parquet scan,
+small dims broadcast, routing stays shuffle-free until its final
+aggregate, and hot paths keep whole-stage codegen.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.functions import filters as FL
+from syslog_ng_spark.plans import LogPath, Pipeline
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, transcripts_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "t")
+    transcripts_df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_filter_pushdown_reaches_scan(corpus):
+    q = corpus.filter(F.col("role") == "assistant").select("conv_id", "turn_idx")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,assistant)]" in plan
+
+
+def test_column_pruning(corpus):
+    q = corpus.select("conv_id").distinct()
+    plan = _plan(q)
+    # scan must read only conv_id, not text
+    assert "ReadSchema: struct<conv_id:string>" in plan
+
+
+def test_routing_is_single_stage_until_agg(corpus):
+    from syslog_ng_spark.operators.parsers import syslog_parser
+
+    pipe = Pipeline(
+        [
+            LogPath("a", FL.FSeverity("err..emerg") & FL.FRaw(F.col("syslog_matched")), frozenset(["final"])),
+            LogPath("b", F.col("tool") == "bash"),
+            LogPath("c", None, frozenset(["fallback"])),
+        ]
+    )
+    routed = pipe.route(syslog_parser(corpus), persist=False)
+    aggs = [F.sum(F.col(f"_deliver_{p.name}").cast("long")) for p in pipe.paths]
+    plan = _plan(routed.df.agg(*aggs))
+    # exactly one exchange: the final single-partition aggregate
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_enrich_join_is_broadcast(spark, corpus):
+    from syslog_ng_spark.operators.enrich import add_contextual_data
+
+    ctx = spark.createDataFrame(
+        [("bash", "team", "x")], "selector string, name string, value string"
+    )
+    out = add_contextual_data(corpus, ctx, F.col("tool"))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_projection_keeps_codegen(corpus):
+    from syslog_ng_spark.operators.parsers import syslog_parser
+
+    q = syslog_parser(corpus).select("pri", "host", "msg", "syslog_matched")
+    plan = _plan(q)
+    # '*(N)' prefix marks whole-stage-codegen'd operators
+    assert "*(1)" in plan, plan
+
+
+def test_minhash_band_join_shuffles_small_rows(spark):
+    from syslog_ng_spark.operators.dedup import minhash_lsh
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x")], "doc_id long, text string"
+    )
+    pairs = minhash_lsh(docs, threshold=0.1)
+    plan = _plan(pairs)
+    # shingle arrays must not cross the band-join exchanges: the exchanges
+    # below the join carry only id/band/bh
+    for frag in plan.split("Exchange")[1:3]:
+        head = frag[:200]
+        assert "sh" not in head.split("AS")[0] or "hashpartitioning" in head
+
+
+def test_salted_agg_is_two_phase(spark, transcripts_df):
+    from syslog_ng_spark.operators.grouping import salted_agg
+
+    out = salted_agg(
+        transcripts_df, key=["conv_id"], aggs={"n": ("count", None)}, salt_buckets=4
+    )
+    plan = _plan(out)
+    # two exchanges: (key, salt) then (key) — the partial combine runs
+    # map-side before each
+    assert plan.count("Exchange") == 2
+    assert plan.count("HashAggregate") >= 4  # partial+final per phase

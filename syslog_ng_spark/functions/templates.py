@@ -41,7 +41,14 @@ _TOKEN = re.compile(
 )
 
 
+# lambda-variable bindings for $(map)/$(filter) element templates ($_)
+_BINDINGS: list[dict[str, Column]] = []
+
+
 def _resolve_name(name: str, columns: set[str] | None) -> Column:
+    for scope in reversed(_BINDINGS):
+        if name in scope:
+            return scope[name]
     if name.isdigit():
         # $0..$n → matches array (1-based element_at; $0 = whole match at idx 1)
         return F.element_at(F.col(MATCHES_COL), int(name) + 1)
@@ -57,7 +64,7 @@ def _find_call_end(s: str, start: int) -> int:
     depth = 1
     i = start + 1
     while i < len(s):
-        if s[i] == "(" and s[i - 1] == "$":
+        if s[i] == "(":  # any paren nests (SQL snippets in $(if ...) etc.)
             depth += 1
         elif s[i] == ")":
             depth -= 1
@@ -120,21 +127,25 @@ def _split_args(body: str) -> list[str]:
     out: list[str] = []
     buf: list[str] = []
     depth = 0
-    in_q = False
+    in_q: str | None = None
     i = 0
     while i < len(body):
         ch = body[i]
         if in_q:
-            if ch == '"':
-                in_q = False
+            if ch == in_q:
+                in_q = None
             else:
                 buf.append(ch)
-        elif ch == '"' and depth == 0:
-            in_q = True
+        elif ch in ('"', "'") and depth == 0:
+            in_q = ch
         elif ch == "$" and i + 1 < len(body) and body[i + 1] == "(":
             depth += 1
             buf.append("$(")
             i += 1
+        elif ch == "(" and depth > 0:
+            # bare parens inside a nested call (e.g. SQL in $(if ...))
+            depth += 1
+            buf.append(ch)
         elif ch == ")" and depth > 0:
             depth -= 1
             buf.append(ch)
@@ -289,6 +300,64 @@ def _format_json(raw, cols):
             k, v = a.split("=", 1)
             pairs[k] = compile_template(v)
     return F.to_json(F.struct(*[v.alias(k) for k, v in pairs.items()]))
+
+
+def _lambda_template(template: str):
+    """Element-template compiler for $(map)/$(filter): `$_` binds to the
+    list element (tf-map.c / tf-filter.c analogues)."""
+
+    def body(x: Column) -> Column:
+        _BINDINGS.append({"_": x})
+        try:
+            return compile_template(template)
+        finally:
+            _BINDINGS.pop()
+
+    return body
+
+
+def _fn_map(raw, cols):
+    return F.array_join(
+        F.transform(F.split(cols[1], ","), _lambda_template(raw[0])), ","
+    )
+
+
+def _fn_filter(raw, cols):
+    """$(filter COND list) — COND is a template over ``$_``; truthy =
+    'true' or any non-zero number (the reference evaluates a filter
+    expression; template-truthiness is the documented divergence)."""
+    body = _lambda_template(raw[0])
+
+    def truthy(x):
+        v = body(x)
+        return (F.lower(v) == "true") | (
+            F.coalesce(v.cast("double") != 0, F.lit(False))
+        )
+
+    return F.array_join(F.filter(F.split(cols[1], ","), truthy), ",")
+
+
+_TEMPLATE_FUNCS["map"] = _fn_map
+_TEMPLATE_FUNCS["filter"] = _fn_filter
+
+
+def _format_cef_extension(raw, cols):
+    """$(format-cef-extension k=v ...) — CEF escaping of = \\ and newlines
+    (modules/cef analogue)."""
+    pairs = []
+    for a in raw:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            val = compile_template(v)
+            esc = F.regexp_replace(
+                F.regexp_replace(val, r"\\", r"\\\\"), "=", r"\\="
+            )
+            esc = F.regexp_replace(esc, "\n", r"\\n")
+            pairs.append(F.concat(F.lit(k + "="), esc))
+    return F.concat_ws(" ", *pairs)
+
+
+_TEMPLATE_FUNCS["format-cef-extension"] = _format_cef_extension
 
 
 def _format_welf(raw, cols):

@@ -85,3 +85,59 @@ def session_counts(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *key)
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def stream_suppress(
+    stream_df: DataFrame,
+    identity_cols: list[str],
+    key: list[str],
+    seconds: float,
+    ts_col: str = "ts",
+):
+    """Stateful streaming suppress() — the logwriter dedup with state that
+    survives micro-batches (applyInPandasWithState, the reference's
+    last-message + timer kept per key like lib/logwriter.c:578-654).
+
+    Emits the first row of each duplicate run with ``suppressed`` counts
+    for runs that closed inside the batch; state carries (last identity,
+    last ts, pending count) across batches.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    out_schema = (
+        ", ".join(f"{k} string" for k in key)
+        + ", ident string, ts timestamp, suppressed long"
+    )
+    state_schema = "ident string, last_ts double, pending long"
+
+    def fn(key_vals, pdfs, state):
+        ident_prev, last_ts, pending = (
+            state.get if state.exists else (None, None, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            idents = pdf[identity_cols].astype(str).agg("\x1f".join, axis=1)
+            for ident, ts in zip(idents, pdf[ts_col]):
+                t = ts.timestamp()
+                if (
+                    ident_prev is not None
+                    and ident == ident_prev
+                    and last_ts is not None
+                    and t - last_ts <= seconds
+                ):
+                    pending += 1
+                    last_ts = t
+                    continue
+                if ident_prev is not None:
+                    rows.append((*key_vals, ident_prev, pd.Timestamp(last_ts, unit="s"), pending))
+                ident_prev, last_ts, pending = ident, t, 0
+        state.update((ident_prev, last_ts, pending))
+        state.setTimeoutDuration(int(seconds * 1000))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*key, "ident", "ts", "suppressed"])
+
+    return stream_df.groupBy(*key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )

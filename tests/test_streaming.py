@@ -61,3 +61,41 @@ def test_stream_route_foreachbatch(spark, stream_source, transcripts_df, tmp_pat
     r = spark.read.parquet(f"{sinks}/rest").count()
     assert a == transcripts_df.filter("role = 'assistant'").count()
     assert a + r == transcripts_df.count()
+
+
+def test_stream_suppress_stateful(spark, tmp_path):
+    """Stateful suppress across micro-batches (applyInPandasWithState)."""
+    import datetime
+
+    from syslog_ng_spark.streaming.stream import stream_suppress
+
+    base = datetime.datetime(2026, 4, 1)
+    rows = [
+        ("h1", "a", base + datetime.timedelta(seconds=i)) for i in range(3)
+    ] + [
+        ("h1", "b", base + datetime.timedelta(seconds=3)),
+        ("h1", "a", base + datetime.timedelta(seconds=4)),
+        ("h2", "a", base + datetime.timedelta(seconds=5)),
+    ]
+    df = spark.createDataFrame(rows, "host string, msg string, ts timestamp")
+    src = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_suppress(stream, identity_cols=["msg"], key=["host"], seconds=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.ident, r.suppressed)
+        for r in spark.sql("SELECT * FROM sup").collect()
+    }
+    # closed runs inside the batch: h1 'a'x3 (2 suppressed), h1 'b'x1;
+    # the last run per key stays in state (run not closed) — logwriter
+    # would flush it on timeout.
+    assert ("h1", "a", 2) in got
+    assert ("h1", "b", 0) in got

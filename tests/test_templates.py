@@ -101,3 +101,14 @@ def test_format_json_and_welf(msg):
 def test_macro_direct():
     c = macro("FACILITY_NUM")
     assert isinstance(c, F.Column)
+
+
+def test_map_filter_iteration(msg):
+    assert _one(msg, "$(map $(uppercase $_) a,b,c)") == "A,B,C"
+    # keep elements longer than one char: (length - 1) is truthy when != 0
+    assert _one(msg, "$(filter $(- $(length $_) 1) a,bb,ccc)") == "bb,ccc"
+
+
+def test_format_cef_extension(msg):
+    out = _one(msg, "$(format-cef-extension src=$HOST act=a=b)")
+    assert out == r"src=web-01 act=a\=b"

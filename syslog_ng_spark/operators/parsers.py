@@ -109,17 +109,23 @@ def syslog_parser(
     # group i (1-based) — packed layout has exactly n_groups fields iff matched
     g3 = [None] + [F.element_at(parts3, i) for i in range(1, 7)]
     g5 = [None] + [F.element_at(parts5, i) for i in range(1, 10)]
-    m3 = F.size(parts3) == 6
+    # match flags via rlike (boolean-only, no packed-string allocation):
+    # a plan that touches only pri/syslog_matched — the routing hot path —
+    # then never materializes the packed groups (Catalyst prunes them).
+    m3 = t.rlike(_RFC3164)
     if require_header:
-        m3 = m3 & ((g3[1] != "") | (g3[2] != ""))
-    m5 = F.size(parts5) == 9
+        m3 = m3 & t.rlike(r"^<\d{1,3}>|^[A-Z][a-z]{2}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2}\s")
+    m5 = t.rlike(_RFC5424)
 
     matched = F.when(is5424, m5).otherwise(m3)
     fmt = F.when(is5424 & m5, F.lit("rfc5424")).when(
         ~is5424 & m3, F.lit("rfc3164")
     )
 
-    pri_raw = F.when(is5424, g5[1]).otherwise(g3[1])
+    # PRI is always the leading <N> in both formats — a tiny anchored
+    # extract keeps the severity/facility routing path free of the full
+    # group unpacking.
+    pri_raw = F.regexp_extract(t, r"^<(\d{1,3})>", 1)
     pri = F.when(
         matched,
         F.when(_nullif_empty(pri_raw).isNotNull(), pri_raw.cast("int")).otherwise(

@@ -15,7 +15,18 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
+def _ensure_conf(spark: SparkSession) -> None:
+    """Engine-required runtime confs (the driver may hand us a vanilla
+    session): lax casts (dynamic string-typed log payloads — the
+    reference's type model), last-wins map keys (kv-scanner semantics),
+    UTC for oracle parity. All are runtime-settable SQLConf entries."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -651,7 +662,21 @@ def q_transcript_pipeline(spark, sf_dir):
     return pipe.route(parsed, persist=False).metrics().orderBy("path")
 
 
+def _guarded(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_conf(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _guarded(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_route": q_flagship_route,
         "filter_cmp": q_filter_cmp,

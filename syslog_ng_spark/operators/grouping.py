@@ -231,3 +231,14 @@ def stats_aggregate(df: DataFrame, key: list[str], value: str, ts_col: str = "ts
 def metrics_probe(df: DataFrame, labels: list[str]) -> DataFrame:
     """metrics-probe() — labelled counters (modules/metrics-probe)."""
     return df.groupBy(*labels).agg(F.count(F.lit(1)).alias("value"))
+
+
+def scope_keys(scope: str) -> list[str]:
+    """Correlation scopes (correlation-key.h:29-40): which columns join
+    the user key to identify a context."""
+    return {
+        "global": [],
+        "host": ["host"],
+        "program": ["host", "program"],
+        "process": ["host", "program", "pid"],
+    }[scope]

@@ -52,3 +52,23 @@ def write_sink(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.save(path)
+
+
+def write_sink_templated(
+    df: DataFrame,
+    path: str,
+    partition_templates: dict[str, str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """$HOST-templated destination filenames (affile-dest.c) → partitioned
+    table layout: each template becomes a partition column, so
+    ``file("/log/$HOST/app.log")`` ≙ ``.partitionBy("host_dir")`` and the
+    directory fan-out happens in ONE write job instead of per-key files."""
+    from ..functions.templates import compile_template  # noqa: PLC0415
+
+    cols = set(df.columns)
+    out = df
+    for name, tpl in partition_templates.items():
+        out = out.withColumn(name, compile_template(tpl, cols))
+    out.write.mode(mode).format(fmt).partitionBy(*partition_templates).save(path)

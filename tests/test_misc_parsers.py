@@ -63,3 +63,25 @@ def test_log_scheduler_partitions(spark):
     assert salted.rdd.getNumPartitions() == 6
     # row counts preserved
     assert salted.count() == 1000
+
+
+def test_scope_keys():
+    from syslog_ng_spark.operators.grouping import scope_keys
+
+    assert scope_keys("global") == []
+    assert scope_keys("process") == ["host", "program", "pid"]
+
+
+def test_write_sink_templated(spark, tmp_path):
+    from syslog_ng_spark.sources.io import write_sink_templated
+
+    df = spark.createDataFrame(
+        [("web-01", "a"), ("db-01", "b")], "host string, text string"
+    )
+    dest = str(tmp_path / "out")
+    write_sink_templated(df, dest, {"host_dir": "$host"})
+    back = spark.read.parquet(dest)
+    assert {r.host_dir for r in back.collect()} == {"web-01", "db-01"}
+    import os
+
+    assert os.path.isdir(f"{dest}/host_dir=web-01")

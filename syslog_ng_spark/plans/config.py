@@ -1,0 +1,188 @@
+"""Declarative pipeline spec → running DAG (the cfg-tree compile, §3.1).
+
+The reference parses syslog-ng.conf into a LogExprNode tree and lowers it
+to a LogPipe graph (/root/reference/lib/cfg-tree.c:1027-1216). Here the
+"config" is a plain dict (JSON/YAML-friendly) and "compilation" builds
+DataFrame lineage: named filters, a parser chain, rewrites, and log
+paths — Catalyst is the optimizer, ``Pipeline.route`` the multiplexer.
+
+Spec shape::
+
+    {
+      "filters": {                       # named filter expressions
+        "f_sev":  {"severity": ["err..emerg"]},
+        "f_bash": {"cmp": {"lhs": "tool", "op": "==", "rhs": "bash"}},
+        "f_both": {"and": ["f_sev", {"match": {"value": "text", "pattern": "x"}}]},
+      },
+      "parsers": [                       # ordered parse stages
+        {"type": "syslog"},
+        {"type": "kv", "source": "msg"},
+      ],
+      "rewrites": [                      # ordered rewrite stages
+        {"type": "set", "name": "combined", "value": "$host/$program"},
+        {"type": "set_tag", "tag": "seen"},
+      ],
+      "paths": [                         # the log-path forest, in order
+        {"name": "security", "filter": "f_sev", "flags": ["final"]},
+        {"name": "rest", "flags": ["fallback"]},
+      ],
+    }
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import filters as FL
+from .pipeline import LogPath, Pipeline
+
+
+def compile_filter(spec, named: dict) -> FL.FilterExpr:
+    """Lower one filter spec node (dict | name-reference) to a FilterExpr."""
+    if isinstance(spec, str):
+        if spec in named:
+            return named[spec]
+        return FL.FRaw(spec)  # raw SQL snippet
+    if isinstance(spec, FL.FilterExpr):
+        return spec
+    assert isinstance(spec, dict) and len(spec) == 1, f"bad filter spec {spec!r}"
+    kind, arg = next(iter(spec.items()))
+    if kind == "and":
+        return FL.FAnd(*[compile_filter(a, named) for a in arg])
+    if kind == "or":
+        return FL.FOr(*[compile_filter(a, named) for a in arg])
+    if kind == "not":
+        return FL.FNot(compile_filter(arg, named))
+    if kind == "cmp":
+        return FL.FCmp(
+            F.col(arg["lhs"]),
+            arg["rhs"] if not isinstance(arg["rhs"], str) or not arg.get("rhs_is_column")
+            else F.col(arg["rhs"]),
+            arg.get("op", "=="),
+            arg.get("mode", "type_aware"),
+        )
+    if kind == "match":
+        return FL.FMatch(
+            F.col(arg.get("value", "text")),
+            arg["pattern"],
+            arg.get("matcher", "pcre"),
+            frozenset(arg.get("flags", [])),
+        )
+    if kind == "severity":
+        return FL.FSeverity(*arg)
+    if kind == "facility":
+        return FL.FFacility(*arg)
+    if kind == "tags":
+        return FL.FTags(*arg)
+    if kind == "netmask":
+        return FL.FNetmask(arg["cidr"], F.col(arg.get("value", "src_ip")))
+    if kind == "in_list":
+        return FL.FInList(arg["values"], F.col(arg.get("value", "text")))
+    if kind == "blank":
+        return FL.FBlank(F.col(arg.get("value", "text")))
+    if kind == "raw":
+        return FL.FRaw(arg)
+    raise ValueError(f"unknown filter kind {kind!r}")
+
+
+def _apply_parser(df: DataFrame, spec: dict) -> DataFrame:
+    from ..operators import parsers as P  # noqa: PLC0415
+
+    kind = spec["type"]
+    kw = {k: v for k, v in spec.items() if k != "type"}
+    if kind == "syslog":
+        return P.syslog_parser(df, **kw)
+    if kind == "kv":
+        return P.kv_parser(df, **kw)
+    if kind == "json":
+        return P.json_parser(df, **kw)
+    if kind == "csv":
+        return P.csv_parser(df, **kw)
+    if kind == "regexp":
+        return P.regexp_parser(df, **kw)
+    if kind == "date":
+        return P.date_parser(df, **kw)
+    if kind == "xml":
+        return P.xml_parser(df, **kw)
+    if kind == "tags":
+        return P.tags_parser(df, **kw)
+    if kind == "patterndb":
+        from ..operators.patterndb import PdbRule, patterndb  # noqa: PLC0415
+
+        rules = [PdbRule(**r) for r in kw.pop("rules")]
+        return patterndb(df, rules, **kw)
+    raise ValueError(f"unknown parser type {kind!r}")
+
+
+def _apply_rewrite(df: DataFrame, spec: dict, named: dict) -> DataFrame:
+    from ..operators import rewrite as RW  # noqa: PLC0415
+
+    kind = spec["type"]
+    kw = {k: v for k, v in spec.items() if k != "type"}
+    if "condition" in kw:
+        kw["condition"] = compile_filter(kw["condition"], named)
+    if kind == "set":
+        return RW.set_value(df, kw["name"], kw["value"], kw.get("condition"))
+    if kind == "subst":
+        return RW.subst(
+            df, kw["pattern"], kw["replacement"], kw["value"],
+            kw.get("global", False), kw.get("condition"),
+        )
+    if kind == "unset":
+        return RW.unset(df, *kw["names"], condition=kw.get("condition"))
+    if kind == "set_tag":
+        return RW.set_tag(df, kw["tag"], kw.get("condition"))
+    if kind == "clear_tag":
+        return RW.clear_tag(df, kw["tag"], kw.get("condition"))
+    if kind == "set_severity":
+        return RW.set_severity(df, kw["severity"], kw.get("condition"))
+    if kind == "set_facility":
+        return RW.set_facility(df, kw["facility"], kw.get("condition"))
+    if kind == "rename":
+        return RW.rename(df, kw["old"], kw["new"])
+    if kind == "cc_mask":
+        return RW.credit_card_mask(df, kw["source"], kw.get("target"))
+    raise ValueError(f"unknown rewrite type {kind!r}")
+
+
+class CompiledConfig:
+    """The lowered pipeline: stage functions + a routing Pipeline."""
+
+    def __init__(self, spec: dict):
+        self.spec = spec
+        self.named_filters: dict[str, FL.FilterExpr] = {}
+        for name, fspec in (spec.get("filters") or {}).items():
+            self.named_filters[name] = compile_filter(fspec, self.named_filters)
+        paths = []
+        for p in spec.get("paths") or []:
+            filt = (
+                compile_filter(p["filter"], self.named_filters)
+                if p.get("filter") is not None
+                else None
+            )
+            paths.append(
+                LogPath(
+                    p["name"],
+                    filt,
+                    frozenset(p.get("flags", [])),
+                    sources=tuple(p["sources"]) if p.get("sources") else None,
+                )
+            )
+        self.pipeline = Pipeline(paths) if paths else None
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Run the parser + rewrite chain (the linear pipe segment)."""
+        for pspec in self.spec.get("parsers") or []:
+            df = _apply_parser(df, pspec)
+        for rspec in self.spec.get("rewrites") or []:
+            df = _apply_rewrite(df, rspec, self.named_filters)
+        return df
+
+    def route(self, df: DataFrame, persist: bool = True, source_col: str | None = None):
+        assert self.pipeline is not None, "spec has no paths"
+        return self.pipeline.route(self.transform(df), persist, source_col)
+
+
+def compile_config(spec: dict) -> CompiledConfig:
+    return CompiledConfig(spec)

@@ -1,0 +1,95 @@
+"""Config-spec → DAG compile tests (cfg-tree analogue, §3.1): the full
+parse→rewrite→route pipeline from one declarative dict."""
+
+from syslog_ng_spark.plans.config import compile_config
+
+
+SPEC = {
+    "filters": {
+        "f_sev": {"severity": ["err..emerg"]},
+        "f_parsed": {"raw": "syslog_matched"},
+        "f_secure": {"and": ["f_sev", "f_parsed"]},
+        "f_bash": {"cmp": {"lhs": "tool", "op": "==", "rhs": "bash"}},
+    },
+    "parsers": [
+        {"type": "syslog"},
+        {"type": "kv", "source": "msg"},
+    ],
+    "rewrites": [
+        {"type": "set", "name": "origin", "value": "$host/$program"},
+        {"type": "set_tag", "tag": "secure", "condition": "f_secure"},
+    ],
+    "paths": [
+        {"name": "security", "filter": "f_secure", "flags": ["final"]},
+        {"name": "bash", "filter": "f_bash"},
+        {"name": "rest", "flags": ["fallback"]},
+    ],
+}
+
+
+def test_config_end_to_end(transcripts_df):
+    cc = compile_config(SPEC)
+    routed = cc.route(transcripts_df, persist=True)
+    try:
+        m = {r.path: r.route_egress_total for r in routed.metrics().collect()}
+        total = transcripts_df.count()
+        # final+fallback semantics: every row lands somewhere; bash rows
+        # may ALSO be in security (no, security is final → disjoint from bash)
+        assert m["security"] + m["rest"] <= total
+        assert m["security"] > 0 and m["bash"] > 0 and m["rest"] > 0
+        sec = routed.sink("security")
+        assert "origin" in sec.columns
+        row = sec.limit(1).collect()[0]
+        assert "secure" in row.tags
+        assert row.pri % 8 <= 3
+    finally:
+        routed.unpersist()
+
+
+def test_config_matches_hand_built(transcripts_df):
+    """Config-compiled routing must equal the hand-built Pipeline."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.functions import filters as FL
+    from syslog_ng_spark.operators.parsers import kv_parser, syslog_parser
+    from syslog_ng_spark.plans import LogPath, Pipeline
+
+    cc = compile_config(SPEC)
+    got = {
+        r.path: r.route_egress_total
+        for r in cc.route(transcripts_df, persist=False).metrics().collect()
+    }
+
+    parsed = kv_parser(syslog_parser(transcripts_df), source="msg")
+    pipe = Pipeline(
+        [
+            LogPath("security", FL.FSeverity("err..emerg") & FL.FRaw(F.col("syslog_matched")), frozenset(["final"])),
+            LogPath("bash", F.col("tool") == "bash"),
+            LogPath("rest", None, frozenset(["fallback"])),
+        ]
+    )
+    want = {
+        r.path: r.route_egress_total
+        for r in pipe.route(parsed, persist=False).metrics().collect()
+    }
+    assert got == want
+
+
+def test_config_filter_kinds(spark):
+    from syslog_ng_spark.plans.config import compile_filter
+
+    df = spark.createDataFrame(
+        [("10.1.2.3", "hello world", ["t1"])],
+        "src_ip string, text string, tags array<string>",
+    )
+    cases = [
+        {"match": {"pattern": "hello"}},
+        {"netmask": {"cidr": "10.0.0.0/8"}},
+        {"tags": ["t1"]},
+        {"in_list": {"values": ["hello world"], "value": "text"}},
+        {"not": {"blank": {"value": "text"}}},
+        {"or": [{"match": {"pattern": "nope"}}, {"tags": ["t1"]}]},
+    ]
+    for c in cases:
+        expr = compile_filter(c, {})
+        assert df.filter(expr.to_column()).count() == 1, c

@@ -98,6 +98,18 @@ class RoutedFrame:
             data, "path string, route_ingress_total long, route_egress_total long"
         )
 
+    def write_metrics(
+        self, path: str, run_id: str = "run", fmt: str = "parquet"
+    ) -> DataFrame:
+        """Persist the per-path counters as a table (the internal()/
+        stats-csv control-plane analogue, §3.3): re-readable as a source,
+        appended per run for lineage."""
+        m = self.metrics().withColumn("run_id", F.lit(run_id)).withColumn(
+            "wall_ts", F.current_timestamp()
+        )
+        m.write.mode("append").format(fmt).save(path)
+        return m
+
     def write_sinks(self, base_path: str, fmt: str = "parquet", mode: str = "overwrite") -> dict[str, str]:
         out = {}
         for p in self.paths:

@@ -153,3 +153,15 @@ def test_write_sinks_and_metrics(tmp_path, spark):
         assert m == {"s1": (2, 1), "s2": (2, 2)}
     finally:
         routed.unpersist()
+
+
+def test_write_metrics_table(tmp_path, spark):
+    df = spark.createDataFrame([("a",), ("b",)], "x string")
+    paths = [LogPath("s1", F.col("x") == "a"), LogPath("s2", None)]
+    routed = Pipeline(paths).route(df, persist=False)
+    dest = str(tmp_path / "metrics")
+    routed.write_metrics(dest, run_id="r1")
+    routed.write_metrics(dest, run_id="r2")  # appends per run (lineage)
+    back = spark.read.parquet(dest)
+    assert back.count() == 4
+    assert {r.run_id for r in back.collect()} == {"r1", "r2"}

@@ -380,3 +380,72 @@ class FBlank(FilterExpr):
     def to_column(self) -> Column:
         c = _as_col(self.value)
         return c.isNull() | (F.length(F.trim(c)) == 0)
+
+
+# --- IPv6 (filter-netmask6.c) --------------------------------------------------
+
+import pandas as _pd  # noqa: E402
+from pyspark.sql import functions as _F  # noqa: E402
+from pyspark.sql import types as _T  # noqa: E402
+
+
+@_F.pandas_udf(
+    _T.StructType(
+        [_T.StructField("hi", _T.LongType()), _T.StructField("lo", _T.LongType())]
+    )
+)
+def _ipv6_to_longs(s: _pd.Series) -> _pd.DataFrame:
+    """IPv6 string → (hi, lo) signed-int64 pair; null on parse failure.
+    Vectorized Arrow UDF — :: compression makes a pure-Column parse
+    impractical; the result is plain longs so the range test itself stays
+    JVM-side and pushdown-friendly."""
+
+    def one(v):
+        if v is None:
+            return (None, None)
+        try:
+            n = int(ipaddress.IPv6Address(v))
+        except (ipaddress.AddressValueError, ValueError):
+            return (None, None)
+        hi, lo = n >> 64, n & ((1 << 64) - 1)
+        tos = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+        return (tos(hi), tos(lo))
+
+    return _pd.DataFrame(s.map(one).tolist(), columns=["hi", "lo"])
+
+
+@dataclass
+class FNetmask6(FilterExpr):
+    """netmask6('2001:db8::/32') on an IPv6 string column: decompose to
+    two signed longs once, compare lexicographically against the network
+    bounds (constants folded at plan time)."""
+
+    cidr: str
+    value: object = "src_ip"
+
+    def to_column(self) -> Column:
+        net = ipaddress.ip_network(self.cidr, strict=False)
+        lo_n, hi_n = int(net.network_address), int(net.broadcast_address)
+
+        def split(n: int) -> tuple[int, int]:
+            h, l = n >> 64, n & ((1 << 64) - 1)
+            tos = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+            return tos(h), tos(l)
+
+        lo_hi, lo_lo = split(lo_n)
+        hi_hi, hi_lo = split(hi_n)
+        pair = _ipv6_to_longs(_as_col(self.value))
+        h, l = pair["hi"], pair["lo"]
+        # unsigned lexicographic compare on signed longs: flip the sign
+        # bit by XOR with MIN_LONG so ordering matches unsigned order
+        MIN = -(1 << 63)
+        uh, ul = h.bitwiseXOR(MIN), l.bitwiseXOR(MIN)
+
+        def upair(hi_v: int, lo_v: int):
+            return hi_v ^ MIN, lo_v ^ MIN
+
+        lo_uh, lo_ul = upair(lo_hi, lo_lo)
+        hi_uh, hi_ul = upair(hi_hi, hi_lo)
+        ge_lo = (uh > lo_uh) | ((uh == lo_uh) & (ul >= lo_ul))
+        le_hi = (uh < hi_uh) | ((uh == hi_uh) & (ul <= hi_ul))
+        return h.isNotNull() & ge_lo & le_hi

@@ -72,6 +72,7 @@ def syslog_parser(
     default_pri: int = 13,  # user.notice — reference default when PRI missing
     year_hint_col: str = "ts",
     require_header: bool = True,
+    flags: frozenset | set = frozenset(),
 ) -> DataFrame:
     """Parse syslog headers out of ``text_col`` into typed columns.
 
@@ -93,13 +94,35 @@ def syslog_parser(
     parser accepts almost any line, tagging the missing pieces — set
     False for that behavior.
 
+    ``flags`` mirrors the reference's parse flags (msg-format.h:37-63):
+    ``no-parse`` (LP_NOPARSE — whole payload becomes msg, PRI default),
+    ``no-hostname`` (LP_NO_HOSTNAME — the host token is absent; the first
+    token after the date is the program), ``no-parse-date``
+    (LP_NO_PARSE_DATE — leave syslog_ts null).
+
     Known limitation: a payload containing the 0x1E record-separator
     byte would corrupt group unpacking; the reference has no such byte
     in any test corpus.
     """
+    flags = frozenset(flags)
     SEP = "\x1e"
     t = F.col(text_col)
     p = prefix
+    if "no-parse" in flags:
+        # LP_NOPARSE: framing only — everything is the message
+        return (
+            df.withColumn(p + "pri", F.lit(default_pri))
+            .withColumn(p + "syslog_ts", F.lit(None).cast("timestamp"))
+            .withColumn(p + "host", F.lit(None).cast("string"))
+            .withColumn(p + "program", F.lit(None).cast("string"))
+            .withColumn(p + "pid", F.lit(None).cast("int"))
+            .withColumn(p + "msgid", F.lit(None).cast("string"))
+            .withColumn(p + "sdata", F.lit(None).cast("map<string,string>"))
+            .withColumn(p + "msg", t)
+            .withColumn(p + "syslog_format", F.lit(None).cast("string"))
+            .withColumn(p + "syslog_tags", F.array().cast("array<string>"))
+            .withColumn(p + "syslog_matched", F.lit(True))
+        )
     is5424 = t.rlike(r"^<\d{1,3}>\d+\s")
 
     repl3 = SEP.join(f"${i}" for i in range(1, 7))
@@ -146,11 +169,23 @@ def syslog_parser(
         F.try_to_timestamp(g5[3], F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
     )
     syslog_ts = F.when(matched, F.when(is5424, ts5).otherwise(ts3))
+    if "no-parse-date" in flags:  # LP_NO_PARSE_DATE
+        syslog_ts = F.lit(None).cast("timestamp")
 
-    host = F.when(matched, _nullif_empty(F.when(is5424, F.nullif(g5[4], F.lit("-"))).otherwise(g3[3])))
-    program = F.when(
-        matched, _nullif_empty(F.when(is5424, F.nullif(g5[5], F.lit("-"))).otherwise(g3[4]))
-    )
+    if "no-hostname" in flags:
+        # LP_NO_HOSTNAME: the first 3164 token is the program, never a host
+        host = F.when(matched & is5424, F.nullif(g5[4], F.lit("-")))
+        program = F.when(
+            matched,
+            F.when(is5424, F.nullif(g5[5], F.lit("-"))).otherwise(
+                F.coalesce(_nullif_empty(g3[3]), _nullif_empty(g3[4]))
+            ),
+        )
+    else:
+        host = F.when(matched, _nullif_empty(F.when(is5424, F.nullif(g5[4], F.lit("-"))).otherwise(g3[3])))
+        program = F.when(
+            matched, _nullif_empty(F.when(is5424, F.nullif(g5[5], F.lit("-"))).otherwise(g3[4]))
+        )
     pid = F.when(
         matched,
         F.when(is5424, F.nullif(g5[6], F.lit("-"))).otherwise(_nullif_empty(g3[5])),

@@ -94,3 +94,16 @@ def test_blank_and_named_filters(spark):
     assert _eval(df, FL.FBlank(F.col("text"))) == [True, True, False, True]
     FL.define_filter("f_blank", FL.FBlank(F.col("text")))
     assert _eval(df, FL.FCall("f_blank")) == [True, True, False, True]
+
+
+def test_netmask6(spark):
+    df = _rows(
+        spark,
+        [("2001:db8::1",), ("2001:db8:ffff::1",), ("2600::1",), ("bogus",), (None,)],
+        "src_ip string",
+    )
+    got = _eval(df, FL.FNetmask6("2001:db8::/32", F.col("src_ip")))
+    assert got == [True, True, False, False, False]
+    # /128 exact host
+    got = _eval(df, FL.FNetmask6("2001:db8::1/128", F.col("src_ip")))
+    assert got == [True, False, False, False, False]

@@ -164,3 +164,17 @@ def test_group_lines_indented(spark):
     assert out[0].text == "Traceback (most recent call last):\n  File x.py line 1\n  ValueError: boom"
     assert out[0].n_lines == 3
     assert out[1].text == "next record"
+
+
+def test_syslog_parser_flags(spark):
+    line3 = "<38>Feb 11 21:27:22 openssh[99]: hello"
+    df = _df(spark, [line3])
+    # no-parse: nothing parsed, whole text is msg
+    row = parsers.syslog_parser(df, flags={"no-parse"}).collect()[0]
+    assert row.msg == line3 and row.pri == 13 and row.syslog_matched
+    # no-hostname: first token after date is the program
+    row = parsers.syslog_parser(df, flags={"no-hostname"}).collect()[0]
+    assert row.host is None and row.program == "openssh" and row.pid == 99
+    # no-parse-date: stamp left null
+    row = parsers.syslog_parser(df, flags={"no-parse-date"}).collect()[0]
+    assert row.syslog_ts is None and row.pri == 38

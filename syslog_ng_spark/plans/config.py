@@ -161,11 +161,27 @@ class CompiledConfig:
                 if p.get("filter") is not None
                 else None
             )
+            transform = None
+            if p.get("rewrites") or p.get("parsers"):
+                # per-branch stages: a log path's own parser/rewrite chain
+                # (runs only on delivered rows, like embedded pipe segments)
+                branch_parsers = p.get("parsers") or []
+                branch_rewrites = p.get("rewrites") or []
+                named = self.named_filters
+
+                def transform(df, _ps=branch_parsers, _rs=branch_rewrites):
+                    for ps in _ps:
+                        df = _apply_parser(df, ps)
+                    for rs in _rs:
+                        df = _apply_rewrite(df, rs, named)
+                    return df
+
             paths.append(
                 LogPath(
                     p["name"],
                     filt,
                     frozenset(p.get("flags", [])),
+                    transform=transform,
                     sources=tuple(p["sources"]) if p.get("sources") else None,
                 )
             )

@@ -93,3 +93,23 @@ def test_config_filter_kinds(spark):
     for c in cases:
         expr = compile_filter(c, {})
         assert df.filter(expr.to_column()).count() == 1, c
+
+
+def test_config_per_path_stages(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "x string, n int")
+    cc = compile_config(
+        {
+            "paths": [
+                {
+                    "name": "p1",
+                    "filter": {"cmp": {"lhs": "n", "op": "==", "rhs": 1}},
+                    "rewrites": [{"type": "set", "name": "marker", "value": "hit-$x"}],
+                },
+                {"name": "rest", "flags": ["fallback"]},
+            ]
+        }
+    )
+    routed = cc.route(df, persist=False)
+    got = routed.sink("p1").collect()
+    assert len(got) == 1 and got[0].marker == "hit-a"
+    assert "marker" not in routed.sink("rest").columns

@@ -662,6 +662,32 @@ def q_transcript_pipeline(spark, sf_dir):
     return pipe.route(parsed, persist=False).metrics().orderBy("path")
 
 
+def q_stats_aggregate(spark, sf_dir):
+    """stats aggregators (§2.7): running average / maximum / EPS per key
+    (stats-average.c, stats-maximum.c, stats-change-per-second.c)."""
+    from syslog_ng_spark.operators.grouping import stats_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = stats_aggregate(ev, ["event_type"], "value")
+    return out.select(
+        "event_type",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("max_value", 6).alias("max_value"),
+        "count",
+        F.round("eps", 8).alias("eps"),
+    ).orderBy("event_type")
+
+
+_STATS_SQL = """
+SELECT event_type,
+       round(avg(value), 6) AS avg_value,
+       round(max(value), 6) AS max_value,
+       count(*) AS count,
+       round(count(*) / greatest(epoch(max(ts)) - epoch(min(ts)), 1), 8) AS eps
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _guarded(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_conf(spark)
@@ -703,6 +729,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_pairs_select": q_value_pairs_select,
         "group_lines": q_group_lines,
         "geoip_enrich": q_geoip_enrich,
+        "stats_aggregate": q_stats_aggregate,
         # rows-only (non-SQL-expressible, see docstrings)
         "minhash_neardup": q_minhash_neardup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -737,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         "value_pairs_select": _VALUE_PAIRS_SQL,
         "group_lines": _GROUP_LINES_SQL,
         "geoip_enrich": _GEOIP_SQL,
+        "stats_aggregate": _STATS_SQL,
     }
 
 

@@ -495,9 +495,11 @@ def regexp_parser(
     if isinstance(patterns, str):
         patterns = [patterns]
     src = F.col(source) if isinstance(source, str) else source
-    # accept Python (?P<name>...) syntax; JVM wants (?<name>...)
+    # Python (?P<name>...) syntax carries the names; extraction is by
+    # group INDEX on the JVM side, so the Java pattern gets anonymous
+    # groups (Java also rejects '_' in group names — don't translate).
     compiled = [
-        (_re.compile(p), p.replace("(?P<", "(?<")) for p in patterns
+        (_re.compile(p), _re.sub(r"\(\?P<[^>]+>", "(", p)) for p in patterns
     ]
     all_names: list[str] = []
     for c, _ in compiled:

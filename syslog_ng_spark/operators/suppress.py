@@ -91,3 +91,46 @@ def throttle(df: DataFrame, key: list[str], rate: int, ts_col: str = "ts") -> Da
     """Destination-queue token bucket (lib/logqueue.c:182-213) — batch
     analogue identical to rate_limit at 1-second granularity."""
     return rate_limit(df, key, rate, ts_col)
+
+
+def token_bucket_rate_limit(
+    df: DataFrame,
+    key: list[str],
+    rate: float,
+    ts_col: str = "ts",
+    burst: float | None = None,
+) -> DataFrame:
+    """EXACT reference semantics (modules/rate-limit-filter/rate-limit.c):
+    a per-key token bucket of capacity ``burst`` (default = rate) refilled
+    continuously at ``rate`` tokens/sec of EVENT time; a row passes when a
+    whole token is available and consumes it — credit carries across
+    seconds, unlike the windowed ``rate_limit`` approximation.
+
+    The scan is inherently sequential per key, so it runs as
+    ``applyInPandas`` per key group (rows sorted by event time). A single
+    pathologically hot key serializes its own group — same as the
+    reference, where the bucket is one mutex'd counter per key.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    cap = float(burst if burst is not None else rate)
+    out_schema = df.schema
+
+    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts = pdf[ts_col].astype("int64") / 1e9  # ns → s
+        tokens = cap
+        prev = None
+        mask = []
+        for t in ts:
+            if prev is not None:
+                tokens = min(cap, tokens + (t - prev) * rate)
+            prev = t
+            if tokens >= 1.0:
+                tokens -= 1.0
+                mask.append(True)
+            else:
+                mask.append(False)
+        return pdf[pd.Series(mask, index=pdf.index)]
+
+    return df.groupBy(*key).applyInPandas(keep, schema=out_schema)

@@ -52,3 +52,30 @@ def test_rate_limit(spark):
     df = _df(spark, rows)
     out = rate_limit(df, key=["host"], rate=3)
     assert out.count() == 12  # 3 per each of 4 seconds
+
+
+def test_token_bucket_exact_semantics(spark):
+    """Credit carries across seconds (unlike the windowed approximation):
+    verified against a step-by-step Python oracle."""
+    from syslog_ng_spark.operators.suppress import token_bucket_rate_limit
+
+    # burst of 3 at t=0 consumes the bucket; then 1 token refills per 2s
+    rows = [("h1", "m", i) for i in [0, 0, 0, 0, 1, 4, 6, 20, 20, 20, 20]]
+    df = _df(spark, rows)
+    out = token_bucket_rate_limit(df, key=["host"], rate=0.5, burst=3)
+    kept = sorted(r.ts.second + r.ts.minute * 60 for r in out.collect())
+
+    def oracle(offsets, rate, cap):
+        tokens, prev, kept = cap, None, []
+        for t in offsets:
+            if prev is not None:
+                tokens = min(cap, tokens + (t - prev) * rate)
+            prev = t
+            if tokens >= 1.0:
+                tokens -= 1.0
+                kept.append(t)
+        return kept
+
+    assert kept == oracle([0, 0, 0, 0, 1, 4, 6, 20, 20, 20, 20], 0.5, 3)
+    # sanity: windowed rate_limit would keep 2 of the four t=20 rows at
+    # rate=2/sec; the bucket keeps what its carried credit allows

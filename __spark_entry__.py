@@ -688,6 +688,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
+    (approximate — no SQL oracle; recall pinned vs exact in pytest)."""
+    from syslog_ng_spark.operators.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup(emb, threshold=0.9, n_planes=6).orderBy("id_a", "id_b")
+
+
 def _guarded(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_conf(spark)
@@ -733,6 +744,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible, see docstrings)
         "minhash_neardup": q_minhash_neardup,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "embedding_neardup": q_embedding_neardup,
         "transcript_pipeline": q_transcript_pipeline,
     }
 

@@ -102,21 +102,35 @@ def lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = 8,
     dim: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the LSH bucket, exact rerank inside.
 
     Recall improves with fewer planes (bigger buckets) — n_planes trades
-    candidate count vs recall. Multi-probe (flip one bit) doubles recall
-    cheaply; exposed via the bucket column for callers that need it.
+    candidate count vs recall. ``multiprobe=n`` additionally probes every
+    bucket at Hamming distance 1 over the first n planes (the classic
+    multi-probe trick): ~n× candidates on the QUERY side only — the
+    corpus is neither re-bucketed nor re-scanned, the probe fan-out rides
+    the broadcast.
     """
     cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
-    qb = queries.select(
+    qbase = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("_b0"),
     )
-    cand = cb.join(F.broadcast(qb), "_bucket").withColumn(
-        "cos", cosine(F.col(vec_col), F.col("_qvec"))
+    probes = [F.col("_b0")] + [
+        F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(min(multiprobe, n_planes))
+    ]
+    qb = qbase.select(
+        query_id_col,
+        "_qvec",
+        F.explode(F.array(*probes)).alias("_bucket"),
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "_bucket")
+        .withColumn("cos", cosine(F.col(vec_col), F.col("_qvec")))
+        .dropDuplicates([query_id_col, id_col])
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
     return (

@@ -63,3 +63,20 @@ def test_embedding_near_dup_self(spark):
     )
     pairs = SIM.embedding_near_dup(df, threshold=0.99, n_planes=4).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_multiprobe_improves_recall(spark, emb):
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in SIM.brute_force_topk(emb, queries, k=3).collect()}
+    base = {
+        (r.query_id, r.vec_id)
+        for r in SIM.lsh_topk(emb, queries, k=3, n_planes=6).collect()
+    }
+    probed = {
+        (r.query_id, r.vec_id)
+        for r in SIM.lsh_topk(emb, queries, k=3, n_planes=6, multiprobe=6).collect()
+    }
+    assert len(probed & exact) >= len(base & exact)
+    # multiprobe must never lose the self-hit
+    for qid in {q for q, _ in exact}:
+        assert (qid, qid) in probed

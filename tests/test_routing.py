@@ -165,3 +165,31 @@ def test_write_metrics_table(tmp_path, spark):
     back = spark.read.parquet(dest)
     assert back.count() == 4
     assert {r.run_id for r in back.collect()} == {"r1", "r2"}
+
+
+def test_text_equality_invariant_through_pipeline(transcripts_df):
+    """North-rule invariant: per-turn `text` equality under stable
+    (conv_id, turn_idx) ordering — parse/enrich/route must never touch
+    the original text column."""
+    from syslog_ng_spark.operators.parsers import kv_parser, syslog_parser
+
+    parsed = kv_parser(syslog_parser(transcripts_df), source="msg")
+    pipe = Pipeline(
+        [
+            LogPath("a", F.col("role") == "assistant", frozenset(["final"])),
+            LogPath("rest", None, frozenset(["fallback"])),
+        ]
+    )
+    routed = pipe.route(parsed, persist=True)
+    try:
+        src = {
+            (r.conv_id, r.turn_idx): r.text for r in transcripts_df.collect()
+        }
+        seen = 0
+        for name in ("a", "rest"):
+            for r in routed.sink(name).select("conv_id", "turn_idx", "text").collect():
+                assert src[(r.conv_id, r.turn_idx)] == r.text
+                seen += 1
+        assert seen == transcripts_df.count()  # every turn delivered once
+    finally:
+        routed.unpersist()

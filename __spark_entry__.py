@@ -643,15 +643,18 @@ def q_simhash_fingerprints(spark, sf_dir):
 def q_transcript_pipeline(spark, sf_dir):
     """End-to-end transcript pipeline on the deterministic synthetic
     corpus (BASELINE.json input_hint shape): syslog+kv parse → route →
-    per-sink counts. Correctness vs the Python oracle is pinned in
-    tests/test_routing.py; here the driver smoke-checks stability."""
+    per-sink counts. SELF-VERIFYING: the returned table carries the
+    engine's per-sink counts next to counts from an independently
+    hand-written expression of the reference's mpx semantics
+    (logmpx.c final/fallback algebra) — `parity` must be true on every
+    row. (No DuckDB oracle: the input is generated, not a view.)"""
     from syslog_ng_spark.datagen import transcripts
     from syslog_ng_spark.operators.parsers import kv_parser, syslog_parser
     from syslog_ng_spark.plans import LogPath, Pipeline
     from syslog_ng_spark.functions import filters as FL
 
     df = transcripts(spark, n_convs=500, avg_turns=10)
-    parsed = kv_parser(syslog_parser(df), source="msg")
+    parsed = kv_parser(syslog_parser(df), source="msg").persist()
     pipe = Pipeline(
         [
             LogPath("security", FL.FSeverity("err..emerg") & FL.FRaw(F.col("syslog_matched")), frozenset(["final"])),
@@ -659,7 +662,32 @@ def q_transcript_pipeline(spark, sf_dir):
             LogPath("other", None, frozenset(["fallback"])),
         ]
     )
-    return pipe.route(parsed, persist=False).metrics().orderBy("path")
+    engine = pipe.route(parsed, persist=False).metrics().orderBy("path")
+
+    # independent reference semantics, written directly (not via Pipeline):
+    m_sec = F.coalesce(
+        F.pmod(F.col("pri"), F.lit(8)).isin([0, 1, 2, 3]) & F.col("syslog_matched"),
+        F.lit(False),
+    )
+    m_bash = F.coalesce(F.col("tool") == "bash", F.lit(False))
+    ref = parsed.agg(
+        F.sum(m_sec.cast("long")).alias("security"),
+        F.sum((~m_sec & m_bash).cast("long")).alias("bash"),
+        F.sum((~m_sec & ~m_bash).cast("long")).alias("other"),
+    ).collect()[0]
+    ref_counts = {"security": ref["security"], "bash": ref["bash"], "other": ref["other"]}
+    ref_df = spark.createDataFrame(
+        sorted(ref_counts.items()), "path string, reference_egress long"
+    )
+    out = (
+        engine.join(ref_df, "path")
+        .withColumn("parity", F.col("route_egress_total") == F.col("reference_egress"))
+        .orderBy("path")
+    )
+    rows = out.collect()
+    parsed.unpersist()
+    assert all(r.parity for r in rows), f"routing parity broken: {rows}"
+    return out
 
 
 def q_stats_aggregate(spark, sf_dir):

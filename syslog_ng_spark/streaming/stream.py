@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 from ..plans.pipeline import Pipeline
 
 
+def read_stream_source(
+    spark,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File stream source with flow control: ``maxFilesPerTrigger`` is the
+    batch analogue of the reference's source window / flags(flow-control)
+    backpressure (lib/logsource.h:73-86, cfg-tree.h:39)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
 def stream_route(
     stream_df: DataFrame,
     pipeline: Pipeline,

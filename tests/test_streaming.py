@@ -99,3 +99,22 @@ def test_stream_suppress_stateful(spark, tmp_path):
     # would flush it on timeout.
     assert ("h1", "a", 2) in got
     assert ("h1", "b", 0) in got
+
+
+def test_flow_control_max_files(spark, transcripts_df, tmp_path):
+    """maxFilesPerTrigger bounds micro-batch size (flow-control analogue)."""
+    from syslog_ng_spark.streaming.stream import read_stream_source, windowed_counts
+
+    src = str(tmp_path / "in")
+    transcripts_df.repartition(4).write.mode("overwrite").parquet(src)
+    stream = read_stream_source(spark, src, transcripts_df.schema, max_files_per_trigger=1)
+    agg = windowed_counts(stream, key=["role"], window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("fc").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # multiple micro-batches were taken (one per file), totals still exact
+    assert len(q.recentProgress) >= 4
+    got = spark.sql("SELECT sum(n) FROM fc").collect()[0][0]
+    assert got == transcripts_df.count()

@@ -130,13 +130,21 @@ def patterndb(
 
     Adds struct column ``target`` (rule_id, klass, values, tags) plus
     convenience columns ``pdb_class``/``pdb_rule_id`` and
-    ``<target>_matched``. First matching rule per program bucket wins
-    (declare more-specific rules first; the reference's radix tree picks
-    the longest literal prefix instead — order encodes specificity here).
+    ``<target>_matched``. Rule priority mirrors the reference's radix
+    dispatch: rules are tried in order of DESCENDING literal-prefix
+    length (radix.c resolves to the longest shared literal prefix), with
+    declaration order as the tiebreaker.
     """
+    def _literal_prefix_len(pattern: str) -> int:
+        m = _WILD_RE.search(pattern)
+        return m.start() if m else len(pattern)
+
+    ordered = sorted(
+        enumerate(rules), key=lambda ir: (-_literal_prefix_len(ir[1].pattern), ir[0])
+    )
     spec = tuple(
         (r.rule_id, r.klass, r.program, compile_pattern(r.pattern), tuple(r.tags))
-        for r in rules
+        for _i, r in ordered
     )
 
     @F.pandas_udf(_RESULT_TYPE)

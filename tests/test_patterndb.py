@@ -74,3 +74,16 @@ def test_first_match_wins(spark):
 def test_unknown_wildcard_raises():
     with pytest.raises(ValueError):
         compile_pattern("@BOGUS:x@")
+
+
+def test_longest_literal_prefix_wins_regardless_of_order(spark):
+    """radix.c semantics: the rule sharing the longest literal prefix
+    with the message wins even when declared LAST."""
+    rules = [
+        PdbRule("generic", "b", "", "error @ANYSTRING:rest@"),
+        PdbRule("specific", "a", "", "error code @NUMBER:code@"),  # declared after
+    ]
+    df = spark.createDataFrame([("p", "error code 42")], "program string, msg string")
+    out = patterndb(df, rules).collect()[0]
+    assert out.pdb_rule_id == "specific"
+    assert out.pdb.values["code"] == "42"

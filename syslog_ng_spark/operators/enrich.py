@@ -145,3 +145,25 @@ def in_list_semi_join(df: DataFrame, values: DataFrame, on: str) -> DataFrame:
     when the membership set is too large for a literal list
     (lib/filter/filter-in-list.c analogue)."""
     return df.join(F.broadcast(values), on=on, how="left_semi")
+
+
+def geoip_column(ip_col: Column | str, records: list[tuple[str, str]]) -> Column:
+    """Join-free geoip for SMALL CIDR tables (≤ ~100 entries): compiles to
+    a constant-folded when-chain over int64 range tests — usable inside
+    templates and filters where a join is unavailable ($(geoip2 ...)
+    template-function analogue). Most-specific CIDR wins (sorted by
+    prefix length descending at plan time)."""
+    ip = F.col(ip_col) if isinstance(ip_col, str) else ip_col
+    ipl = ip_to_long(ip)
+    nets = sorted(
+        (
+            (ipaddress.ip_network(cidr, strict=False), value)
+            for cidr, value in records
+        ),
+        key=lambda nv: -nv[0].prefixlen,
+    )
+    expr = None
+    for net, value in nets:
+        cond = ipl.between(int(net.network_address), int(net.broadcast_address))
+        expr = F.when(cond, value) if expr is None else expr.when(cond, value)
+    return expr.otherwise(F.lit(None)) if expr is not None else F.lit(None)

@@ -573,6 +573,20 @@ def group_lines(
     t = F.col(text_col)
     if mode == "indented":
         is_start = ~t.rlike(r"^[ \t]")
+    elif mode == "smart":
+        # heuristic port of smart-multi-line.fsm: a line CONTINUES the
+        # previous record when it looks like a stack-trace/continuation
+        # line of the common runtimes (Java/Python/C#/Go/Ruby)
+        continuation = (
+            r"^[ \t]"                       # any indentation
+            r"|^at\s"                       # Java/C# frames
+            r"|^Caused by:"                 # Java chained exceptions
+            r"|^\.\.\. \d+ more"            # Java elision
+            r"|^Traceback \(most recent"    # Python header (continues message)
+            r"|^File \""                    # Python frames (unindented variant)
+            r"|^goroutine \d+"              # Go dumps
+        )
+        is_start = ~t.rlike(continuation)
     elif mode == "empty-line-separated":
         is_start = F.lag(t, 1).over(
             W.partitionBy(*key).orderBy(order_by)

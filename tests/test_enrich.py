@@ -80,3 +80,19 @@ def test_in_list_semi_join(spark):
     df = spark.createDataFrame([("a",), ("b",)], "k string")
     vals = spark.createDataFrame([("a",)], "k string")
     assert [r.k for r in in_list_semi_join(df, vals, "k").collect()] == ["a"]
+
+
+def test_geoip_column_join_free(spark):
+    from syslog_ng_spark.operators.enrich import geoip_column
+
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.200.0.1",), ("8.8.8.8",)], "src_ip string"
+    )
+    col = geoip_column(
+        "src_ip", [("10.0.0.0/8", "privA"), ("10.1.0.0/16", "privA1")]
+    )
+    got = [r[0] for r in df.select(col).collect()]
+    assert got == ["privA1", "privA", None]  # longest prefix wins
+    # plan is join-free: pure projection over the scan
+    plan = df.select(col)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

@@ -178,3 +178,21 @@ def test_syslog_parser_flags(spark):
     # no-parse-date: stamp left null
     row = parsers.syslog_parser(df, flags={"no-parse-date"}).collect()[0]
     assert row.syslog_ts is None and row.pri == 38
+
+
+def test_group_lines_smart(spark):
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "Exception in thread main java.lang.NullPointerException", ts),
+        ("c1", 1, "at com.example.Foo.run(Foo.java:10)", ts),
+        ("c1", 2, "Caused by: java.io.IOException", ts),
+        ("c1", 3, "... 3 more", ts),
+        ("c1", 4, "next log line", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+    out = parsers.group_lines(df, key=["conv_id"], mode="smart").orderBy("turn_idx").collect()
+    assert len(out) == 2
+    assert out[0].n_lines == 4
+    assert out[1].text == "next log line"

@@ -28,8 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOW_CPUS = max(1, CPUS // 4)
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
-# corpus size scales with sf: sf0.1 → ~600k turns (≈ lineitem row count)
-N_CONVS = int(60_000 * SF * 100)
+# corpus sized so the whole bench stays inside ~6 min wall: sf0.1 → 4M turns
+N_CONVS = int(40_000 * SF * 100)
 
 
 def _pipeline_job(spark, corpus_path):
@@ -133,8 +133,7 @@ def main() -> None:
     # matching the non-saturated regime of this single host. Above ~12
     # threads one host's memory bus saturates for string-heavy parsing
     # (pure-compute scales ~21×/32 procs here), so higher thread pairs
-    # measure the bus, not the engine. local[32] is reported for the
-    # saturation picture.
+    # measure the bus, not the engine (full curve recorded in SCALE.md).
     N_LO, N_HI = max(1, CPUS // 16), max(1, CPUS // 4)
     # Host noise drifts between sessions, so the lo/hi pair is measured in
     # INTERLEAVED rounds and the efficiency comes from the best round —
@@ -143,8 +142,8 @@ def main() -> None:
     parse_runs = {}
     n_parse = None
     for _ in range(2):
-        lo = _run_level(N_LO, corpus, _parse_job, repeats=2)
-        hi = _run_level(N_HI, corpus, _parse_job, repeats=3)
+        lo = _run_level(N_LO, corpus, _parse_job, repeats=1)
+        hi = _run_level(N_HI, corpus, _parse_job, repeats=2)
         assert lo[1] == hi[1], "parity across levels"
         n_parse = lo[1]
         rounds.append((lo[0], hi[0]))
@@ -152,7 +151,6 @@ def main() -> None:
             parse_runs[N_LO] = lo
         if N_HI not in parse_runs or hi[0] < parse_runs[N_HI][0]:
             parse_runs[N_HI] = hi
-    parse_runs[CPUS] = _run_level(CPUS, corpus, _parse_job, repeats=3)
     thr_parse = {lv: n_parse / parse_runs[lv][0] for lv in parse_runs}
     efficiency = round(
         max(t_lo / t_hi / (N_HI / N_LO) for t_lo, t_hi in rounds), 3
@@ -204,7 +202,7 @@ def main() -> None:
             "own memory bandwidth; on this single host string-heavy parsing "
             "saturates the shared memory bus above ~12 threads (pure-compute "
             "scales ~21×/32 procs), so the non-saturated pair is the honest "
-            "executor-scaling analogue and local[32] shows the bus ceiling. "
+            "executor-scaling analogue (full 1..32 curve: SCALE.md/PLANS.md). "
             "Plans are shuffle-free until the final aggregate — no exchange "
             "bottleneck appears at higher executor counts.\n\n"
             f"Per-query seconds at sf={SF}: see BENCH JSON `queries`.\n"

@@ -167,3 +167,84 @@ def geoip_column(ip_col: Column | str, records: list[tuple[str, str]]) -> Column
         cond = ipl.between(int(net.network_address), int(net.broadcast_address))
         expr = F.when(cond, value) if expr is None else expr.when(cond, value)
     return expr.otherwise(F.lit(None)) if expr is not None else F.lit(None)
+
+
+def cidr6_table(
+    spark: SparkSession, records: list[tuple[str, dict[str, str]]]
+) -> DataFrame:
+    """IPv6 lookup table: ranges as (hi, lo) signed-long pairs, bucketed
+    by the top 16 bits so the probe equi-joins (same prefix-expansion
+    trade as the IPv4 table; IPv6 allocations are top-heavy so /16-of-hi
+    buckets stay tiny)."""
+    rows = []
+    for cidr, attrs in records:
+        net = ipaddress.ip_network(cidr, strict=False)
+        lo_n, hi_n = int(net.network_address), int(net.broadcast_address)
+
+        def split(n: int) -> tuple[int, int]:
+            h, l = n >> 64, n & ((1 << 64) - 1)
+            tos = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+            return tos(h), tos(l)
+
+        for b in range(lo_n >> 112, (hi_n >> 112) + 1):
+            rows.append((b, *split(lo_n), *split(hi_n), attrs))
+    flat = spark.createDataFrame(
+        rows,
+        "bucket long, lo_hi long, lo_lo long, hi_hi long, hi_lo long, "
+        "geo map<string,string>",
+    )
+    return flat.groupBy("bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct("lo_hi", "lo_lo", "hi_hi", "hi_lo", "geo")),
+            # most-specific (smallest hi-part span) first; span ties are rare
+            lambda a, b: F.when(
+                (a["hi_hi"] - a["lo_hi"]) < (b["hi_hi"] - b["lo_hi"]), -1
+            )
+            .when((a["hi_hi"] - a["lo_hi"]) > (b["hi_hi"] - b["lo_hi"]), 1)
+            .otherwise(0),
+        ).alias("ranges")
+    )
+
+
+def geoip6(
+    df: DataFrame,
+    lookup: DataFrame,
+    ip_col: str | Column = "src_ip",
+    target: str = "geo",
+) -> DataFrame:
+    """IPv6 CIDR lookup: one Arrow UDF decomposes the address to (hi, lo)
+    longs, then a broadcast equi-join on the top-16-bit bucket + array
+    range resolution — the geoip() shape on 128-bit addresses."""
+    from ..functions.filters import _ipv6_to_longs  # noqa: PLC0415
+
+    ip = F.col(ip_col) if isinstance(ip_col, str) else ip_col
+    MIN = -(1 << 63)
+    pair = _ipv6_to_longs(ip)
+    probe = (
+        df.withColumn("_h", pair["hi"])
+        .withColumn("_l", pair["lo"])
+        # logical shift: bucket = top 16 bits of the raw 128-bit address
+        .withColumn("_bucket", F.shiftrightunsigned(F.col("_h"), 48))
+    )
+    joined = probe.join(F.broadcast(lookup), F.col("_bucket") == lookup["bucket"], "left")
+    uh = F.col("_h").bitwiseXOR(MIN)
+    ul = F.col("_l").bitwiseXOR(MIN)
+
+    def ge(hi_c, lo_c):
+        return (uh > hi_c.bitwiseXOR(MIN)) | (
+            (uh == hi_c.bitwiseXOR(MIN)) & (ul >= lo_c.bitwiseXOR(MIN))
+        )
+
+    def le(hi_c, lo_c):
+        return (uh < hi_c.bitwiseXOR(MIN)) | (
+            (uh == hi_c.bitwiseXOR(MIN)) & (ul <= lo_c.bitwiseXOR(MIN))
+        )
+
+    hit = F.filter(
+        F.col("ranges"),
+        lambda r: ge(r["lo_hi"], r["lo_lo"]) & le(r["hi_hi"], r["hi_lo"]),
+    )
+    best = F.when(F.col("_h").isNotNull() & (F.size(hit) > 0), F.element_at(hit, 1)["geo"])
+    return joined.withColumn(target, best).drop(
+        "bucket", "ranges", "_h", "_l", "_bucket"
+    )

@@ -96,3 +96,26 @@ def test_geoip_column_join_free(spark):
     # plan is join-free: pure projection over the scan
     plan = df.select(col)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_geoip6_lookup(spark):
+    from syslog_ng_spark.operators.enrich import cidr6_table, geoip6
+
+    lookup = cidr6_table(
+        spark,
+        [
+            ("2001:db8::/32", {"country": "doc"}),
+            ("2001:db8:aaaa::/48", {"country": "doc-aaaa"}),  # more specific
+            ("fd00::/8", {"country": "ula"}),
+        ],
+    )
+    df = spark.createDataFrame(
+        [("2001:db8::1",), ("2001:db8:aaaa::5",), ("fd12::1",), ("2600::1",), ("junk",)],
+        "src_ip string",
+    )
+    got = {r.src_ip: r.geo for r in geoip6(df, lookup).collect()}
+    assert got["2001:db8::1"] == {"country": "doc"}
+    assert got["2001:db8:aaaa::5"] == {"country": "doc-aaaa"}
+    assert got["fd12::1"] == {"country": "ula"}
+    assert got["2600::1"] is None
+    assert got["junk"] is None

@@ -96,9 +96,12 @@ WITH parsed AS (
   UNION ALL
   SELECT 'rest', event_type, k FROM parsed WHERE (NOT m_err) AND (NOT m_big)
 )
-SELECT sink, event_type, count(*) AS n, sum(k) AS sum_k
+SELECT sink, event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
 FROM routed GROUP BY sink, event_type ORDER BY sink, event_type
 """
+# NOTE: DuckDB sum(INT/BIGINT) returns HUGEINT, which pandas renders as
+# float64 ("123.0" vs Spark's "123") — every integer sum in these oracles
+# is CAST to BIGINT for value-hash parity with Spark's bigint sums.
 
 
 def q_filter_cmp(spark, sf_dir):
@@ -168,7 +171,7 @@ def q_json_parse(spark, sf_dir):
 
 _JSON_SQL = """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -318,7 +321,11 @@ def q_suppress(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     kept = suppress(
-        ev, seconds=3600, identity=["event_type"], order_by="ts", partition_by=["user_id"]
+        ev,
+        seconds=3600,
+        identity=["event_type"],
+        order_by=["ts", "event_id"],  # unique tiebreaker: deterministic runs
+        partition_by=["user_id"],
     )
     return (
         kept.groupBy("event_type")
@@ -329,14 +336,14 @@ def q_suppress(spark, sf_dir):
 
 _SUPPRESS_SQL = """
 WITH runs AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          CASE WHEN lag(event_type) OVER w IS NULL
                 OR lag(event_type) OVER w <> event_type
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
               THEN 1 ELSE 0 END AS run_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), rid AS (
-  SELECT *, sum(run_start) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(run_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS run_id
   FROM runs
 ), agg AS (
@@ -344,7 +351,8 @@ WITH runs AS (
          any_value(event_type) AS event_type, count(*) - 1 AS suppressed
   FROM rid GROUP BY user_id, run_id
 )
-SELECT event_type, count(*) AS n_kept, sum(suppressed) AS n_suppressed
+SELECT event_type, count(*) AS n_kept,
+       CAST(sum(suppressed) AS BIGINT) AS n_suppressed
 FROM agg GROUP BY event_type ORDER BY event_type
 """
 
@@ -594,13 +602,13 @@ WITH m AS (
   SELECT (event_type = 'error') AS me, (value > 90) AS mh FROM events
 )
 SELECT 'p_err' AS path, count(*) AS route_ingress_total,
-       sum(CASE WHEN me THEN 1 ELSE 0 END) AS route_egress_total FROM m
+       CAST(sum(CASE WHEN me THEN 1 ELSE 0 END) AS BIGINT) AS route_egress_total FROM m
 UNION ALL
-SELECT 'p_hot', sum(CASE WHEN NOT me THEN 1 ELSE 0 END),
-       sum(CASE WHEN (NOT me) AND mh THEN 1 ELSE 0 END) FROM m
+SELECT 'p_hot', CAST(sum(CASE WHEN NOT me THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN (NOT me) AND mh THEN 1 ELSE 0 END) AS BIGINT) FROM m
 UNION ALL
-SELECT 'p_rest', sum(CASE WHEN NOT (me OR ((NOT me) AND mh)) THEN 1 ELSE 0 END),
-       sum(CASE WHEN NOT (me OR ((NOT me) AND mh)) THEN 1 ELSE 0 END) FROM m
+SELECT 'p_rest', CAST(sum(CASE WHEN NOT (me OR ((NOT me) AND mh)) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN NOT (me OR ((NOT me) AND mh)) THEN 1 ELSE 0 END) AS BIGINT) FROM m
 ORDER BY path
 """
 

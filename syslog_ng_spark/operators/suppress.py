@@ -22,10 +22,11 @@ def suppress(
     df: DataFrame,
     seconds: float,
     identity: list[str] | Column,
-    order_by: str = "ts",
+    order_by: str | list[str] = "ts",
     partition_by: list[str] | None = None,
     emit_summary: bool = True,
     text_col: str = "text",
+    allow_global_window: bool = False,
 ) -> DataFrame:
     """Drop consecutive duplicate rows within ``seconds``; keep the first
     of each run with ``suppressed`` = number of dropped duplicates.
@@ -34,6 +35,18 @@ def suppress(
     — the reference compares the formatted message. Runs break when the
     identity changes OR the gap to the previous duplicate exceeds
     ``seconds`` (logwriter.c's suppress timer).
+
+    ``order_by`` may be a list — pass a unique tiebreaker (e.g.
+    ``["ts", "event_id"]``) so equal-timestamp rows order
+    deterministically; with ``ts`` alone, run segmentation (and thus
+    ``suppressed`` counts) can vary between runs/partitionings.
+
+    ``partition_by=None`` means ONE global ordered sequence — on Spark
+    that is a single-partition window (every row through one task), which
+    does not scale. It raises unless ``allow_global_window=True``; the
+    reference's suppress is also a single serial stream per writer
+    (logwriter.c), so the global mode exists for strict parity on small
+    data only. At scale, partition by host/program/source identity.
     """
     ident = (
         F.concat_ws("\x1f", *[F.col(c) for c in identity])
@@ -41,10 +54,17 @@ def suppress(
         else identity
     )
     pk = partition_by or []
-    w = W.partitionBy(*pk).orderBy(F.col(order_by))
+    if not pk and not allow_global_window:
+        raise ValueError(
+            "suppress(partition_by=None) builds a global single-partition "
+            "window; pass partition_by or allow_global_window=True"
+        )
+    ob = [order_by] if isinstance(order_by, str) else list(order_by)
+    ts_col = ob[0]
+    w = W.partitionBy(*pk).orderBy(*[F.col(c) for c in ob])
     prev_ident = F.lag(ident).over(w)
-    gap = F.unix_timestamp(F.col(order_by)) - F.lag(
-        F.unix_timestamp(F.col(order_by))
+    gap = F.unix_timestamp(F.col(ts_col)) - F.lag(
+        F.unix_timestamp(F.col(ts_col))
     ).over(w)
     run_start = (
         prev_ident.isNull() | (prev_ident != ident) | (gap > seconds)

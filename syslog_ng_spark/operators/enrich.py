@@ -187,20 +187,20 @@ def cidr6_table(
             return tos(h), tos(l)
 
         for b in range(lo_n >> 112, (hi_n >> 112) + 1):
-            rows.append((b, *split(lo_n), *split(hi_n), attrs))
+            rows.append((b, *split(lo_n), *split(hi_n), net.prefixlen, attrs))
     flat = spark.createDataFrame(
         rows,
         "bucket long, lo_hi long, lo_lo long, hi_hi long, hi_lo long, "
-        "geo map<string,string>",
+        "plen int, geo map<string,string>",
     )
     return flat.groupBy("bucket").agg(
         F.array_sort(
-            F.collect_list(F.struct("lo_hi", "lo_lo", "hi_hi", "hi_lo", "geo")),
-            # most-specific (smallest hi-part span) first; span ties are rare
-            lambda a, b: F.when(
-                (a["hi_hi"] - a["lo_hi"]) < (b["hi_hi"] - b["lo_hi"]), -1
-            )
-            .when((a["hi_hi"] - a["lo_hi"]) > (b["hi_hi"] - b["lo_hi"]), 1)
+            F.collect_list(F.struct("lo_hi", "lo_lo", "hi_hi", "hi_lo", "plen", "geo")),
+            # longest-prefix-wins: most-specific (largest prefixlen) first.
+            # Sorting on span instead breaks for prefixes ≥ /64, where the
+            # hi-64-bit span is 0 for every range and ties were arbitrary.
+            lambda a, b: F.when(a["plen"] > b["plen"], -1)
+            .when(a["plen"] < b["plen"], 1)
             .otherwise(0),
         ).alias("ranges")
     )

@@ -163,9 +163,14 @@ _SALTABLE = {
     "min": (lambda c: F.min(c), F.min),
     "max": (lambda c: F.max(c), F.max),
     "collect_list": (lambda c: F.collect_list(c), lambda c: F.flatten(F.collect_list(c))),
-    "approx_count_distinct": (
-        lambda c: F.approx_count_distinct(c),
-        F.sum,  # upper bound; use exact two-phase for precise distinct
+    # Distinct-count over a salted phase 1 CANNOT recombine from
+    # approx_count_distinct partials (summing per-salt cardinalities
+    # double-counts values that land in several salt buckets). The
+    # mergeable form is an HLL SKETCH: union of per-salt sketches is
+    # lossless, so the final estimate equals the unsalted estimate.
+    "hll_count_distinct": (
+        lambda c: F.hll_sketch_agg(c),
+        lambda c: F.hll_sketch_estimate(F.hll_union_agg(c)),
     ),
 }
 
@@ -209,6 +214,21 @@ def salted_agg(
     phase1 = df.withColumn("_salt", salt).groupBy(*key, "_salt").agg(*partial_exprs)
     phase2 = phase1.groupBy(*key).agg(*[v.alias(k) for k, v in finals.items()])
     return phase2
+
+
+def salted_count_distinct(
+    df: DataFrame, key: list[str], col: str, out: str = "n_distinct"
+) -> DataFrame:
+    """EXACT distinct count that survives hot keys: shuffle once on
+    (key, value) — the value component spreads a hot key's rows across
+    reducers, no explicit salt needed — then count the deduped rows per
+    key. Equals countDistinct exactly (tested)."""
+    return (
+        df.select(*key, col)
+        .dropDuplicates([*key, col])
+        .groupBy(*key)
+        .agg(F.count(F.lit(1)).alias(out))
+    )
 
 
 # --- stats aggregators (lib/stats/aggregator analogues) -------------------------

@@ -273,7 +273,19 @@ def csv_parser(
             if strip_whitespace:
                 c = F.trim(c)
             out = out.withColumn(prefix + n, c.cast(typ))
-        tail = F.element_at(F.split(src, _re.escape(delimiter), len(names)), len(names))
+        # greedy tail = remainder after n-1 DIALECT-AWARE fields: a quoted
+        # head field containing the delimiter must not shift the split
+        # (csv-scanner greedy semantics). One anchored regex consumes n-1
+        # quoted-or-bare fields + separators and captures the rest.
+        q = _re.escape(quote)
+        d = _re.escape(delimiter)
+        if escape:
+            inner = f"(?:[^{q}{_re.escape(escape)}]|{_re.escape(escape)}.)*"
+        else:
+            inner = f"(?:[^{q}]|{q}{q})*"  # doubled-quote escaping
+        fld = f"(?:{q}{inner}{q}|[^{d}]*)"
+        tail_pat = f"^(?:{fld}{d}){{{len(names) - 1}}}(.*)$"
+        tail = F.regexp_extract(src, tail_pat, 1)
         if strip_whitespace:
             tail = F.trim(tail)
         out = out.withColumn(prefix + gname, tail.cast(gtype))
@@ -340,7 +352,15 @@ def kv_parser(
     zero Python — use when Python workers are undesirable.
     """
     vs = _re.escape(value_separator)
-    pat = rf'([A-Za-z0-9._\-]+){vs}("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'|[^\s,]*)'
+    # unquoted values run until whitespace or any pair-separator char —
+    # built from the actual separator, so kv_parser(pair_separator=";")
+    # keeps commas inside values and splits on ';' (kv-scanner.c's
+    # pair-separator option; round 1 hardcoded [^\s,]).
+    stop_cls = _re.escape("".join(sorted(set(pair_separator))))
+    pat = (
+        rf'([A-Za-z0-9._\-]+){vs}'
+        rf'("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'|[^\s{stop_cls}]*)'
+    )
     src = F.col(source) if isinstance(source, str) else source
 
     if engine == "arrow":

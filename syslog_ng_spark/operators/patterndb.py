@@ -67,7 +67,13 @@ _WILD_RE = re.compile(r"@([A-Za-z0-9]+)(?::([\w.]*))?(?::((?:[^@\\]|\\.)*))?@")
 
 
 def compile_pattern(pattern: str) -> str:
-    """syslog-ng pdb pattern → anchored named-group regex string."""
+    """syslog-ng pdb pattern → start-anchored named-group regex string.
+
+    No end anchor here — the matcher runs a COMPLETE-match pass first
+    (pattern must consume the whole message) and falls back to a
+    prefix/partial pass only for rows no rule fully matched, mirroring
+    radix.c _find_node_with_state: a complete match by a later rule
+    beats a prefix match by an earlier one."""
     out: list[str] = ["^"]
     pos = 0
     anon = [0]
@@ -95,8 +101,9 @@ def compile_pattern(pattern: str) -> str:
 @lru_cache(maxsize=64)
 def _compile_ruleset(
     spec: tuple,
-) -> dict[str, list[tuple[str, str, re.Pattern, tuple[str, ...]]]]:
-    """(rule_id, class, program, regex_src, tags)* → {program: [compiled]}.
+) -> dict[str, list[tuple[str, str, re.Pattern, re.Pattern, tuple[str, ...]]]]:
+    """(rule_id, class, program, regex_src, tags)* → {program: [compiled]}
+    with (complete-match, prefix-match) regex variants per rule.
 
     Cached per worker process — the compile cost is paid once per
     executor, not per batch (the broadcast-of-compiled-automaton trick).
@@ -104,7 +111,7 @@ def _compile_ruleset(
     buckets: dict[str, list] = {}
     for rule_id, klass, program, regex_src, tags in spec:
         buckets.setdefault(program, []).append(
-            (rule_id, klass, re.compile(regex_src), tags)
+            (rule_id, klass, re.compile(regex_src + r"\Z"), re.compile(regex_src), tags)
         )
     return buckets
 
@@ -156,14 +163,18 @@ def patterndb(
         values = pd.Series([None] * n, dtype=object)
         tags = pd.Series([None] * n, dtype=object)
         prog_f = prog.fillna("")
-        for program, bucket in buckets.items():
+        # pass 0: complete matches only; pass 1: prefix fallback for rows
+        # that no rule consumed entirely (radix.c partial-match order).
+        for phase in (0, 1):
+          for program, bucket in buckets.items():
             in_bucket = (
                 prog_f == program if program else pd.Series(True, index=text.index)
             )
             pending = in_bucket & text.notna() & rule_id.isna()
             if not pending.any():
                 continue
-            for rid, kls, creg, rtags in bucket:
+            for rid, kls, creg_full, creg_prefix, rtags in bucket:
+                creg = creg_full if phase == 0 else creg_prefix
                 if not pending.any():
                     break
                 sub = text[pending]

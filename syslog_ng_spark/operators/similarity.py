@@ -14,8 +14,12 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -86,7 +90,14 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
 
 def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     """Pack n sign bits into a bucket id (random-hyperplane LSH)."""
-    bits = [_hyperplane_sign(vec, p, dim) for p in range(n_planes)]
+    return _lsh_bucket_offset(vec, n_planes, dim, 0)
+
+
+def _lsh_bucket_offset(vec: Column, n_planes: int, dim: int, offset: int) -> Column:
+    """Bucket from planes [offset, offset+n_planes) — independent LSH
+    tables just use disjoint plane-index ranges of the same deterministic
+    hyperplane family."""
+    bits = [_hyperplane_sign(vec, offset + p, dim) for p in range(n_planes)]
     bucket = F.lit(0)
     for b in bits:
         bucket = F.shiftleft(bucket, 1) + b
@@ -140,6 +151,21 @@ def lsh_topk(
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine over two array<double> columns — numpy batch
+    matmul instead of per-element HOF lambda interpretation (50-100 ns
+    per element; a verify pass over millions of candidate pairs × 64
+    dims is minutes as HOFs, <1s as numpy)."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+    return pd.Series(num / den)
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -147,23 +173,49 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with cosine ≥ threshold, LSH-bucketed."""
-    b = df.select(
+    """Pairs (id_a < id_b) with exact cosine ≥ threshold; candidates come
+    from ``n_tables`` independent random-hyperplane LSH tables of
+    ``n_planes`` sign bits each (banded, like minhash bands), exact
+    cosine verifies every candidate via a vectorized numpy UDF.
+
+    Recall per true pair = 1-(1-c(θ)^p)^L with c(θ)=1-θ/π: raise
+    ``n_tables`` for recall, raise ``n_planes`` for selectivity. For real
+    corpora whose near-dups sit at cosine ≥ 0.9 (θ ≤ 26°, c ≥ 0.86),
+    p=12–16 / L=8 prunes candidates sharply; for low thresholds over
+    isotropic vectors — the LSH worst case — selectivity collapses and
+    candidate count approaches all-pairs, which the verify stage absorbs
+    via broadcast id→vector joins (no wide shuffle of vectors).
+    """
+    buckets = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _lsh_bucket_offset(F.col(vec_col), n_planes, dim, t * n_planes).alias("bk"),
+        )
+        for t in range(n_tables)
+    ]
+    banded = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
-    )
-    a2, b2 = b.alias("a"), b.alias("b")
-    return (
+        F.explode(F.array(*buckets)).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
+    a2, b2 = banded.alias("a"), banded.alias("b")
+    cand = (
         a2.join(
             b2,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .withColumn("cos", _cosine_pandas(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("cos")
-        )
+        .select("id_a", "id_b", "cos")
     )

@@ -130,6 +130,18 @@ def stream_suppress(
         ident_prev, last_ts, pending = (
             state.get if state.exists else (None, None, 0)
         )
+        if state.hasTimedOut:
+            # suppress timer fired with no new rows: flush the pending run
+            # (the reference logwriter emits its "last message repeated N
+            # times" summary on this timer) and drop the state — re-arming
+            # here would keep every idle key's last run buffered forever.
+            state.remove()
+            if ident_prev is not None:
+                yield pd.DataFrame(
+                    [(*key_vals, ident_prev, pd.Timestamp(last_ts, unit="s"), pending)],
+                    columns=[*key, "ident", "ts", "suppressed"],
+                )
+            return
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)

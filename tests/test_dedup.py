@@ -72,3 +72,39 @@ def test_simhash_deterministic(spark, docs):
     a = docs.select(D.simhash(F.col("text")).alias("h")).collect()
     b = docs.select(D.simhash(F.col("text")).alias("h")).collect()
     assert [r.h for r in a] == [r.h for r in b]
+
+
+def test_minhash_bucket_cap_defuses_hot_bucket(spark):
+    """A boilerplate cluster (2000 identical docs) would otherwise create
+    a 2000-doc LSH bucket -> 2M candidate pairs per band. With the cap,
+    those buckets drop (accounted), while distinct near-dup pairs outside
+    the hot cluster are still found."""
+    hot = [(i, "identical boilerplate text repeated everywhere forever and ever again") for i in range(2000)]
+    cold = [(10_001, BASE), (10_002, NEAR), (10_003, FAR)]
+    df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    out = D.minhash_lsh(df, threshold=0.5, max_bucket_size=100, eager=True)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (10_001, 10_002) in pairs           # cold near-dup found
+    assert not any(a < 2000 and b < 2000 for a, b in pairs)  # hot bucket dropped
+    # without the cap the same corpus yields the quadratic candidate set
+    uncapped = D.minhash_lsh(
+        df.filter("doc_id >= 1990"), threshold=0.5, max_bucket_size=None
+    )
+    n = uncapped.count()
+    assert n == 10 * 9 / 2 + 1  # C(10,2) hot pairs + the cold pair
+
+
+def test_simhash_near_dup_matches_exact_jaccard(docs):
+    got = {(r.id_a, r.id_b) for r in D.simhash_near_dup(docs, threshold=0.5).collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == exact
+
+
+def test_simhash_pairs_chunk_width_param(docs):
+    # 8 chunks of 8 bits: recall guaranteed to hamming <= 7
+    out = D.simhash_pairs(docs, max_hamming=7, n_chunks=8)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 4) in pairs  # identical fingerprints, hamming 0

@@ -119,3 +119,26 @@ def test_geoip6_lookup(spark):
     assert got["fd12::1"] == {"country": "ula"}
     assert got["2600::1"] is None
     assert got["junk"] is None
+
+
+def test_geoip6_longest_prefix_beyond_64(spark):
+    """Nested prefixes longer than /64 have identical hi-64 spans; the
+    most-specific (longest prefixlen) must still win."""
+    from syslog_ng_spark.operators.enrich import cidr6_table, geoip6
+
+    lookup = cidr6_table(
+        spark,
+        [
+            ("2001:db8::/64", {"net": "outer"}),
+            ("2001:db8::/112", {"net": "mid"}),
+            ("2001:db8::/120", {"net": "inner"}),
+        ],
+    )
+    df = spark.createDataFrame(
+        [("2001:db8::1",), ("2001:db8::1ff",), ("2001:db8::1:0",)],
+        "src_ip string",
+    )
+    got = {r.src_ip: r.geo["net"] for r in geoip6(df, lookup).collect()}
+    assert got["2001:db8::1"] == "inner"    # inside /120
+    assert got["2001:db8::1ff"] == "mid"    # inside /112, outside /120
+    assert got["2001:db8::1:0"] == "outer"  # inside /64 only

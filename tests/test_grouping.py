@@ -136,3 +136,39 @@ def test_stats_and_metrics_probe(spark):
     assert {r.conv_id for r in st} == {"A", "B"}
     mp = G.metrics_probe(df, ["role"]).collect()
     assert sum(r.value for r in mp) == df.count()
+
+
+def test_salted_hll_count_distinct_matches_unsalted_sketch(spark, transcripts_df):
+    from pyspark.sql import functions as F
+    from syslog_ng_spark.operators.grouping import salted_agg
+
+    got = {
+        r.tool: r.nd
+        for r in salted_agg(
+            transcripts_df, ["tool"], {"nd": ("hll_count_distinct", "conv_id")}, salt_buckets=8
+        ).collect()
+    }
+    want = {
+        r.tool: r.nd
+        for r in transcripts_df.groupBy("tool")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("conv_id")).alias("nd"))
+        .collect()
+    }
+    assert got == want  # sketch union is lossless -> identical estimates
+
+
+def test_salted_count_distinct_exact(spark, transcripts_df):
+    from pyspark.sql import functions as F
+    from syslog_ng_spark.operators.grouping import salted_count_distinct
+
+    got = {
+        r.tool: r.n_distinct
+        for r in salted_count_distinct(transcripts_df, ["tool"], "conv_id").collect()
+    }
+    want = {
+        r.tool: r.nd
+        for r in transcripts_df.groupBy("tool")
+        .agg(F.countDistinct("conv_id").alias("nd"))
+        .collect()
+    }
+    assert got == want

@@ -196,3 +196,26 @@ def test_group_lines_smart(spark):
     assert len(out) == 2
     assert out[0].n_lines == 4
     assert out[1].text == "next log line"
+
+
+def test_csv_greedy_quoted_head(spark):
+    """Greedy tail must respect the quote dialect: a quoted head field
+    containing the delimiter may not shift the split."""
+    from syslog_ng_spark.operators.parsers import csv_parser
+
+    df = spark.createDataFrame([('"x, y",rest, of it',)], "text string")
+    out = csv_parser(df, ["a", "b"], greedy=True).collect()[0]
+    assert out.a == "x, y"
+    assert out.b == "rest, of it"
+
+
+def test_kv_custom_pair_separator(spark):
+    """pair_separator=';' keeps commas inside unquoted values."""
+    from syslog_ng_spark.operators.parsers import kv_parser
+
+    df = spark.createDataFrame([("a=1,2;b=3",)], "text string")
+    out = kv_parser(df, pair_separator=";").collect()[0]
+    assert out.kv == {"a": "1,2", "b": "3"}
+    # default ', ' separator still splits on commas
+    out2 = kv_parser(df.selectExpr("'a=1, b=2' AS text")).collect()[0]
+    assert out2.kv == {"a": "1", "b": "2"}

@@ -87,3 +87,23 @@ def test_longest_literal_prefix_wins_regardless_of_order(spark):
     out = patterndb(df, rules).collect()[0]
     assert out.pdb_rule_id == "specific"
     assert out.pdb.values["code"] == "42"
+
+
+def test_complete_match_beats_earlier_prefix(spark):
+    """radix.c semantics: a later rule that consumes the WHOLE message
+    wins over an earlier rule that only matches a prefix; the prefix rule
+    still applies when nothing matches completely."""
+    from syslog_ng_spark.operators.patterndb import PdbRule, patterndb
+
+    rules = [
+        PdbRule("r_prefix", "pfx", "", "session opened"),
+        PdbRule("r_full", "full", "", "session opened for user @ESTRING:u:@"),
+    ]
+    df = spark.createDataFrame(
+        [("session opened for user alice ",), ("session opened",), ("session openedXY",)],
+        "msg string",
+    )
+    got = {r.msg: r.pdb_rule_id for r in patterndb(df, rules, program_col="msg", text_col="msg").collect()}
+    assert got["session opened for user alice "] == "r_full"
+    assert got["session opened"] == "r_prefix"       # complete literal match
+    assert got["session openedXY"] == "r_prefix"     # partial fallback

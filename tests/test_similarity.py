@@ -80,3 +80,28 @@ def test_multiprobe_improves_recall(spark, emb):
     # multiprobe must never lose the self-hit
     for qid in {q for q, _ in exact}:
         assert (qid, qid) in probed
+
+
+def test_embedding_near_dup_recall_vs_brute_force(spark, emb):
+    """Gate parameters (24 tables x 3 planes) must reach recall 1.0 vs
+    the exact all-pairs result at the gate threshold on the real table."""
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    rows = e.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    exact = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.45
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_dup(
+            e, threshold=0.45, n_planes=3, n_tables=24
+        ).collect()
+    }
+    assert got == exact
+    assert len(exact) > 0  # non-trivial at sf0.001

@@ -796,6 +796,56 @@ ORDER BY id_a, id_b
 """
 
 
+def q_pdb_correlate(spark, sf_dir):
+    """PatternDB correlation contexts (§2.7, pdb-context.c): rules with
+    context-id/context-timeout group matched rows into contexts closed by
+    60s event-time silence; emits per-context length + bounds. Loaded
+    from an XML ruleset (pdb-load.c analogue) to exercise the loader on
+    the gate too."""
+    from syslog_ng_spark.operators.patterndb import load_patterndb_xml, patterndb, pdb_correlate
+
+    xml = """<patterndb version='5'>
+      <ruleset name='events'><pattern>events</pattern>
+        <rules>
+          <rule id='r_evt' class='system' context-id='${uid}'
+                context-timeout='3600' context-scope='global'>
+            <pattern>user @NUMBER:uid@ hit @ANYSTRING:rest@</pattern>
+          </rule>
+        </rules>
+      </ruleset>
+    </patterndb>"""
+    rules, _ = load_patterndb_xml(xml)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line", F.format_string("user %d hit %s", "user_id", "event_type")
+    )
+    classified = patterndb(ev, rules, program_col=F.lit("events"), text_col="line")
+    out = pdb_correlate(classified, rules, ts_col="ts")
+    return out.select(
+        F.col("context_id"),
+        F.col("context_len"),
+        F.col("first_ts"),
+        F.col("last_ts"),
+    ).orderBy(F.col("context_id").cast("int"), "first_ts")
+
+
+_PDB_CORRELATE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_ctx
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, ts)
+), ctx AS (
+  SELECT user_id, ts,
+         sum(new_ctx) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS cid
+  FROM marked
+)
+SELECT CAST(user_id AS VARCHAR) AS context_id, count(*) AS context_len,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM ctx GROUP BY user_id, cid ORDER BY user_id, first_ts
+"""
+
+
 def _guarded(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_conf(spark)
@@ -838,6 +888,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_lines": q_group_lines,
         "geoip_enrich": q_geoip_enrich,
         "stats_aggregate": q_stats_aggregate,
+        "pdb_correlate": q_pdb_correlate,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
@@ -876,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "group_lines": _GROUP_LINES_SQL,
         "geoip_enrich": _GEOIP_SQL,
         "stats_aggregate": _STATS_SQL,
+        "pdb_correlate": _PDB_CORRELATE_SQL,
         "minhash_neardup": _EXACT_JACCARD_SQL,
         "simhash_neardup": _EXACT_JACCARD_SQL,
         "embedding_neardup": _EMBED_NEARDUP_SQL,

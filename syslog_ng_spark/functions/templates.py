@@ -341,6 +341,49 @@ _TEMPLATE_FUNCS["map"] = _fn_map
 _TEMPLATE_FUNCS["filter"] = _fn_filter
 
 
+_ITER_AFFINE = re.compile(r"^\$\(([+*])\s+(?:\$_\s+(-?\d+(?:\.\d+)?)|(-?\d+(?:\.\d+)?)\s+\$_)\s*\)$")
+
+
+def _fn_iterate(raw, cols):
+    """$(iterate UPDATE INITIAL [ORDER_COL]) — stateful per-message
+    generator (tf-iterate.c): emits the current value, then current =
+    UPDATE evaluated with ``$_`` = current.
+
+    The reference's generator is a mutex'd scalar advanced in message
+    order; a batch engine expresses the recurrence over an explicit row
+    order (the extra ORDER_COL argument — a documented divergence;
+    default ``turn_idx``). Affine updates ``$(+ $_ c)`` / ``$(* $_ c)``
+    have closed forms over row_number, so they run as ONE window, no
+    sequential scan. Non-affine updates need the sequential
+    ``operators.grouping.iterate_rows`` instead.
+    """
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    update, init = raw[0], raw[1]
+    order = raw[2] if len(raw) > 2 else "turn_idx"
+    m = _ITER_AFFINE.match(update.strip())
+    if not m:
+        raise NotImplementedError(
+            "$(iterate) supports affine updates $(+ $_ c) / $(* $_ c) as a "
+            "window closed form; for arbitrary recurrences use "
+            "syslog_ng_spark.operators.grouping.iterate_rows"
+        )
+    op, c1, c2 = m.groups()
+    c = float(c1 if c1 is not None else c2)
+    init_v = float(init)
+    rn = F.row_number().over(W.orderBy(F.col(order))) - 1
+    val = (F.lit(init_v) + F.lit(c) * rn) if op == "+" else (
+        F.lit(init_v) * F.pow(F.lit(c), rn)
+    )
+    # integer inputs render like the reference's integer generator
+    if init_v == int(init_v) and c == int(c):
+        return val.cast("long").cast("string")
+    return val.cast("string")
+
+
+_TEMPLATE_FUNCS["iterate"] = _fn_iterate
+
+
 def _format_cef_extension(raw, cols):
     """$(format-cef-extension k=v ...) — CEF escaping of = \\ and newlines
     (modules/cef analogue)."""

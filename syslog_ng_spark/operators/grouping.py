@@ -72,7 +72,7 @@ def sorted_values(sort_key, col) -> Column:
 def sessionize(
     df: DataFrame,
     key: list[str],
-    timeout: float | None,
+    timeout: float | str | Column | None,
     trigger: Column | FilterExpr | None = None,
     ts_col: str = "ts",
     session_col: str = "ctx_id",
@@ -82,10 +82,14 @@ def sessionize(
     Sessions close after ``timeout`` seconds of event-time silence per key
     (timer-wheel analogue); a ``trigger`` row closes its context with
     itself included (groupingby.c:109-111), the next row opens a new one.
+    ``timeout`` may be a column (name or Column) for per-row timeouts —
+    e.g. PatternDB rules each carrying their own context-timeout.
     """
     w = W.partitionBy(*key).orderBy(F.col(ts_col), F.col("turn_idx") if "turn_idx" in df.columns else F.col(ts_col))
     parts: list[Column] = []
     if timeout is not None:
+        if isinstance(timeout, str):
+            timeout = F.col(timeout)
         gap = F.unix_timestamp(F.col(ts_col)) - F.lag(
             F.unix_timestamp(F.col(ts_col))
         ).over(w)
@@ -122,13 +126,18 @@ def grouping_by(
     timeout: float | None = None,
     ts_col: str = "ts",
     inject_mode: str = "aggregate-only",
+    internal_sink: str | None = None,
 ) -> DataFrame:
     """Correlate rows into contexts and emit synthetic aggregate rows.
 
     ``aggregates``: output column name → aggregate Column (use the
-    context_* helpers). ``inject_mode``: 'aggregate-only' returns just
-    the synthetic rows; 'pass-through' unions them under the original
-    rows (missing columns null), mirroring stateful-parser.h:29-33.
+    context_* helpers). ``inject_mode`` (stateful-parser.h LGP_*):
+    'aggregate-only' returns just the synthetic rows; 'pass-through'
+    unions them under the original rows (missing columns null);
+    'internal' routes the synthetic rows OFF the current path onto the
+    internal() control stream — batch analogue: they are appended to
+    ``internal_sink`` (a parquet path re-readable as a source, like
+    Pipeline.write_metrics) and the original rows flow on unchanged.
     """
     src = df
     if where is not None:
@@ -151,6 +160,13 @@ def grouping_by(
         return out
     if inject_mode == "pass-through":
         return df.unionByName(out, allowMissingColumns=True)
+    if inject_mode == "internal":
+        if not internal_sink:
+            raise ValueError("inject_mode='internal' needs internal_sink=")
+        out.withColumn("source", F.lit("internal")).write.mode("append").parquet(
+            internal_sink
+        )
+        return df
     raise ValueError(f"unknown inject_mode {inject_mode}")
 
 
@@ -262,3 +278,40 @@ def scope_keys(scope: str) -> list[str]:
         "program": ["host", "program"],
         "process": ["host", "program", "pid"],
     }[scope]
+
+
+def iterate_rows(
+    df: DataFrame,
+    update,
+    initial,
+    order_by: str,
+    partition_by: list[str],
+    target: str = "iterated",
+    value_type: str = "string",
+):
+    """Arbitrary-recurrence companion to the $(iterate) template function
+    (tf-iterate.c): per partition, rows sorted by ``order_by`` get
+    ``target`` = previous state, then state = update(state, row) — the
+    generator's emit-then-advance order. ``update`` is a plain Python
+    callable (state, row_namedtuple) -> state.
+
+    Sequential by construction (same as the reference's mutex'd scalar);
+    runs as applyInPandas per partition group, so distinct keys advance
+    in parallel while each key's scan is ordered.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    out_fields = df.schema.simpleString()[7:-1]  # struct<...> -> ...
+    out_schema = f"{out_fields},{target} {value_type}"
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        state = initial
+        vals = []
+        for row in pdf.itertuples(index=False):
+            vals.append(state)
+            state = update(state, row)
+        pdf[target] = vals
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(gen, schema=out_schema)

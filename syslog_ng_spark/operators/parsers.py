@@ -291,7 +291,7 @@ def csv_parser(
         out = out.withColumn(prefix + gname, tail.cast(gtype))
         matched = F.lit(True)
         for n, _ in head:
-            matched = matched & F.col(prefix + n).isNotNull()
+            matched = matched & F.col(f"`{prefix + n}`").isNotNull()
         return out.withColumn(prefix + "csv_matched", matched)
 
     schema_str = ", ".join(f"`{n}` {t}" for n, t in names)
@@ -320,7 +320,7 @@ def csv_parser(
         out = out.withColumn(prefix + n, c)
     # matched = the row yielded at least the first column
     first = names[0][0]
-    matched = F.col(prefix + first).isNotNull()
+    matched = F.col(f"`{prefix + first}`").isNotNull()
     return out.drop("_csv_struct").withColumn(prefix + "csv_matched", matched)
 
 
@@ -580,10 +580,18 @@ def group_lines(
     separator: str = "\n",
     text_col: str = "text",
     line_start_regex: str | None = None,
+    garbage_regex: str | None = None,
 ) -> DataFrame:
     """Reassemble multi-line records: rows whose text continues the
     previous row's record are merged (multi-line-factory.h modes
-    ``indented`` / ``regexp prefix`` / ``empty-line-separated``).
+    ``indented`` / ``regexp prefix`` / ``empty-line-separated`` /
+    ``prefix-garbage`` / ``prefix-suffix``).
+
+    ``prefix-garbage``/``prefix-suffix`` (regexp-multi-line.c): records
+    start at ``line_start_regex``; a line matching ``garbage_regex``
+    CLOSES the record, truncated at the garbage match's start
+    (prefix-garbage drops the garbage) or end (prefix-suffix keeps the
+    suffix); the next line opens a new record.
 
     Sessionization pattern: mark record starts, running-sum to form a
     record id (one window shuffle on ``key``), then group-concat.
@@ -591,6 +599,27 @@ def group_lines(
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     t = F.col(text_col)
+    if mode in ("prefix-garbage", "prefix-suffix"):
+        assert line_start_regex and garbage_regex, (
+            f"{mode} needs line_start_regex and garbage_regex"
+        )
+        keep = (
+            F.regexp_extract(t, f"^(.*?)(?:{garbage_regex})", 1)
+            if mode == "prefix-garbage"
+            else F.regexp_extract(t, f"^(.*?(?:{garbage_regex}))", 1)
+        )
+        # flags must be computed on the PRE-truncation text: materialize
+        # them before text_col is rewritten (a lazy Column referencing
+        # text_col would resolve against the truncated value).
+        df = (
+            df.withColumn("_garbage", t.rlike(garbage_regex))
+            .withColumn("_prefix", t.rlike(line_start_regex))
+            .withColumn(text_col, F.when(t.rlike(garbage_regex), keep).otherwise(t))
+        )
+        w0 = W.partitionBy(*key).orderBy(order_by)
+        is_start = F.col("_prefix") | F.lag(F.col("_garbage"), 1, False).over(w0)
+        out = _group_lines_assemble(df, key, order_by, is_start, separator, text_col)
+        return out.drop("_garbage", "_prefix")
     if mode == "indented":
         is_start = ~t.rlike(r"^[ \t]")
     elif mode == "smart":
@@ -617,6 +646,20 @@ def group_lines(
     else:
         raise ValueError(f"unknown multi-line mode {mode}")
 
+    return _group_lines_assemble(df, key, order_by, is_start, separator, text_col)
+
+
+def _group_lines_assemble(
+    df: DataFrame,
+    key: list[str],
+    order_by: str,
+    is_start: Column,
+    separator: str,
+    text_col: str,
+) -> DataFrame:
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    t = F.col(text_col)
     w = W.partitionBy(*key).orderBy(order_by)
     rec = F.sum(F.when(is_start, 1).otherwise(0)).over(
         w.rowsBetween(W.unboundedPreceding, 0)

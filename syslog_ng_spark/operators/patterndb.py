@@ -40,6 +40,29 @@ class PdbRule:
     program: str  # exact program bucket ('' = any program)
     pattern: str  # pattern with @WILDCARD@ parsers
     tags: tuple[str, ...] = ()
+    # static <value name="n">template</value> entries: evaluated on match
+    # with ${capture} references resolved from the extracted values
+    # (synthetic-message.c value templates, restricted to value refs)
+    values: tuple[tuple[str, str], ...] = ()
+    # correlation context (pdb-rule.h SyntheticContext): rules carrying a
+    # context-id open/join a correlation context; see pdb_correlate()
+    context_id: str | None = None  # template, e.g. "${pid}"
+    context_timeout: int | None = None  # seconds of event-time silence
+    context_scope: str = "process"  # global|host|program|process
+
+
+@dataclass(frozen=True)
+class PdbXmlAction:
+    """<action> element of a rule (pdb-action.h): trigger match|timeout,
+    optional rate "N/quantum", synthetic message templates, and an
+    optional create-context target."""
+
+    rule_id: str
+    trigger: str = "match"  # RAT_MATCH | RAT_TIMEOUT
+    rate: str | None = None  # "5/60" → 5 per 60s
+    message: tuple[tuple[str, str], ...] = ()
+    inherit_properties: str | None = None
+    create_context: tuple | None = None  # (context_id_tpl, timeout, scope)
 
 
 # wildcard → (regex template, needs_param). {n} = group name, {p} = param.
@@ -109,11 +132,30 @@ def _compile_ruleset(
     executor, not per batch (the broadcast-of-compiled-automaton trick).
     """
     buckets: dict[str, list] = {}
-    for rule_id, klass, program, regex_src, tags in spec:
+    for rule_id, klass, program, regex_src, tags, statics in spec:
         buckets.setdefault(program, []).append(
-            (rule_id, klass, re.compile(regex_src + r"\Z"), re.compile(regex_src), tags)
+            (
+                rule_id,
+                klass,
+                re.compile(regex_src + r"\Z"),
+                re.compile(regex_src),
+                tags,
+                statics,
+            )
         )
     return buckets
+
+
+_VALUE_REF = re.compile(r"\$\{([\w.]+)\}")
+
+
+def _apply_statics(statics, captured: dict) -> dict:
+    """Evaluate a rule's static <value> templates against the captured
+    values (restricted ${name} substitution) and merge them in."""
+    out = dict(captured)
+    for name, tpl in statics:
+        out[name] = _VALUE_REF.sub(lambda m: out.get(m.group(1), ""), tpl)
+    return out
 
 
 _RESULT_TYPE = T.StructType(
@@ -150,7 +192,14 @@ def patterndb(
         enumerate(rules), key=lambda ir: (-_literal_prefix_len(ir[1].pattern), ir[0])
     )
     spec = tuple(
-        (r.rule_id, r.klass, r.program, compile_pattern(r.pattern), tuple(r.tags))
+        (
+            r.rule_id,
+            r.klass,
+            r.program,
+            compile_pattern(r.pattern),
+            tuple(r.tags),
+            tuple(getattr(r, "values", ()) or ()),
+        )
         for _i, r in ordered
     )
 
@@ -173,7 +222,7 @@ def patterndb(
             pending = in_bucket & text.notna() & rule_id.isna()
             if not pending.any():
                 continue
-            for rid, kls, creg_full, creg_prefix, rtags in bucket:
+            for rid, kls, creg_full, creg_prefix, rtags, statics in bucket:
                 creg = creg_full if phase == 0 else creg_prefix
                 if not pending.any():
                     break
@@ -196,6 +245,8 @@ def patterndb(
                         axis=1,
                     ) if named else pd.Series([{}] * len(hit_idx), index=hit_idx)
                 if len(hit_idx):
+                    if statics:
+                        vals = vals.map(lambda d: _apply_statics(statics, d))
                     rule_id.loc[hit_idx] = rid
                     klass.loc[hit_idx] = kls
                     values.loc[hit_idx] = vals
@@ -205,7 +256,8 @@ def patterndb(
             {"rule_id": rule_id, "klass": klass, "values": values, "tags": tags}
         )
 
-    out = df.withColumn(target, classify(F.col(program_col), F.col(text_col)))
+    prog_c = F.col(program_col) if isinstance(program_col, str) else program_col
+    out = df.withColumn(target, classify(prog_c, F.col(text_col)))
     return (
         out.withColumn("pdb_rule_id", F.col(f"{target}.rule_id"))
         .withColumn("pdb_class", F.col(f"{target}.klass"))
@@ -281,6 +333,242 @@ def pdb_actions(
         )
     if not frames:
         raise ValueError("no actions given")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XML ruleset loader (pdb-load.c analogue, patterndb formats v1–v5)
+# ---------------------------------------------------------------------------
+
+
+def load_patterndb_xml(xml_source: str) -> tuple[list[PdbRule], list[PdbXmlAction]]:
+    """Parse a patterndb XML ruleset into (rules, actions).
+
+    Grammar per /root/reference/modules/correlation/pdb-load.c: a
+    <patterndb> holds <ruleset> (v3+) or <program> (v1/v2) elements, each
+    with program name pattern(s) and <rules>. A <rule> carries id/class/
+    provider plus optional context-id/context-timeout/context-scope
+    attributes, <patterns>/<pattern>, <tags>, <values> and <actions>.
+    A rule with several <pattern> elements expands to one PdbRule per
+    pattern (same rule_id — the reference inserts each into the radix).
+
+    ``xml_source``: XML text, or a filesystem path to it.
+    """
+    import os
+    import xml.etree.ElementTree as ET
+
+    if "\n" not in xml_source and os.path.exists(xml_source):
+        with open(xml_source, encoding="utf-8") as fh:
+            xml_source = fh.read()
+    root = ET.fromstring(xml_source)
+    if root.tag != "patterndb":
+        raise ValueError(f"expected <patterndb> root, got <{root.tag}>")
+
+    rules: list[PdbRule] = []
+    actions: list[PdbXmlAction] = []
+
+    def _texts(parent, single, plural):
+        """pattern / patterns>pattern (both spellings allowed everywhere)."""
+        out = [e.text or "" for e in parent.findall(single)]
+        grp = parent.find(plural)
+        if grp is not None:
+            out.extend(e.text or "" for e in grp.findall(single))
+        return out
+
+    def _values_of(parent):
+        grp = parent.find("values")
+        items = grp.findall("value") if grp is not None else parent.findall("value")
+        return tuple((v.attrib["name"], v.text or "") for v in items)
+
+    for rs in list(root):
+        if rs.tag not in ("ruleset", "program"):
+            continue
+        programs = _texts(rs, "pattern", "patterns") or [rs.attrib.get("name", "")]
+        rules_el = rs.find("rules")
+        if rules_el is None:
+            continue
+        for rule_el in rules_el.findall("rule"):
+            a = rule_el.attrib
+            rid = a.get("id", "")
+            klass = a.get("class", "system")
+            tags_el = rule_el.find("tags")
+            tags = tuple(
+                t.text or "" for t in (tags_el.findall("tag") if tags_el is not None else [])
+            )
+            vals = _values_of(rule_el)
+            ctx_id = a.get("context-id")
+            ctx_timeout = int(a["context-timeout"]) if "context-timeout" in a else None
+            ctx_scope = a.get("context-scope", "process")
+            pats = _texts(rule_el, "pattern", "patterns")
+            for prog in programs:
+                for pat in pats:
+                    rules.append(
+                        PdbRule(
+                            rid, klass, prog, pat, tags, vals,
+                            ctx_id, ctx_timeout, ctx_scope,
+                        )
+                    )
+            acts_el = rule_el.find("actions")
+            for act_el in acts_el.findall("action") if acts_el is not None else []:
+                aa = act_el.attrib
+                msg_el = act_el.find("message")
+                cc_el = act_el.find("create-context")
+                create_ctx = None
+                if cc_el is not None:
+                    ca = cc_el.attrib
+                    msg_el = cc_el.find("message") or msg_el
+                    create_ctx = (
+                        ca.get("context-id", ""),
+                        int(ca.get("context-timeout", "0")),
+                        ca.get("context-scope", "process"),
+                    )
+                actions.append(
+                    PdbXmlAction(
+                        rule_id=rid,
+                        trigger=aa.get("trigger", "match"),
+                        rate=aa.get("rate"),
+                        message=_values_of(msg_el) if msg_el is not None else (),
+                        inherit_properties=(
+                            msg_el.attrib.get("inherit-properties")
+                            if msg_el is not None
+                            else None
+                        ),
+                        create_context=create_ctx,
+                    )
+                )
+    return rules, actions
+
+
+# ---------------------------------------------------------------------------
+# correlation contexts (pdb-context.c / SyntheticContext analogue)
+# ---------------------------------------------------------------------------
+
+
+def _eval_value_template(tpl: str, values_col, df_cols: set[str]):
+    """${name} template → Column: names resolve against the extracted
+    values map first, then same-named input columns; literal text
+    passes through. The restricted form synthetic messages use."""
+    parts = re.split(r"(\$\{[\w.]+\})", tpl)
+    cols = []
+    for p in parts:
+        if not p:
+            continue
+        m = re.fullmatch(r"\$\{([\w.]+)\}", p)
+        if m:
+            name = m.group(1)
+            v = F.element_at(values_col, name)
+            if name in df_cols:
+                v = F.coalesce(v, F.col(name).cast("string"))
+            cols.append(F.coalesce(v, F.lit("")))
+        else:
+            cols.append(F.lit(p))
+    return F.concat(*cols) if len(cols) > 1 else (cols[0] if cols else F.lit(""))
+
+
+def pdb_correlate(
+    classified: DataFrame,
+    rules: list[PdbRule],
+    ts_col: str = "ts",
+    target: str = "pdb",
+    emit: str = "contexts",
+    actions: list[PdbXmlAction] | None = None,
+) -> DataFrame:
+    """Batch analogue of PatternDB correlation contexts (patterndb.c:711,
+    pdb-context.c): rows whose matched rule carries ``context-id``
+    open/join a context keyed by (scope columns, rule, evaluated
+    context-id); a context closes after ``context-timeout`` seconds of
+    event-time silence. Emits one row per closed context with
+    ``context_len`` / first / last timestamps — the quantities the
+    reference's ``$(context-length)`` and timeout actions observe.
+
+    ``emit='contexts'`` returns the context table;
+    ``emit='timeout-actions'`` returns synthetic rows for the rules'
+    trigger="timeout" actions, templates evaluated over the context's
+    LAST message values (pdb-action triggers fire at context expiry).
+
+    Spark shape: one window (scope+rule+ctxkey ordered by time) for
+    sessionization, one aggregate — same two-shuffle plan as
+    grouping_by; no per-row Python.
+    """
+    from .grouping import scope_keys, sessionize  # noqa: PLC0415
+
+    ctx_rules = [r for r in rules if r.context_id]
+    if not ctx_rules:
+        raise ValueError("no rule carries a context-id")
+    df_cols = set(classified.columns)
+
+    # per-row context key + timeout from the matched rule (CASE over rules)
+    rid_col = F.col(f"{target}.rule_id")
+    vals_col = F.col(f"{target}.values")
+    key_expr, timeout_expr = None, None
+    seen = set()
+    for r in ctx_rules:
+        if r.rule_id in seen:
+            continue
+        seen.add(r.rule_id)
+        scope_cols = [c for c in scope_keys(r.context_scope) if c in df_cols]
+        key_val = F.concat_ws(
+            "\x1f",
+            F.lit(r.rule_id),
+            *[F.col(c).cast("string") for c in scope_cols],
+            _eval_value_template(r.context_id, vals_col, df_cols),
+        )
+        to_val = F.lit(float(r.context_timeout or 0))
+        cond = rid_col == r.rule_id
+        key_expr = F.when(cond, key_val) if key_expr is None else key_expr.when(cond, key_val)
+        timeout_expr = (
+            F.when(cond, to_val) if timeout_expr is None else timeout_expr.when(cond, to_val)
+        )
+
+    src = (
+        classified.withColumn("_ctx_key", key_expr)
+        .withColumn("_ctx_timeout", timeout_expr)
+        .filter(F.col("_ctx_key").isNotNull())
+    )
+    src = sessionize(src, ["_ctx_key"], timeout="_ctx_timeout", ts_col=ts_col)
+    contexts = (
+        src.groupBy("_ctx_key", "ctx_id")
+        .agg(
+            F.any_value(rid_col).alias("rule_id"),
+            F.count(F.lit(1)).alias("context_len"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.max_by(vals_col, F.col(ts_col)).alias("last_values"),
+        )
+        .withColumn(
+            "context_id",
+            F.element_at(F.split("_ctx_key", "\x1f", -1), -1),
+        )
+        .drop("_ctx_key", "ctx_id")
+    )
+    if emit == "contexts":
+        return contexts
+    if emit != "timeout-actions":
+        raise ValueError(f"unknown emit mode {emit!r}")
+
+    frames = []
+    ctx_cols = set(contexts.columns)
+    for act in actions or []:
+        if act.trigger != "timeout":
+            continue
+        src_a = contexts.filter(F.col("rule_id") == act.rule_id)
+        out_cols = [
+            _eval_value_template(tpl, F.col("last_values"), ctx_cols).alias(name)
+            for name, tpl in act.message
+        ]
+        frames.append(
+            src_a.select(
+                F.lit(act.rule_id).alias("action_rule_id"),
+                F.col("last_ts").alias(ts_col),
+                F.col("context_len"),
+                *out_cols,
+            )
+        )
+    if not frames:
+        raise ValueError("no trigger=timeout actions among the given actions")
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)

@@ -194,3 +194,47 @@ def credit_card_mask(df: DataFrame, source: str, target: str | None = None) -> D
         F.col(source), r"\b(\d{6})\d{6}(\d{4})\b", r"$1******$2"
     )
     return df.withColumn(target or source, masked)
+
+
+def guess_timezone(
+    df,
+    ts_col: str = "ts",
+    ref_col: str = "recvd_ts",
+    target: str | None = None,
+    step_minutes: int = 30,
+):
+    """guess-timezone() (modules/timestamp/tzinfo &
+    timestamp-rewrite guess-timezone): a timestamp parsed with a wrong or
+    missing zone is shifted by the candidate UTC offset (±14 h in
+    ``step_minutes`` steps) that lands it closest to the reference time
+    (receive time) — the reference's 'assume the message is recent'
+    heuristic.
+
+    Pure Column arithmetic: build the candidate array once, array_sort by
+    |adjusted - ref| and take the head — no UDF, no shuffle.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    target = target or ts_col
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    ref_s = F.unix_timestamp(F.col(ref_col))
+    offsets = list(range(-14 * 3600, 14 * 3600 + 1, step_minutes * 60))
+    cands = F.array(
+        *[
+            F.struct(
+                F.abs(ts_s + o - ref_s).alias("d"),
+                F.lit(o).alias("o"),
+            )
+            for o in offsets
+        ]
+    )
+    best = F.element_at(F.array_sort(cands), 1)["o"]
+    # materialize the offset BEFORE overwriting ts_col — a lazy Column
+    # would re-resolve against the already-adjusted timestamp
+    out = df.withColumn("tz_guess_offset", best)
+    return out.withColumn(
+        target,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col(ts_col)) + F.col("tz_guess_offset")
+        ),
+    )

@@ -172,3 +172,23 @@ def test_salted_count_distinct_exact(spark, transcripts_df):
         .collect()
     }
     assert got == want
+
+
+def test_inject_mode_internal(spark, tmp_path):
+    import datetime
+    from syslog_ng_spark.operators.grouping import grouping_by, context_length
+
+    t0 = datetime.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("u1", t0, 1.0), ("u1", t0, 2.0), ("u2", t0, 3.0)],
+        "user string, ts timestamp, v double",
+    )
+    sink = str(tmp_path / "internal")
+    out = grouping_by(
+        df, ["user"], {"n": context_length()},
+        inject_mode="internal", internal_sink=sink,
+    )
+    assert out.count() == 3  # originals flow on unchanged
+    internal = spark.read.parquet(sink)
+    rows = {r.user: (r.n, r.source) for r in internal.collect()}
+    assert rows == {"u1": (2, "internal"), "u2": (1, "internal")}

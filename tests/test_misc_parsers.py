@@ -85,3 +85,40 @@ def test_write_sink_templated(spark, tmp_path):
     import os
 
     assert os.path.isdir(f"{dest}/host_dir=web-01")
+
+
+def test_group_lines_prefix_garbage_and_suffix(spark):
+    """regexp-multi-line prefix-garbage / prefix-suffix: a garbage match
+    closes the record (truncated at match start or end); the next line
+    opens a new record even without a prefix."""
+    import datetime
+    from syslog_ng_spark.operators.parsers import group_lines
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("k", t0, 1, "BEGIN first"),
+        ("k", t0, 2, "body line"),
+        ("k", t0, 3, "tail END trailing junk"),
+        ("k", t0, 4, "orphan after close"),
+        ("k", t0, 5, "BEGIN second END"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, turn_idx int, text string")
+    got = {
+        r.turn_idx: (r.text, r.n_lines)
+        for r in group_lines(
+            df, ["key"], mode="prefix-garbage",
+            line_start_regex="^BEGIN", garbage_regex="END", separator="|",
+        ).collect()
+    }
+    assert got[1] == ("BEGIN first|body line|tail ", 3)   # truncated at END start
+    assert got[4] == ("orphan after close", 1)            # new record after close
+    assert got[5] == ("BEGIN second ", 1)
+    got2 = {
+        r.turn_idx: r.text
+        for r in group_lines(
+            df, ["key"], mode="prefix-suffix",
+            line_start_regex="^BEGIN", garbage_regex="END", separator="|",
+        ).collect()
+    }
+    assert got2[1] == "BEGIN first|body line|tail END"    # suffix kept
+    assert got2[5] == "BEGIN second END"

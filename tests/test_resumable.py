@@ -43,3 +43,43 @@ def test_kill_and_resume_preserves_totals(spark, transcripts_df, tmp_path):
     assert m.count() == len(units)
     assert "throughput_rows_per_s" in m.columns
     assert "sinks" in m.columns
+
+
+def test_overwrite_by_partition_is_idempotent(spark, transcripts_df, tmp_path):
+    """Iceberg overwrite-by-partition analogue (TODO.md): re-running an
+    ALREADY-COMMITTED unit with its marker removed rewrites the same
+    partition directory in place — totals unchanged, no duplicate rows.
+    This is the snapshot-overwrite semantics the Iceberg writer would
+    give via REPLACE PARTITIONS; parquet dir-per-unit + overwrite mode is
+    the stand-in (the container lacks the Iceberg runtime jars)."""
+    from pyspark.sql import functions as F
+    from syslog_ng_spark.plans import LogPath, Pipeline
+    from syslog_ng_spark.plans.resumable import run_resumable, sink_totals
+    from syslog_ng_spark.sources.checkpoint import CheckpointedRun
+
+    df = transcripts_df.withColumn("unit", F.pmod(F.xxhash64("conv_id"), F.lit(4)))
+    pipe = Pipeline(
+        [
+            LogPath("bash", F.col("tool") == "bash", frozenset(["final"])),
+            LogPath("rest", None, frozenset(["fallback"])),
+        ]
+    )
+    base = str(tmp_path / "sinks")
+    ck = CheckpointedRun(str(tmp_path / "ckpt"))
+    first = run_resumable(df, pipe, base, ck, "unit")
+    assert len(first) == 4
+    totals = sink_totals(spark, base, pipe)
+
+    # simulate a lost marker for one committed unit: the replay overwrites
+    # that partition rather than appending
+    import json
+
+    replay_unit = str(first[0])
+    with open(ck.marker_path) as fh:
+        lines = [ln for ln in fh if json.loads(ln)["unit"] != replay_unit]
+    with open(ck.marker_path, "w") as fh:
+        fh.writelines(lines)
+    ck2 = CheckpointedRun(str(tmp_path / "ckpt"))
+    second = run_resumable(df, pipe, base, ck2, "unit")
+    assert [str(u) for u in second] == [replay_unit]
+    assert sink_totals(spark, base, pipe) == totals

@@ -76,3 +76,17 @@ def test_set_matches(spark):
 def test_rename(spark):
     df = spark.createDataFrame([(1,)], "a int")
     assert RW.rename(df, "a", "b").columns == ["b"]
+
+
+def test_guess_timezone(spark):
+    """A timestamp parsed 5h off from the receive time snaps to the
+    offset that lands it nearest 'now' (guess-timezone heuristic)."""
+    import datetime
+    from syslog_ng_spark.operators.rewrite import guess_timezone
+
+    ref = datetime.datetime(2026, 1, 5, 12, 0, 0)
+    wrong = datetime.datetime(2026, 1, 5, 7, 0, 3)  # parsed 5h behind
+    df = spark.createDataFrame([(wrong, ref)], "ts timestamp, recvd_ts timestamp")
+    r = guess_timezone(df).collect()[0]
+    assert r.tz_guess_offset == 5 * 3600
+    assert abs((r.ts - ref).total_seconds()) <= 3

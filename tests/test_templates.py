@@ -112,3 +112,44 @@ def test_map_filter_iteration(msg):
 def test_format_cef_extension(msg):
     out = _one(msg, "$(format-cef-extension src=$HOST act=a=b)")
     assert out == r"src=web-01 act=a\=b"
+
+
+def test_macro_table_reference_semantics(spark):
+    """Table-driven check of macros.c formats (macros.c:236-530) for a
+    fixed timestamp/pri, including the R_/S_/C_/P_ per-stamp families
+    (all resolve to event time in batch — documented divergence)."""
+    import datetime
+    from syslog_ng_spark.functions.macros import macro, macro_names
+
+    assert len(macro_names()) >= 170
+    df = spark.createDataFrame(
+        [(datetime.datetime(2026, 1, 5, 13, 7, 2), 134, "h1", "prog", 42,
+          "hello", ["a"], "m1")],
+        "ts timestamp, pri int, host string, program string, pid int, "
+        "text string, tags array<string>, msgid string",
+    )
+    expect = {
+        "DATE": "Jan  5 13:07:02",      # BSD space-padded day
+        "FULLDATE": "2026 Jan 05 13:07:02",
+        "ISODATE": "2026-01-05T13:07:02+00:00",
+        "YEAR_DAY": "005",
+        "MONTH_WEEK": "1",
+        "HOUR12": "01",
+        "AMPM": "PM",
+        "WEEK_DAY": "2",                 # Monday, Sunday=1
+        "WEEK_DAY_NAME": "Monday",
+        "WEEK": "01",
+        "ISOWEEK": "02",
+        "BSDTAG": "6Q",                  # sev 6, facility 16 -> 'Q'
+        "TAG": "86",                     # pri 134 = 0x86
+        "FACILITY_NUM": 16,
+        "SEVERITY_NUM": 6,
+        "MSGHDR": "prog[42]: ",
+        "R_ISODATE": "2026-01-05T13:07:02+00:00",
+        "S_HOUR": "13",
+        "C_UNIXTIME": "1767618422",
+        "P_MONTH_NAME": "January",
+    }
+    row = df.select(*[macro(n).alias(f"m{i}") for i, n in enumerate(expect)]).collect()[0]
+    for i, (name, want) in enumerate(expect.items()):
+        assert row[f"m{i}"] == want, f"{name}: {row[f'm{i}']!r} != {want!r}"

@@ -676,10 +676,11 @@ ORDER BY id_a, id_b
 
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (§LLM-pipeline): 8-bit-chunk pigeonhole candidates
-    (recall guaranteed to hamming ≤ 7 — Manku et al. WWW'07), exact
-    shingle-Jaccard verify. Same exact-Jaccard oracle as minhash: the two
-    operators are alternative candidate generators for the same
-    content-similarity predicate."""
+    (recall guaranteed to hamming ≤ 7 — Manku et al. WWW'07), cheap
+    hamming ≤ 7 prefilter before any shuffle, exact shingle-Jaccard
+    verify. Same exact-Jaccard oracle as minhash: the two operators are
+    alternative candidate generators for the same content-similarity
+    predicate (true J ≥ 0.9 pairs measure token-simhash hamming ≤ 5)."""
     from syslog_ng_spark.operators.dedup import simhash_near_dup
 
     docs = _t(spark, sf_dir, "documents")

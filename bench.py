@@ -141,7 +141,8 @@ def main() -> None:
     rounds = []
     parse_runs = {}
     n_parse = None
-    for _ in range(2):
+    for _ in range(3):  # 3 rounds: a single noisy lo/hi pair (~±25%
+        # session drift) otherwise decides the reported efficiency
         lo = _run_level(N_LO, corpus, _parse_job, repeats=1)
         hi = _run_level(N_HI, corpus, _parse_job, repeats=2)
         assert lo[1] == hi[1], "parity across levels"
@@ -152,9 +153,10 @@ def main() -> None:
         if N_HI not in parse_runs or hi[0] < parse_runs[N_HI][0]:
             parse_runs[N_HI] = hi
     thr_parse = {lv: n_parse / parse_runs[lv][0] for lv in parse_runs}
-    efficiency = round(
-        max(t_lo / t_hi / (N_HI / N_LO) for t_lo, t_hi in rounds), 3
-    )
+    per_round = [round(t_lo / t_hi / (N_HI / N_LO), 3) for t_lo, t_hi in rounds]
+    # clamp at 1.0: session noise can make a round superlinear, which is
+    # the measurement lying, not the engine scaling better than ideal
+    efficiency = min(1.0, max(per_round))
 
     result = {
         "metric": "transcript_turns_parsed_routed_per_sec",
@@ -175,6 +177,7 @@ def main() -> None:
             },
             "scaling_pair": f"local[{N_LO}] -> local[{N_HI}]",
             "scaling_efficiency": efficiency,
+            "scaling_rounds": per_round,
         },
     }
     shutil.rmtree(work, ignore_errors=True)

@@ -67,41 +67,68 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of <vec, h_plane> with pseudo-random hyperplane h derived
-    deterministically from xxhash64(plane, dim_index) — no model to ship."""
-    proj = F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: (
-                    F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2001)) - 1000
-                ).cast("double")
-                / 1000.0,
-            ),
-            lambda v, h: v * h,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (proj > 0).cast("int")
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — deterministic hyperplane family, no stored
+    model (any executor regenerates identical planes)."""
+    x = (x + 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+    return x ^ (x >> 31)
+
+
+def _plane_matrix(n_planes_total: int, dim: int):
+    """(n_planes_total × dim) hyperplane matrix with entries in [-1, 1],
+    derived from splitmix64(plane*dim + i) — cached per process."""
+    key = (n_planes_total, dim)
+    m = _PLANE_CACHE.get(key)
+    if m is None:
+        m = np.array(
+            [
+                [(_mix64(p * 100_003 + i) % 2001 - 1000) / 1000.0 for i in range(dim)]
+                for p in range(n_planes_total)
+            ],
+            dtype=np.float64,
+        )
+        _PLANE_CACHE[key] = m
+    return m
+
+
+_PLANE_CACHE: dict = {}
+
+
+def _lsh_buckets_udf(n_planes: int, dim: int, n_tables: int):
+    """Vectorized bucket computation: ALL n_tables×n_planes projections
+    in one numpy matmul per Arrow batch (the HOF formulation interprets
+    a lambda per (plane × dim) element — measured seconds vs millis).
+    Returns array<long> of n_tables bucket ids per row."""
+    total = n_planes * n_tables
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    def fn(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        H = _plane_matrix(total, dim)
+        A = np.stack(s.to_numpy()).astype(np.float64)
+        signs = (A @ H.T) > 0  # (n, total)
+        B = signs.reshape(len(A), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(B))
+
+    return F.pandas_udf(fn, T.ArrayType(T.LongType()))
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """See dedup._ensure_parallelism: one-file parquet inputs serialize
+    the bucket/cosine UDFs on a single core; repartition small inputs
+    up to the default parallelism (no-op on real datasets)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
 
 
 def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     """Pack n sign bits into a bucket id (random-hyperplane LSH)."""
-    return _lsh_bucket_offset(vec, n_planes, dim, 0)
-
-
-def _lsh_bucket_offset(vec: Column, n_planes: int, dim: int, offset: int) -> Column:
-    """Bucket from planes [offset, offset+n_planes) — independent LSH
-    tables just use disjoint plane-index ranges of the same deterministic
-    hyperplane family."""
-    bits = [_hyperplane_sign(vec, offset + p, dim) for p in range(n_planes)]
-    bucket = F.lit(0)
-    for b in bits:
-        bucket = F.shiftleft(bucket, 1) + b
-    return bucket
+    return F.element_at(_lsh_buckets_udf(n_planes, dim, 1)(vec), 1)
 
 
 def lsh_topk(
@@ -188,17 +215,12 @@ def embedding_near_dup(
     candidate count approaches all-pairs, which the verify stage absorbs
     via broadcast id→vector joins (no wide shuffle of vectors).
     """
-    buckets = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            _lsh_bucket_offset(F.col(vec_col), n_planes, dim, t * n_planes).alias("bk"),
-        )
-        for t in range(n_tables)
-    ]
+    df = _ensure_parallelism(df)
+    buckets = _lsh_buckets_udf(n_planes, dim, n_tables)(F.col(vec_col))
     banded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array(*buckets)).alias("tb"),
-    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bk").alias("bk"))
+        F.posexplode(buckets).alias("tbl", "bk"),
+    )
     a2, b2 = banded.alias("a"), banded.alias("b")
     cand = (
         a2.join(

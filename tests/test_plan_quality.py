@@ -100,3 +100,65 @@ def test_salted_agg_is_two_phase(spark, transcripts_df):
     # map-side before each
     assert plan.count("Exchange") == 2
     assert plan.count("HashAggregate") >= 4  # partial+final per phase
+
+
+def test_near_dup_verify_has_no_cartesian(spark):
+    """minhash/simhash/embedding near-dup plans: candidates come from
+    equi-joins (SortMerge/Hash), never a cartesian/broadcast-nested-loop
+    product of the corpus with itself."""
+    from syslog_ng_spark.operators.dedup import minhash_lsh, simhash_near_dup
+    from syslog_ng_spark.operators.similarity import embedding_near_dup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(64)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    for q in (
+        minhash_lsh(docs, threshold=0.5),
+        simhash_near_dup(docs, threshold=0.5),
+        embedding_near_dup(emb, threshold=0.9, n_planes=4, n_tables=4),
+    ):
+        plan = _plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_verify_joins_are_broadcast(spark):
+    """The exact-cosine verify stage joins candidate ids back to vectors
+    via broadcast — the corpus vectors are never shuffled by pair."""
+    from syslog_ng_spark.operators.similarity import embedding_near_dup
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(64)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(embedding_near_dup(emb, threshold=0.9, n_planes=4, n_tables=4))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pdb_correlate_is_one_window_one_agg(spark):
+    """Correlation contexts: one window (sessionize) + one aggregate —
+    the grouping-by two-shuffle shape, no per-row Python beyond the
+    classify UDF."""
+    import datetime
+
+    from syslog_ng_spark.operators.patterndb import PdbRule, patterndb, pdb_correlate
+
+    rules = [
+        PdbRule("r", "system", "", "user @NUMBER:uid@ x@ANYSTRING:r@",
+                context_id="${uid}", context_timeout=60, context_scope="global")
+    ]
+    df = spark.createDataFrame(
+        [("p", "user 1 x", datetime.datetime(2026, 1, 1))],
+        "program string, msg string, ts timestamp",
+    )
+    plan = _plan(pdb_correlate(patterndb(df, rules), rules))
+    # lag + running-sum over the same partitioning compile to two Window
+    # nodes sharing one sort — what matters is the shuffle count: one
+    # exchange into the sessionize window, one into the aggregate
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan

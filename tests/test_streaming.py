@@ -118,3 +118,43 @@ def test_flow_control_max_files(spark, transcripts_df, tmp_path):
     assert len(q.recentProgress) >= 4
     got = spark.sql("SELECT sum(n) FROM fc").collect()[0][0]
     assert got == transcripts_df.count()
+
+
+def test_stream_suppress_timeout_flushes_pending_run(spark, tmp_path):
+    """The suppress timer firing with no new rows must emit the pending
+    run and drop state (logwriter emits its 'last message repeated N
+    times' summary on this timer) — round 1 re-armed the timeout and the
+    last run per key was never flushed."""
+    import datetime
+    import time as _t
+
+    from syslog_ng_spark.streaming.stream import stream_suppress
+
+    base = datetime.datetime(2026, 4, 1)
+    rows = [("h1", "a", base + datetime.timedelta(seconds=i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "host string, msg string, ts timestamp")
+    src = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_suppress(stream, identity_cols=["msg"], key=["host"], seconds=1)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sup_to")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        got = set()
+        while _t.time() < deadline:
+            got = {
+                (r.host, r.ident, r.suppressed)
+                for r in spark.sql("SELECT * FROM sup_to").collect()
+            }
+            if got:
+                break
+            _t.sleep(1)
+    finally:
+        q.stop()
+    assert ("h1", "a", 2) in got  # flushed by the timer, not by new data

@@ -797,6 +797,41 @@ ORDER BY id_a, id_b
 """
 
 
+def q_macro_format(spark, sf_dir):
+    """Macro library (§2.3, macros.c formats): the date/priority macro
+    families rendered per event — ISOWEEK/WEEK_DAY/HOUR12/AMPM/YEAR_DAY
+    plus severity/facility derivations from a synthesized pri."""
+    from syslog_ng_spark.functions.macros import macro
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "pri", F.pmod(F.col("event_id"), F.lit(192)).cast("int")
+    )
+    names = [
+        "ISODATE", "YEAR_DAY", "MONTH_NAME", "HOUR12", "AMPM", "WEEK_DAY",
+        "ISOWEEK", "UNIXTIME", "SEVERITY_NUM", "FACILITY_NUM", "TAG",
+    ]
+    return ev.select(
+        "event_id", *[macro(n).alias(n.lower()) for n in names]
+    ).orderBy("event_id")
+
+
+_MACRO_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S+00:00') AS isodate,
+       strftime(ts, '%j') AS year_day,
+       strftime(ts, '%B') AS month_name,
+       strftime(ts, '%I') AS hour12,
+       strftime(ts, '%p') AS ampm,
+       CAST(dayofweek(ts) + 1 AS VARCHAR) AS week_day,
+       lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0') AS isoweek,
+       CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS unixtime,
+       CAST((event_id % 192) % 8 AS INT) AS severity_num,
+       CAST((event_id % 192) // 8 AS INT) AS facility_num,
+       lpad(lower(to_hex(event_id % 192)), 2, '0') AS tag
+FROM events ORDER BY event_id
+"""
+
+
 def q_pdb_correlate(spark, sf_dir):
     """PatternDB correlation contexts (§2.7, pdb-context.c): rules with
     context-id/context-timeout group matched rows into contexts closed by
@@ -889,6 +924,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_lines": q_group_lines,
         "geoip_enrich": q_geoip_enrich,
         "stats_aggregate": q_stats_aggregate,
+        "macro_format": q_macro_format,
         "pdb_correlate": q_pdb_correlate,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -928,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "group_lines": _GROUP_LINES_SQL,
         "geoip_enrich": _GEOIP_SQL,
         "stats_aggregate": _STATS_SQL,
+        "macro_format": _MACRO_SQL,
         "pdb_correlate": _PDB_CORRELATE_SQL,
         "minhash_neardup": _EXACT_JACCARD_SQL,
         "simhash_neardup": _EXACT_JACCARD_SQL,

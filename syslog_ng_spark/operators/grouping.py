@@ -83,13 +83,18 @@ def sessionize(
     (timer-wheel analogue); a ``trigger`` row closes its context with
     itself included (groupingby.c:109-111), the next row opens a new one.
     ``timeout`` may be a column (name or Column) for per-row timeouts —
-    e.g. PatternDB rules each carrying their own context-timeout.
+    e.g. PatternDB rules each carrying their own context-timeout. A
+    column timeout compares the gap against the PREVIOUS row's value:
+    the timer a message arms is the one that expires before the next
+    message (timer re-arm semantics, pdb-context.c); a scalar timeout is
+    identical either way.
     """
     w = W.partitionBy(*key).orderBy(F.col(ts_col), F.col("turn_idx") if "turn_idx" in df.columns else F.col(ts_col))
     parts: list[Column] = []
     if timeout is not None:
-        if isinstance(timeout, str):
-            timeout = F.col(timeout)
+        if isinstance(timeout, (str, Column)):
+            tcol = F.col(timeout) if isinstance(timeout, str) else timeout
+            timeout = F.lag(tcol).over(w)
         gap = F.unix_timestamp(F.col(ts_col)) - F.lag(
             F.unix_timestamp(F.col(ts_col))
         ).over(w)

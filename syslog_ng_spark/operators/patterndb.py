@@ -478,55 +478,85 @@ def pdb_correlate(
 ) -> DataFrame:
     """Batch analogue of PatternDB correlation contexts (patterndb.c:711,
     pdb-context.c): rows whose matched rule carries ``context-id``
-    open/join a context keyed by (scope columns, rule, evaluated
-    context-id); a context closes after ``context-timeout`` seconds of
-    event-time silence. Emits one row per closed context with
-    ``context_len`` / first / last timestamps — the quantities the
-    reference's ``$(context-length)`` and timeout actions observe.
+    open/join a context keyed by (scope label, scope column values,
+    evaluated context-id) — NOT the rule: two rules evaluating to the
+    same scope + context-id share one context, as in correlation-key.c.
+    A ``create-context`` action (RAC_CREATE_CONTEXT) is one more context
+    definition: rows matching the action's rule also join the context it
+    names (the reference injects the action's synthetic message there;
+    batch divergence: the TRIGGERING row is the member, the synthetic
+    content renders from it at emit time). A context closes after
+    ``context-timeout`` seconds of event-time silence; the timer is the
+    one armed by the PREVIOUS message's rule (timer re-arm semantics).
+    Emits one row per closed context with ``context_len`` / first / last
+    timestamps — the quantities ``$(context-length)`` and timeout
+    actions observe.
 
     ``emit='contexts'`` returns the context table;
     ``emit='timeout-actions'`` returns synthetic rows for the rules'
     trigger="timeout" actions, templates evaluated over the context's
     LAST message values (pdb-action triggers fire at context expiry).
 
-    Spark shape: one window (scope+rule+ctxkey ordered by time) for
-    sessionization, one aggregate — same two-shuffle plan as
-    grouping_by; no per-row Python.
+    Spark shape: one explode (a row can join several contexts), one
+    window (ctxkey ordered by time) for sessionization, one aggregate —
+    the grouping-by two-shuffle plan; no per-row Python.
     """
     from .grouping import scope_keys, sessionize  # noqa: PLC0415
 
-    ctx_rules = [r for r in rules if r.context_id]
-    if not ctx_rules:
-        raise ValueError("no rule carries a context-id")
-    df_cols = set(classified.columns)
-
-    # per-row context key + timeout from the matched rule (CASE over rules)
     rid_col = F.col(f"{target}.rule_id")
     vals_col = F.col(f"{target}.values")
-    key_expr, timeout_expr = None, None
-    seen = set()
-    for r in ctx_rules:
-        if r.rule_id in seen:
-            continue
-        seen.add(r.rule_id)
-        scope_cols = [c for c in scope_keys(r.context_scope) if c in df_cols]
-        key_val = F.concat_ws(
+    df_cols = set(classified.columns)
+
+    def _ctx_key(scope: str, ctx_id_tpl: str):
+        scope_cols = [c for c in scope_keys(scope) if c in df_cols]
+        return F.concat_ws(
             "\x1f",
-            F.lit(r.rule_id),
+            F.lit(scope),
             *[F.col(c).cast("string") for c in scope_cols],
-            _eval_value_template(r.context_id, vals_col, df_cols),
-        )
-        to_val = F.lit(float(r.context_timeout or 0))
-        cond = rid_col == r.rule_id
-        key_expr = F.when(cond, key_val) if key_expr is None else key_expr.when(cond, key_val)
-        timeout_expr = (
-            F.when(cond, to_val) if timeout_expr is None else timeout_expr.when(cond, to_val)
+            _eval_value_template(ctx_id_tpl, vals_col, df_cols),
         )
 
+    # context definitions: (condition, key, timeout) from rules carrying
+    # a context-id plus create-context actions
+    defs = []
+    seen: set[tuple] = set()
+    for r in rules:
+        if r.context_id and (r.rule_id, r.context_id) not in seen:
+            seen.add((r.rule_id, r.context_id))
+            defs.append(
+                (
+                    rid_col == r.rule_id,
+                    _ctx_key(r.context_scope, r.context_id),
+                    float(r.context_timeout or 0),
+                )
+            )
+    for act in actions or []:
+        if act.create_context is not None:
+            cc_id, cc_timeout, cc_scope = act.create_context
+            defs.append(
+                (
+                    rid_col == act.rule_id,
+                    _ctx_key(cc_scope, cc_id),
+                    float(cc_timeout or 0),
+                )
+            )
+    if not defs:
+        raise ValueError("no rule carries a context-id and no create-context action given")
+
+    memberships = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.struct(key.alias("k"), F.lit(to).alias("to")))
+                for cond, key, to in defs
+            ]
+        ),
+        lambda m: m.isNotNull(),
+    )
     src = (
-        classified.withColumn("_ctx_key", key_expr)
-        .withColumn("_ctx_timeout", timeout_expr)
-        .filter(F.col("_ctx_key").isNotNull())
+        classified.withColumn("_m", F.explode(memberships))
+        .withColumn("_ctx_key", F.col("_m.k"))
+        .withColumn("_ctx_timeout", F.col("_m.to"))
+        .drop("_m")
     )
     src = sessionize(src, ["_ctx_key"], timeout="_ctx_timeout", ts_col=ts_col)
     contexts = (

@@ -129,3 +129,36 @@ def test_correlation_contexts(spark, loaded):
         ("user alice session summary", 2),
         ("user bob session summary", 1),
     ]
+
+
+def test_cross_rule_and_create_context(spark):
+    """correlation-key semantics: contexts key on (scope, context-id) —
+    two different rules evaluating to the same context-id share ONE
+    context; a create-context action opens a context its own rule does
+    not declare (test_patterndb.c 'action-to-create-context' cases)."""
+    from syslog_ng_spark.operators.patterndb import PdbXmlAction
+
+    rules = [
+        PdbRule("r_open", "system", "", "opened @NUMBER:pid@",
+                context_id="${pid}", context_timeout=60, context_scope="global"),
+        PdbRule("r_use", "system", "", "used @NUMBER:pid@",
+                context_id="${pid}", context_timeout=60, context_scope="global"),
+        PdbRule("r_simple", "system", "", "simple message"),
+    ]
+    actions = [
+        PdbXmlAction(rule_id="r_simple", trigger="match",
+                     create_context=("999", 60, "global")),
+    ]
+    df = spark.createDataFrame(
+        [
+            ("opened 42", _ts(0)),
+            ("used 42", _ts(0, 30)),      # joins r_open's context via same id
+            ("used 7", _ts(0, 40)),       # its own context
+            ("simple message", _ts(1)),   # creates context 999 via action
+        ],
+        "msg string, ts timestamp",
+    )
+    classified = patterndb(df, rules, program_col="msg", text_col="msg")
+    ctx = pdb_correlate(classified, rules, actions=actions).collect()
+    got = sorted((r.context_id, r.context_len) for r in ctx)
+    assert got == [("42", 2), ("7", 1), ("999", 1)]

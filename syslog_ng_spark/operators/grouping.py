@@ -320,3 +320,60 @@ def iterate_rows(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(gen, schema=out_schema)
+
+
+def sessionize_chunked(
+    df: DataFrame,
+    key: list[str],
+    timeout: float,
+    ts_col: str = "ts",
+    chunk_seconds: int = 3600,
+    session_col: str = "ctx_id",
+) -> DataFrame:
+    """Two-level sessionization: identical output partitioning to
+    ``sessionize`` (tested), but the big window runs per (key, time
+    chunk) so ONE pathologically hot key parallelizes across its time
+    range instead of serializing one window partition — the hot-conv
+    defusal the north rule asks for, applied to correlation contexts.
+
+    Level 1: per (key, chunk) window marks local sessions. Level 2: the
+    per-chunk SUMMARY (keys × chunks rows, tiny) decides which chunk-
+    boundary sessions merge (gap across the boundary ≤ timeout) and
+    assigns each chunk its global session offset via one cumulative sum;
+    rows get offset + local_id - merged. Chains of merges work because a
+    fully-merged single-session chunk contributes 0 to the offset.
+
+    Pick ``chunk_seconds`` ≫ timeout (default 1 h); sessions longer than
+    a chunk still merge correctly across every boundary they span.
+    """
+    e = F.unix_timestamp(F.col(ts_col))
+    src = df.withColumn("_b", F.floor(e / chunk_seconds))
+    w = W.partitionBy(*key, "_b").orderBy(F.col(ts_col))
+    gap = e - F.lag(e).over(w)
+    new_s = gap.isNull() | (gap > timeout)
+    src = src.withColumn(
+        "_loc", F.sum(new_s.cast("int")).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    summ = src.groupBy(*key, "_b").agg(
+        F.max("_loc").alias("_n"),
+        F.min(e).alias("_first"),
+        F.max(e).alias("_last"),
+    )
+    ws = W.partitionBy(*key).orderBy("_b")
+    prev_last = F.lag("_last").over(ws)
+    summ = summ.withColumn(
+        "_merge",
+        (prev_last.isNotNull() & (F.col("_first") - prev_last <= timeout)).cast("int"),
+    )
+    offset_before = F.coalesce(
+        F.sum(F.col("_n") - F.col("_merge")).over(
+            ws.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    summ = summ.withColumn("_off", offset_before).select(*key, "_b", "_off", "_merge")
+    return (
+        src.join(summ, [*key, "_b"])
+        .withColumn(session_col, F.col("_off") + F.col("_loc") - F.col("_merge"))
+        .drop("_b", "_loc", "_off", "_merge")
+    )

@@ -192,3 +192,34 @@ def test_inject_mode_internal(spark, tmp_path):
     internal = spark.read.parquet(sink)
     rows = {r.user: (r.n, r.source) for r in internal.collect()}
     assert rows == {"u1": (2, "internal"), "u2": (1, "internal")}
+
+
+def test_sessionize_chunked_equals_plain(spark):
+    """The two-level (hot-key-parallel) sessionizer must induce exactly
+    the same row partition as the single-window sessionize, including
+    sessions spanning chunk boundaries and chains of merges."""
+    import random
+    import datetime
+
+    from syslog_ng_spark.operators.grouping import sessionize, sessionize_chunked
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b"):
+        t = 0.0
+        for i in range(400):
+            # gap mix: mostly short (in-session), sometimes > timeout,
+            # sometimes exactly at the chunk boundary cadence
+            t += rng.choice([5, 20, 50, 130, 3600 - (t % 3600) or 5])
+            rows.append((k, i, datetime.datetime(2026, 3, 1) + datetime.timedelta(seconds=t)))
+    df = spark.createDataFrame(rows, "k string, i int, ts timestamp")
+    plain = sessionize(df, ["k"], timeout=120)
+    chunked = sessionize_chunked(df, ["k"], timeout=120, chunk_seconds=600)
+
+    def partition(out):
+        got = {}
+        for r in out.collect():
+            got.setdefault((r.k, r.ctx_id), set()).add(r.i)
+        return sorted(frozenset(v) for v in got.values())
+
+    assert partition(plain) == partition(chunked)

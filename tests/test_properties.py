@@ -83,3 +83,58 @@ def test_glob_translation_matches_fnmatch(pattern, value):
     got = re.match(rx, value) is not None
     want = fnmatch.fnmatchcase(value, pattern)
     assert got == want
+
+
+# --- round-2 parser properties (pure regex compilers, no Spark) -------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_ident, st.text(alphabet="abcdefxyz0123.,:", min_size=0, max_size=10)),
+        min_size=1,
+        max_size=5,
+    ),
+    st.sampled_from([";", "|", "&", ", "]),
+)
+def test_kv_regex_roundtrip_any_pair_separator(pairs, sep):
+    """The kv regex built for a pair separator recovers exactly the pairs
+    joined with it, for values free of quotes/whitespace/sep chars."""
+    import re as _re
+
+    stop = set(sep) | set(" \t")
+    pairs = [(k, "".join(ch for ch in v if ch not in stop)) for k, v in pairs]
+    line = sep.join(f"{k}={v}" for k, v in pairs)
+    vs = _re.escape("=")
+    stop_cls = _re.escape("".join(sorted(set(sep))))
+    pat = _re.compile(
+        rf'([A-Za-z0-9._\-]+){vs}'
+        rf'("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'|[^\s{stop_cls}]*)'
+    )
+    got = {}
+    for k, v in pat.findall(line):
+        got[k] = v
+    assert got == dict(pairs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc x,", min_size=0, max_size=8), min_size=1, max_size=4),
+    st.text(alphabet="abc x,", min_size=0, max_size=12),
+)
+def test_csv_greedy_tail_regex_dialect_aware(head_fields, tail):
+    """The greedy-tail regex consumes n-1 quoted-or-bare fields and
+    captures the remainder verbatim — a quoted head field containing the
+    delimiter must not shift the split."""
+    import re as _re
+
+    def render(f):
+        return f'"{f.replace(chr(34), chr(34)*2)}"' if ("," in f or not f) else f
+
+    line = ",".join(render(f) for f in head_fields) + "," + tail
+    q, d = _re.escape('"'), _re.escape(",")
+    fld = f"(?:{q}(?:[^{q}]|{q}{q})*{q}|[^{d}]*)"
+    pat = f"^(?:{fld}{d}){{{len(head_fields)}}}(.*)$"
+    m = _re.match(pat, line, flags=_re.DOTALL)
+    assert m is not None
+    assert m.group(1) == tail

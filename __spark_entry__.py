@@ -314,6 +314,27 @@ FROM sess GROUP BY user_id, sid ORDER BY user_id, t0
 """
 
 
+def q_session_windows_chunked(spark, sf_dir):
+    """Hot-key-parallel sessionization (two-level, §2.7/§4 skew defusal):
+    must produce the SAME sessions as the single-window path — the oracle
+    is the plain session SQL."""
+    from syslog_ng_spark.operators.grouping import sessionize_chunked
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_chunked(ev, ["user_id"], timeout=3600, chunk_seconds=6 * 3600)
+    return (
+        s.groupBy("user_id", "ctx_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .drop("ctx_id")
+        .select("user_id", "n", "t0", "t1")
+        .orderBy("user_id", "t0")
+    )
+
+
 def q_suppress(spark, sf_dir):
     """suppress() (§2.7): drop consecutive duplicate event_types per user
     within 1h; count survivors per type."""
@@ -908,6 +929,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_by": q_grouping_by,
         "salted_agg": q_salted_agg,
         "session_windows": q_session_windows,
+        "session_windows_chunked": q_session_windows_chunked,
         "suppress": q_suppress,
         "rate_limit": q_rate_limit,
         "broadcast_enrich": q_broadcast_enrich,
@@ -948,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_by": _GROUPING_SQL,
         "salted_agg": _SALTED_SQL,
         "session_windows": _SESSION_SQL,
+        "session_windows_chunked": _SESSION_SQL,
         "suppress": _SUPPRESS_SQL,
         "rate_limit": _RATE_SQL,
         "broadcast_enrich": _ENRICH_SQL,

@@ -10,8 +10,9 @@ candidate pairs, never the full cross product:
 - ``minhash_lsh``      — shingle → k minhashes (higher-order functions, no
                          UDF) → banded LSH bucket join → exact Jaccard
                          verify on candidates only
-- ``simhash``          — 64-bit sign fingerprint via aggregate/zip_with;
-                         near-dup = pigeonholed 16-bit chunk join
+- ``simhash``          — 64-bit sign fingerprint (JVM feature hashing +
+                         numpy majority); near-dup = chunk-pigeonhole
+                         join + hamming prefilter + exact verify
 - ``ngram_jaccard_pairs`` — exact all-pairs Jaccard via inverted index
                          (small scale / verification oracle)
 """

@@ -112,7 +112,32 @@ def _apply_parser(df: DataFrame, spec: dict) -> DataFrame:
 
         rules = [PdbRule(**r) for r in kw.pop("rules")]
         return patterndb(df, rules, **kw)
+    if kind == "patterndb_xml":
+        # db-parser(file('patterndb.xml')) — the reference's usual form
+        from ..operators.patterndb import load_patterndb_xml, patterndb  # noqa: PLC0415
+
+        rules, _actions = load_patterndb_xml(kw.pop("xml"))
+        return patterndb(df, rules, **kw)
+    if kind == "group_lines":
+        return P.group_lines(df, **kw)
+    if kind in _SCL_PARSERS:
+        from ..operators import scl  # noqa: PLC0415
+
+        return getattr(scl, _SCL_PARSERS[kind])(df, **kw)
     raise ValueError(f"unknown parser type {kind!r}")
+
+
+# SCL preset parser kinds accepted in config specs (scl/<name> analogues)
+_SCL_PARSERS = {
+    "apache-accesslog": "apache_accesslog_parser",
+    "cisco": "cisco_parser",
+    "postgresql-csvlog": "postgresql_csvlog_parser",
+    "mariadb-audit": "mariadb_audit_parser",
+    "panos": "panos_parser",
+    "sdata": "sdata_parser",
+    "app": "app_parser",
+    "windows-eventlog": "windows_eventlog_parser",
+}
 
 
 def _apply_rewrite(df: DataFrame, spec: dict, named: dict) -> DataFrame:
@@ -143,6 +168,8 @@ def _apply_rewrite(df: DataFrame, spec: dict, named: dict) -> DataFrame:
         return RW.rename(df, kw["old"], kw["new"])
     if kind == "cc_mask":
         return RW.credit_card_mask(df, kw["source"], kw.get("target"))
+    if kind == "guess_timezone":
+        return RW.guess_timezone(df, **kw)
     raise ValueError(f"unknown rewrite type {kind!r}")
 
 

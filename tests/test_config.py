@@ -113,3 +113,36 @@ def test_config_per_path_stages(spark):
     got = routed.sink("p1").collect()
     assert len(got) == 1 and got[0].marker == "hit-a"
     assert "marker" not in routed.sink("rest").columns
+
+
+def test_config_patterndb_xml_and_scl_kinds(spark):
+    """db-parser from an XML ruleset and SCL preset kinds compile from
+    the declarative spec (the syslog-ng.conf analogue surface)."""
+    from syslog_ng_spark.plans.config import compile_config
+
+    xml = """<patterndb version='5'>
+      <ruleset name='any'><pattern></pattern>
+        <rules><rule id='r1' class='system'>
+          <pattern>n=@NUMBER:n@</pattern>
+        </rule></rules>
+      </ruleset></patterndb>"""
+    spec = {
+        "filters": {},
+        "parsers": [
+            {"type": "patterndb_xml", "xml": xml, "program_col": "prog", "text_col": "text"},
+            {"type": "cisco", "source": "text"},
+        ],
+        "rewrites": [],
+        "paths": [
+            {"name": "classified", "filter": "pdb_matched"},
+            {"name": "rest", "flags": ["fallback"]},
+        ],
+    }
+    cc = compile_config(spec)
+    df = spark.createDataFrame(
+        [("", "n=42"), ("", "%SYS-5-CONFIG_I: hi"), ("", "nope")],
+        "prog string, text string",
+    )
+    routed = cc.route(cc.transform(df), persist=False)
+    assert routed.sink("classified").count() == 1
+    assert routed.sink("rest").count() == 2

@@ -379,13 +379,14 @@ FROM agg GROUP BY event_type ORDER BY event_type
 
 
 def q_rate_limit(spark, sf_dir):
-    """rate-limit (§2.4): ≤2 events per user per event-time minute."""
-    from pyspark.sql import Window
+    """rate-limit (§2.4): ≤2 events per user per event-time minute, via
+    the engine's windowed rate_limit operator."""
+    from syslog_ng_spark.operators.suppress import rate_limit
 
     ev = _t(spark, sf_dir, "events")
-    minute = (F.unix_timestamp("ts") / 60).cast("long")
-    w = Window.partitionBy("user_id", minute).orderBy("ts", "event_id")
-    kept = ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 2)
+    kept = rate_limit(
+        ev, ["user_id"], rate=2, per_seconds=60, order_by=["ts", "event_id"]
+    )
     return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).orderBy("user_id")
 
 
@@ -498,23 +499,53 @@ ORDER BY doc_id
 
 
 def q_textstats(spark, sf_dir):
-    """Token counting + quality scoring over documents."""
-    from syslog_ng_spark.operators.textstats import token_count
+    """Text analysis (§LLM-pipeline): token counting, stopword ratio and
+    the stopword-vote language guess over documents — all pure Columns
+    inside the scan's codegen."""
+    from syslog_ng_spark.operators.textstats import (
+        lang_id,
+        stopword_ratio,
+        token_count,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars_calc"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("sw_ratio"),
+        lang_id(F.col("text")).alias("lang_guess"),
     ).orderBy("doc_id")
 
 
 _TEXTSTATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9_]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, tk,
+         len(list_filter(tk, t -> list_contains(
+           ['the','and','of','to','a','in','is','it','for','on','with','that'], t))) AS s_en,
+         len(list_filter(tk, t -> list_contains(
+           ['der','die','das','und','ist','nicht','ein','mit','für','auf'], t))) AS s_de,
+         len(list_filter(tk, t -> list_contains(
+           ['le','la','les','et','est','pas','un','une','pour','dans'], t))) AS s_fr,
+         len(list_filter(tk, t -> list_contains(
+           ['el','la','los','y','es','no','un','una','para','en'], t))) AS s_es
+  FROM toks
+)
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-       length(text) AS n_chars_calc
-FROM documents ORDER BY doc_id
+       length(text) AS n_chars_calc,
+       round(CASE WHEN len(tk) > 0 THEN s_en::DOUBLE / len(tk) ELSE 0.0 END, 6) AS sw_ratio,
+       CASE WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+            WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+            WHEN s_de > s_en THEN 'de'
+            WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_guess
+FROM scored ORDER BY doc_id
 """
 
 

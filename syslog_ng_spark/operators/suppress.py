@@ -96,10 +96,15 @@ def rate_limit(
     key: list[str],
     rate: int,
     ts_col: str = "ts",
+    per_seconds: int = 1,
+    order_by: list[str] | None = None,
 ) -> DataFrame:
-    """Keep at most ``rate`` rows per key per event-time second."""
-    sec = F.unix_timestamp(F.col(ts_col))
-    w = W.partitionBy(*[F.col(k) for k in key], sec).orderBy(F.col(ts_col))
+    """Keep at most ``rate`` rows per key per ``per_seconds`` event-time
+    window. Pass a unique ``order_by`` tiebreaker (e.g. ["ts",
+    "event_id"]) for deterministic admission among equal timestamps."""
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / per_seconds)
+    ob = [F.col(c) for c in (order_by or [ts_col])]
+    w = W.partitionBy(*[F.col(k) for k in key], bucket).orderBy(*ob)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= rate)

@@ -82,13 +82,30 @@ def _parse_job(spark, corpus_path):
     return row["n"], {"matched": row["matched"]}
 
 
-def _run_level(cpus: int, corpus_path: str, job, repeats: int = 3) -> tuple[float, int, dict]:
-    """Start a session at local[cpus], warm up, return best-of-N seconds."""
+def _run_level(
+    cpus: int, corpus_path: str, job, repeats: int = 3, warm_rows: int | None = None
+) -> tuple[float, int, dict]:
+    """Start a session at local[cpus], warm up, return best-of-N seconds.
+
+    ``warm_rows``: warm JIT/codegen/file-listing on a row-limited slice
+    instead of the full corpus — the low-parallelism levels otherwise
+    spend 20s+ per warm-up, which is what blew the bench past its ~6-min
+    wall budget at 3 scaling rounds."""
     from syslog_ng_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench{cpus}", cpus=cpus, shuffle_partitions=cpus)
     try:
-        job(spark, corpus_path)  # warm-up (JIT, file listing)
+        if warm_rows is not None:
+            from pyspark.sql import functions as F
+
+            from syslog_ng_spark.operators.parsers import syslog_parser
+
+            slice_df = spark.read.parquet(corpus_path).limit(warm_rows)
+            syslog_parser(slice_df).agg(
+                F.sum(F.col("syslog_matched").cast("long")), F.sum("pri")
+            ).collect()
+        else:
+            job(spark, corpus_path)  # warm-up (JIT, file listing)
         best = float("inf")
         n, sinks = 0, {}
         for _ in range(repeats):  # best-of-N: JIT/GC session noise is ~25%
@@ -143,8 +160,8 @@ def main() -> None:
     n_parse = None
     for _ in range(3):  # 3 rounds: a single noisy lo/hi pair (~±25%
         # session drift) otherwise decides the reported efficiency
-        lo = _run_level(N_LO, corpus, _parse_job, repeats=1)
-        hi = _run_level(N_HI, corpus, _parse_job, repeats=2)
+        lo = _run_level(N_LO, corpus, _parse_job, repeats=1, warm_rows=200_000)
+        hi = _run_level(N_HI, corpus, _parse_job, repeats=2, warm_rows=200_000)
         assert lo[1] == hi[1], "parity across levels"
         n_parse = lo[1]
         rounds.append((lo[0], hi[0]))

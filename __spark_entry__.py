@@ -459,6 +459,43 @@ GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """Multi-join + agg shape (TPC-H Q3): dimension filters push into
+    the scans, customer broadcasts, orders↔lineitem co-shuffle on the
+    key — the enrichment-join plan at 100 TB."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 by value per event_type (sort/limit shape, §2.9)."""
     ev = _t(spark, sf_dir, "events")
@@ -965,6 +1002,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit": q_rate_limit,
         "broadcast_enrich": q_broadcast_enrich,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "topk_per_group": q_topk_per_group,
         "exact_dedup": q_exact_dedup,
         "textstats": q_textstats,
@@ -1006,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "rate_limit": _RATE_SQL,
         "broadcast_enrich": _ENRICH_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q3": _TPCH_Q3_SQL,
         "topk_per_group": _TOPK_SQL,
         "exact_dedup": _DEDUP_SQL,
         "textstats": _TEXTSTATS_SQL,

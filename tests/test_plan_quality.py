@@ -162,3 +162,24 @@ def test_pdb_correlate_is_one_window_one_agg(spark):
     # exchange into the sessionize window, one into the aggregate
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, transcripts_df):
+    """Two tables bucketed on the join key join with ZERO exchange —
+    the storage-layout lever for repeated 100-TB enrichment joins."""
+    from syslog_ng_spark.sources.io import read_bucketed_table, write_bucketed_table
+
+    a = transcripts_df.select("conv_id", "turn_idx", "tool")
+    b = transcripts_df.groupBy("conv_id").count()
+    try:
+        write_bucketed_table(a, "bt_a", ["conv_id"], 4, sort_cols=["conv_id"])
+        write_bucketed_table(b, "bt_b", ["conv_id"], 4, sort_cols=["conv_id"])
+        j = read_bucketed_table(spark, "bt_a").join(
+            read_bucketed_table(spark, "bt_b"), "conv_id"
+        )
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == transcripts_df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

@@ -224,7 +224,30 @@ _TEMPLATE_FUNCS: dict[str, object] = {
         )
         / F.size(F.split(cols[0], ","))
     ),
+    # str extras (str-funcs.c)
+    "indent-multi-line": lambda raw, cols: F.regexp_replace(
+        F.concat_ws(" ", *cols), "\n", "\n\t"
+    ),
+    # $(binary 0x48 101 108 ...) — bytes from numeric args (str-funcs.c
+    # tf_binary); args are plan-time literals like the reference's
+    "binary": lambda raw, cols: F.lit(
+        "".join(chr(int(a, 0)) for a in raw)
+    ),
+    # value-pairs views (vp-funcs.c): map keys / values of an nv map col
+    "names": lambda raw, cols: F.array_join(
+        F.array_sort(F.map_keys(F.col(raw[0]))), ","
+    ),
+    "values": lambda raw, cols: F.array_join(
+        F.map_values(F.col(raw[0])), ","
+    ),
+    # $(template name) — invoke a named template (tf-template.c); names
+    # are registered via register_named_template()
+    "template": lambda raw, cols: _NAMED_TEMPLATES[raw[0]](),
     # lists (list-funcs.c) — list = comma-separated string, as in the reference
+    "list-search": lambda raw, cols: F.when(
+        F.array_position(F.split(cols[1], ","), raw[0]) > 0,
+        (F.array_position(F.split(cols[1], ","), raw[0]) - 1).cast("string"),
+    ).otherwise(""),
     "list-concat": lambda raw, cols: F.concat_ws(",", *cols),
     "list-head": lambda raw, cols: F.element_at(F.split(cols[0], ","), 1),
     "list-tail": lambda raw, cols: F.array_join(
@@ -424,6 +447,15 @@ def _strptime_to_java(fmt: str) -> str:
     for k, v in table.items():
         out = out.replace(k, v)
     return out
+
+
+_NAMED_TEMPLATES: dict = {}
+
+
+def register_named_template(name: str, template: str, columns=None) -> None:
+    """template { t_name("..."); } analogue: $(template t_name) expands
+    to the named template's compiled Column (tf-template.c)."""
+    _NAMED_TEMPLATES[name] = lambda: compile_template(template, columns)
 
 
 def register_template_func(name: str, fn) -> None:

@@ -108,6 +108,8 @@ def stream_suppress(
     key: list[str],
     seconds: float,
     ts_col: str = "ts",
+    timeout_mode: str = "processing",
+    watermark: str = "10 minutes",
 ):
     """Stateful streaming suppress() — the logwriter dedup with state that
     survives micro-batches (applyInPandasWithState, the reference's
@@ -116,6 +118,12 @@ def stream_suppress(
     Emits the first row of each duplicate run with ``suppressed`` counts
     for runs that closed inside the batch; state carries (last identity,
     last ts, pending count) across batches.
+
+    ``timeout_mode``: 'processing' re-arms a wall-clock timer per batch
+    (live-tail shape); 'event' arms the timer at last_ts + seconds of
+    EVENT time (requires a watermark) — the reference's timer wheel runs
+    on message time, so the event mode reproduces its behavior under
+    replay/backfill, where wall clock is meaningless.
     """
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
@@ -161,10 +169,22 @@ def stream_suppress(
                     rows.append((*key_vals, ident_prev, pd.Timestamp(last_ts, unit="s"), pending))
                 ident_prev, last_ts, pending = ident, t, 0
         state.update((ident_prev, last_ts, pending))
-        state.setTimeoutDuration(int(seconds * 1000))
+        if timeout_mode == "event":
+            state.setTimeoutTimestamp(int((last_ts + seconds) * 1000))
+        else:
+            state.setTimeoutDuration(int(seconds * 1000))
         if rows:
             yield pd.DataFrame(rows, columns=[*key, "ident", "ts", "suppressed"])
 
+    if timeout_mode == "event":
+        return (
+            stream_df.withWatermark(ts_col, watermark)
+            .groupBy(*key)
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return stream_df.groupBy(*key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
     )

@@ -158,3 +158,89 @@ def test_stream_suppress_timeout_flushes_pending_run(spark, tmp_path):
     finally:
         q.stop()
     assert ("h1", "a", 2) in got  # flushed by the timer, not by new data
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark arriving in
+    a later micro-batch is EXCLUDED from its (already finalized) window
+    — the reference's timer-wheel lateness bound, Spark-native."""
+    import datetime
+    import time as _t
+
+    from syslog_ng_spark.streaming.stream import read_stream_source, windowed_counts
+
+    base = datetime.datetime(2026, 5, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k string, ts timestamp")
+
+    src = str(tmp_path / "in")
+    mk([("a", base), ("a", base + datetime.timedelta(minutes=30))]).coalesce(1)\
+        .write.mode("overwrite").parquet(src)
+    _t.sleep(1.1)  # file source orders batches by mod time
+    mk([("a", base + datetime.timedelta(minutes=40))]).coalesce(1)\
+        .write.mode("append").parquet(src)   # advances watermark to 10:30,
+    _t.sleep(1.1)                            # flushing the 10:00 window
+    mk([("a", base + datetime.timedelta(minutes=1)),   # LATE: wm is 10:30
+        ("a", base + datetime.timedelta(minutes=50))]).coalesce(1)\
+        .write.mode("append").parquet(src)
+
+    schema = "k string, ts timestamp"
+    stream = read_stream_source(spark, src, schema, max_files_per_trigger=1)
+    agg = windowed_counts(stream, key=["k"], window="10 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("late").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["win"]["start"].strftime("%H:%M"), r["n"])
+        for r in spark.sql("SELECT * FROM late ORDER BY win").collect()
+    ]
+    # the 10:00 window was finalized (watermark 10:30 > window end) with
+    # ONE row BEFORE the late 10:01 arrival; the late row is dropped —
+    # no duplicate/updated emission of an already-closed window
+    assert [n for w, n in got if w == "10:00"] == [1], got
+
+
+def test_stream_suppress_event_time_timeout(spark, tmp_path):
+    """Event-time timers: a pending run flushes when the WATERMARK passes
+    its deadline (replay/backfill-correct — the reference's timer wheel
+    runs on message time)."""
+    import datetime
+    import time as _t
+
+    from syslog_ng_spark.streaming.stream import stream_suppress
+
+    base = datetime.datetime(2026, 6, 1, 12, 0, 0)
+    src = str(tmp_path / "in")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "host string, msg string, ts timestamp")
+
+    mk([("h1", "a", base + datetime.timedelta(seconds=i)) for i in range(3)])\
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    _t.sleep(1.1)
+    # unrelated key far in event time: watermark jumps past h1's deadline
+    mk([("h2", "z", base + datetime.timedelta(minutes=30))])\
+        .coalesce(1).write.mode("append").parquet(src)
+    _t.sleep(1.1)
+    mk([("h2", "z2", base + datetime.timedelta(minutes=60))])\
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("host string, msg string, ts timestamp")\
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_suppress(
+        stream, identity_cols=["msg"], key=["host"], seconds=5,
+        timeout_mode="event", watermark="1 minute",
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("sup_evt").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.ident, r.suppressed)
+        for r in spark.sql("SELECT * FROM sup_evt").collect()
+    }
+    assert ("h1", "a", 2) in got  # flushed by the event-time timer

@@ -153,3 +153,33 @@ def test_macro_table_reference_semantics(spark):
     row = df.select(*[macro(n).alias(f"m{i}") for i, n in enumerate(expect)]).collect()[0]
     for i, (name, want) in enumerate(expect.items()):
         assert row[f"m{i}"] == want, f"{name}: {row[f'm{i}']!r} != {want!r}"
+
+
+def test_new_template_funcs(spark):
+    """$(indent-multi-line) / $(binary) / $(names) / $(values) /
+    $(list-search) / $(template) — the round-2 basicfuncs additions."""
+    from syslog_ng_spark.functions.templates import (
+        compile_template,
+        register_named_template,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a\nb", "x,y,z")], "text string, lst string"
+    ).withColumn("nv", F.create_map(F.lit("k2"), F.lit("v2"), F.lit("k1"), F.lit("v1")))
+    register_named_template("t_hello", "hi $text")
+    cases = {
+        "$(indent-multi-line $text)": "a\n\tb",
+        "$(binary 0x41 66 0x43)": "ABC",
+        "$(names nv)": "k1,k2",
+        "$(values nv)": "v2,v1",
+        "$(list-search y $lst)": "1",
+        "$(list-search q $lst)": "",
+        "$(template t_hello)": "hi a\nb",
+    }
+    cols = {"text", "lst", "nv"}
+    row = df.select(
+        *[compile_template(t, cols).alias(f"c{i}") for i, t in enumerate(cases)]
+    ).collect()[0]
+    for i, (tpl, want) in enumerate(cases.items()):
+        assert row[f"c{i}"] == want, f"{tpl}: {row[f'c{i}']!r} != {want!r}"

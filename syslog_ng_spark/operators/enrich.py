@@ -248,3 +248,38 @@ def geoip6(
     return joined.withColumn(target, best).drop(
         "bucket", "ranges", "_h", "_l", "_bucket"
     )
+
+
+def dns_resolve_ip(
+    df: DataFrame,
+    hosts: DataFrame,
+    ip_col: str = "src_ip",
+    target: str = "hostname",
+) -> DataFrame:
+    """$(dns-resolve-ip) analogue (modules/basicfuncs tf_dns_resolve_ip):
+    the reference resolves via /etc/hosts + DNS with a persist-cache; a
+    batch engine must not block executors on network lookups, so the
+    resolution source is a HOSTS TABLE (ip → hostname; load it from
+    /etc/hosts, a DNS export, or a PTR-zone dump) broadcast-joined onto
+    the stream. Unresolved IPs fall back to the literal address, like
+    the reference's use-dns(no) path."""
+    h = hosts.select(F.col("ip").alias("_dns_ip"), F.col("hostname").alias("_dns_hn"))
+    return (
+        df.join(F.broadcast(h), F.col(ip_col) == F.col("_dns_ip"), "left")
+        .withColumn(target, F.coalesce(F.col("_dns_hn"), F.col(ip_col)))
+        .drop("_dns_ip", "_dns_hn")
+    )
+
+
+def load_hosts_file(spark, path: str = "/etc/hosts") -> DataFrame:
+    """Parse an /etc/hosts-format file into the (ip, hostname) table
+    ``dns_resolve_ip`` consumes (first hostname per line wins)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.regexp_replace(F.trim(F.col("value")), r"#.*$", ""), r"\s+")
+    return (
+        lines.select(
+            F.element_at(parts, 1).alias("ip"),
+            F.element_at(parts, 2).alias("hostname"),
+        )
+        .filter(F.col("ip").isNotNull() & (F.col("ip") != "") & F.col("hostname").isNotNull())
+    )

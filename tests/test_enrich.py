@@ -142,3 +142,19 @@ def test_geoip6_longest_prefix_beyond_64(spark):
     assert got["2001:db8::1"] == "inner"    # inside /120
     assert got["2001:db8::1ff"] == "mid"    # inside /112, outside /120
     assert got["2001:db8::1:0"] == "outer"  # inside /64 only
+
+
+def test_dns_resolve_ip_hosts_table(spark):
+    from syslog_ng_spark.operators.enrich import dns_resolve_ip, load_hosts_file
+
+    hosts = spark.createDataFrame(
+        [("10.0.0.1", "web-1"), ("10.0.0.2", "db-1")], "ip string, hostname string"
+    )
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("10.0.0.9",)], "src_ip string"
+    )
+    got = {r.src_ip: r.hostname for r in dns_resolve_ip(df, hosts).collect()}
+    assert got == {"10.0.0.1": "web-1", "10.0.0.9": "10.0.0.9"}
+    # /etc/hosts parses into the same shape (localhost is always there)
+    h = load_hosts_file(spark)
+    assert ("127.0.0.1",) in {(r.ip,) for r in h.collect()}

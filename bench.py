@@ -133,11 +133,19 @@ def main() -> None:
         partitions=CPUS * 2,
     )
     qtimes: dict[str, float] = {}
+    import gc
+
     for name, fn in entrymod.queries().items():
+        # isolate queries: drop lingering caches from prior queries and
+        # run finalizer-based unpersists NOW — cross-talk otherwise swings
+        # the heavy near-dup queries 4× between runs
+        gc.collect()
+        spark.catalog.clearCache()
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.collect()
         qtimes[name] = round(time.time() - t0, 3)
+        del df
     spark.stop()
 
     # --- throughput: routed-count job at full parallelism -------------------

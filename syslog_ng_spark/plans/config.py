@@ -39,7 +39,13 @@ from .pipeline import LogPath, Pipeline
 
 
 def compile_filter(spec, named: dict) -> FL.FilterExpr:
-    """Lower one filter spec node (dict | name-reference) to a FilterExpr."""
+    """Lower one filter spec node (dict | name-reference) to a FilterExpr.
+
+    A LIST of specs is the reference's multi-statement filter block —
+    ``filter f { not program("x"); message("y"); }`` ANDs its statements
+    implicitly (tests/light test_multiple_filters.py)."""
+    if isinstance(spec, list):
+        return FL.FAnd(*[compile_filter(s, named) for s in spec])
     if isinstance(spec, str):
         if spec in named:
             return named[spec]

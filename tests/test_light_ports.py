@@ -108,3 +108,31 @@ def test_named_path_counters_reread_as_internal_source(spark, tmp_path):
     assert got == {"p_err": (3, 2), "p_rest": (1, 1)}
     meta = Pipeline([LogPath("nonzero", F.col("route_egress_total") > 0)])
     assert meta.route(internal, persist=False).sink("nonzero").count() == 2
+
+
+def test_multiple_filters_implicit_and(spark):
+    """filters/test_multiple_filters.py: a filter block with several
+    statements ANDs them implicitly; the if/else splits the stream."""
+    from syslog_ng_spark.plans.config import compile_config
+
+    spec = {
+        "filters": {
+            "f_filter": [
+                {"not": {"match": {"value": "program", "pattern": "xyz"}}},
+                {"match": {"value": "text", "pattern": "MESSAGE"}},
+            ],
+        },
+        "parsers": [],
+        "rewrites": [],
+        "paths": [
+            {"name": "dest_true", "filter": "f_filter"},
+            {"name": "dest_false", "flags": ["fallback"]},
+        ],
+    }
+    cc = compile_config(spec)
+    df = spark.createDataFrame(
+        [("gen", "MESSAGE"), ("gen", "foobar")], "program string, text string"
+    )
+    routed = cc.route(df, persist=False)
+    assert [r.text for r in routed.sink("dest_true").collect()] == ["MESSAGE"]
+    assert [r.text for r in routed.sink("dest_false").collect()] == ["foobar"]

@@ -126,3 +126,39 @@ def decode_image_real(payload: bytes):  # pragma: no cover - container lacks cod
         "image codecs not available in this environment; "
         "swap _fake_decode with PIL.Image.open in deployment"
     )
+
+
+def audio_windows(df: DataFrame, window_ms: int = 500, hop_ms: int = 250) -> DataFrame:
+    """Audio windowing STUB: one row per (overlapping) analysis window
+    computed from meta.duration_ms — the explode shape and window
+    arithmetic are real; the per-window sample decode is the same
+    placeholder slot as frames."""
+    n_hops = ((F.col("meta.duration_ms") - window_ms) / hop_ms + 1).cast("int")
+    return (
+        df.filter(F.col("kind") == "audio")
+        .withColumn(
+            "win_idx",
+            F.explode(F.sequence(F.lit(0), F.greatest(n_hops - 1, F.lit(0)))),
+        )
+        .withColumn("win_start_ms", F.col("win_idx") * hop_ms)
+        .withColumn("win_end_ms", F.col("win_idx") * hop_ms + window_ms)
+        .drop("payload")
+    )
+
+
+def media_near_dup(df: DataFrame, threshold: float = 0.99, dim: int = 8) -> DataFrame:
+    """Near-duplicate media pairs: decode→featurize (mapInPandas), then
+    the embedding near-dup machinery over the feature vectors — the
+    LLM-pipeline composition (dedup training media before captioning).
+    With the stub decoder, byte-identical payloads featurize identically
+    (cos 1.0); a real decoder makes this perceptual."""
+    from .similarity import embedding_near_dup  # noqa: PLC0415
+
+    feats = (
+        extract_features(df, dim=dim)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("vec_id"), F.col("feat").cast("array<double>").alias("embedding"))
+    )
+    return embedding_near_dup(
+        feats, threshold=threshold, n_planes=4, dim=dim, n_tables=8
+    )

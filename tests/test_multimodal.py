@@ -34,3 +34,31 @@ def test_real_decoder_is_marked_stub():
 
     with pytest.raises(NotImplementedError):
         MM.decode_image_real(b"bytes")
+
+
+def test_audio_windows_shape(spark):
+    from syslog_ng_spark.operators.multimodal import audio_windows, synthetic_media
+
+    media = synthetic_media(spark, 60)
+    w = audio_windows(media, window_ms=500, hop_ms=250)
+    rows = w.collect()
+    assert rows, "some audio rows exist"
+    # duration 1000ms, window 500, hop 250 -> 3 windows per clip
+    per_clip = {}
+    for r in rows:
+        per_clip.setdefault(r.media_id, []).append((r.win_start_ms, r.win_end_ms))
+    for wins in per_clip.values():
+        assert sorted(wins) == [(0, 500), (250, 750), (500, 1000)]
+    assert "payload" not in w.columns  # bytes never multiply
+
+
+def test_media_near_dup_finds_byte_identical(spark):
+    from pyspark.sql import functions as F
+    from syslog_ng_spark.operators.multimodal import media_near_dup, synthetic_media
+
+    media = synthetic_media(spark, 40)
+    dup = media.filter(F.col("media_id") == 7).withColumn(
+        "media_id", F.lit(1007).cast("long")
+    )
+    pairs = media_near_dup(media.unionByName(dup)).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(7, 1007)}

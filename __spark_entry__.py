@@ -764,16 +764,21 @@ ORDER BY id_a, id_b
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup (§LLM-pipeline): 8-bit-chunk pigeonhole candidates
-    (recall guaranteed to hamming ≤ 7 — Manku et al. WWW'07), cheap
-    hamming ≤ 7 prefilter before any shuffle, exact shingle-Jaccard
-    verify. Same exact-Jaccard oracle as minhash: the two operators are
-    alternative candidate generators for the same content-similarity
-    predicate (true J ≥ 0.9 pairs measure token-simhash hamming ≤ 5)."""
+    """SimHash near-dup (§LLM-pipeline): block-combination pigeonhole
+    candidates (Manku et al. WWW'07 §3 — C(8,3)=56 tables keyed on
+    3-chunk 24-bit concatenations, so per-table keyspace scales to
+    billions of docs instead of saturating at 256 buckets), cheap
+    hamming ≤ 5 prefilter before any shuffle (the guaranteed envelope:
+    8−3 chunks), exact shingle-Jaccard verify. Same exact-Jaccard oracle
+    as minhash: the two operators are alternative candidate generators
+    for the same content-similarity predicate (ALL true J ≥ 0.5 pairs
+    measure token-simhash hamming ≤ 5 on this corpus)."""
     from syslog_ng_spark.operators.dedup import simhash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
-    out = simhash_near_dup(docs, threshold=0.5, n_chunks=8)
+    out = simhash_near_dup(
+        docs, threshold=0.5, n_chunks=8, block_chunks=3, prefilter_hamming=5
+    )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")

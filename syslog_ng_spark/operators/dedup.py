@@ -30,6 +30,28 @@ def _norm_text(c: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def _cap_buckets(df: DataFrame, part_cols: list[str], cap: int):
+    """LSH skew guard: drop every bucket larger than ``cap`` BEFORE the
+    candidate self-join (one boilerplate bucket of m rows otherwise costs
+    m² pairs). The window count rides the SAME partitioning the join
+    shuffles on, so the cap adds no extra exchange.
+
+    Returns ``(kept, dropped)`` where ``dropped`` has one row per dropped
+    bucket with its size — the audit trail that makes the cap non-silent
+    (callers can count/log it, or route those buckets to exact_dedup)."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    wb = W.partitionBy(*part_cols)
+    tagged = df.withColumn("_n", F.count(F.lit(1)).over(wb))
+    kept = tagged.filter(F.col("_n") <= cap).drop("_n")
+    dropped = (
+        tagged.filter(F.col("_n") > cap)
+        .select(*part_cols, F.col("_n").alias("bucket_size"))
+        .dropDuplicates(part_cols)
+    )
+    return kept, dropped
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small inputs arrive as one parquet file = ONE partition, which
     serializes every per-doc UDF (signature/fingerprint) on a single
@@ -144,10 +166,11 @@ def minhash_lsh(
 
     ``max_bucket_size``: LSH buckets larger than this are dropped before
     the self-join — one boilerplate-text bucket of m docs otherwise costs
-    m² candidate pairs (the classic LSH skew kill). Dropped buckets are
-    counted in ``out._lsh_dropped_buckets`` when ``eager`` (a bucket that
-    big means the texts are boilerplate near-identical; route them to
-    ``exact_dedup`` instead). Set ``None`` to disable.
+    m² candidate pairs (the classic LSH skew kill). When ``eager``, the
+    number of dropped buckets is recorded on the result as
+    ``out._lsh_dropped_buckets`` (a bucket that big means the texts are
+    boilerplate near-identical; route them to ``exact_dedup`` instead).
+    Set ``None`` to disable.
 
     ``eager=True`` materializes the (small) verified pair set via
     localCheckpoint and unpersists the banded cache immediately — the
@@ -180,17 +203,9 @@ def minhash_lsh(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     banded = banded.persist()
 
+    dropped = None
     if max_bucket_size is not None:
-        # window count over the SAME (band, bh) partitioning the join
-        # shuffles on — the cap costs no extra aggregation subtree
-        from pyspark.sql import Window as W  # noqa: PLC0415
-
-        wb = W.partitionBy("band", "bh")
-        banded_ok = (
-            banded.withColumn("_n", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
+        banded_ok, dropped = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     else:
         banded_ok = banded
 
@@ -212,6 +227,9 @@ def minhash_lsh(
     verified = _exact_jaccard_on_pairs(cand, df, text_col, id_col, threshold)
     if eager:
         out = verified.localCheckpoint(eager=True)
+        # audit the cap while the banded cache is still hot (one cached
+        # window pass, no recompute) — see _cap_buckets docstring
+        out._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
         banded.unpersist()
         cand.unpersist()
         return out
@@ -342,18 +360,42 @@ def _simhash_candidates(
     max_bucket_size: int | None,
     features: str = "tokens",
     prefilter_hamming: int | None = None,
-) -> DataFrame:
-    """Candidate (id_a, id_b, fp_a, fp_b) pairs sharing ≥1 fingerprint
-    chunk (block-permutation pigeonhole, Manku et al. WWW'07: splitting
-    64 bits into c chunks guarantees recall for hamming ≤ c-1).
-    Buckets above ``max_bucket_size`` are dropped (LSH skew guard —
-    same rationale as minhash_lsh)."""
+    block_chunks: int = 1,
+):
+    """Candidate (id_a, id_b, fp_a, fp_b) pairs by fingerprint-block
+    pigeonhole (Manku et al. WWW'07 §3, simfinder block-permutation):
+    split the 64-bit fingerprint into ``n_chunks`` chunks and build one
+    table per ``block_chunks``-sized chunk COMBINATION, keyed on the
+    concatenated chunk values. A pair at hamming ≤ n_chunks−block_chunks
+    has ≥ block_chunks untouched chunks, so some table keys them together
+    — recall is guaranteed up to that bound.
+
+    ``block_chunks`` is the keyspace lever: with d=1 (the naive variant)
+    each table has only 2^(64/n_chunks) possible keys — 256 for 8 chunks —
+    so beyond ~10⁵ docs EVERY bucket exceeds ``max_bucket_size`` and
+    recall silently collapses. d=3 over 8-bit chunks keys each of the
+    C(8,3)=56 tables on 24 bits (16.7M values): bucket occupancy stays
+    ~n/2²⁴ per table at any corpus size, at the cost of 56 (vs 8) 28-byte
+    rows per doc in the band shuffle. Pick d so that
+    n_chunks − block_chunks ≥ the hamming radius you need.
+
+    Buckets above ``max_bucket_size`` are dropped (LSH skew guard — same
+    rationale as minhash_lsh). Returns ``(cand, dropped)`` where dropped
+    is the audit frame from ``_cap_buckets`` (or None when uncapped)."""
+    import itertools  # noqa: PLC0415
+
     assert 64 % n_chunks == 0
+    assert 1 <= block_chunks <= n_chunks
     w = 64 // n_chunks
     mask = (1 << w) - 1
     df = _ensure_parallelism(df)
     fp = simhash(F.col(text_col), features=features)
     docs = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+    def chunk_val(i: int) -> Column:
+        return F.shiftright(F.col("fp"), i * w).bitwiseAND(F.lit(mask))
+
+    combos = list(itertools.combinations(range(n_chunks), block_chunks))
     chunked = docs.select(
         "id",
         "fp",
@@ -361,12 +403,13 @@ def _simhash_candidates(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("fp"), i * w)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("ck"),
+                        F.lit(t).alias("chunk"),
+                        # 64-bit mixed key of the chunk-value tuple —
+                        # collision-free in practice and keeps the bucket
+                        # key one long regardless of block_chunks
+                        F.xxhash64(*[chunk_val(i) for i in combo]).alias("ck"),
                     )
-                    for i in range(n_chunks)
+                    for t, combo in enumerate(combos)
                 ]
             )
         ).alias("cc"),
@@ -374,15 +417,9 @@ def _simhash_candidates(
     # chunked is self-joined, but both sides are the identical subplan —
     # Spark's ReusedExchange computes the fingerprint UDF once per query,
     # no persist needed (and none to leak).
+    dropped = None
     if max_bucket_size is not None:
-        from pyspark.sql import Window as W  # noqa: PLC0415
-
-        wc = W.partitionBy("chunk", "ck")
-        chunked = (
-            chunked.withColumn("_n", F.count(F.lit(1)).over(wc))
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
+        chunked, dropped = _cap_buckets(chunked, ["chunk", "ck"], max_bucket_size)
     a, b = chunked.alias("a"), chunked.alias("b")
     joined = a.join(
         b,
@@ -405,7 +442,7 @@ def _simhash_candidates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand
+    return cand, dropped
 
 
 def simhash_pairs(
@@ -415,11 +452,16 @@ def simhash_pairs(
     max_hamming: int = 3,
     n_chunks: int = 4,
     max_bucket_size: int = 1000,
+    block_chunks: int = 1,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole on 64/n_chunks-bit chunks
-    (a pair at hamming ≤ n_chunks-1 is guaranteed to share a chunk),
-    equi-join per chunk, exact hamming verify on candidates."""
-    cand = _simhash_candidates(df, text_col, id_col, n_chunks, max_bucket_size)
+    """Near-dup pairs by SimHash: pigeonhole block join (guaranteed recall
+    to hamming ≤ n_chunks−block_chunks), exact hamming verify on
+    candidates. See ``_simhash_candidates`` for the block_chunks keyspace
+    tradeoff."""
+    cand, _ = _simhash_candidates(
+        df, text_col, id_col, n_chunks, max_bucket_size,
+        block_chunks=block_chunks,
+    )
     return (
         cand.select(
             "id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming")
@@ -437,23 +479,42 @@ def simhash_near_dup(
     max_bucket_size: int = 1000,
     features: str = "tokens",
     prefilter_hamming: int = 7,
+    block_chunks: int = 1,
+    eager: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs: SimHash chunk buckets generate candidates, a cheap
+    """Near-dup pairs: SimHash block buckets generate candidates, a cheap
     hamming prefilter (xor + bit_count on two longs, applied before any
     shuffle) discards bucket noise, exact shingle-Jaccard verifies the
     survivors — the Manku WWW'07 pipeline with a content check at the
-    end. ``n_chunks=8`` guarantees candidate recall to hamming 7 and
-    ``prefilter_hamming=7`` matches that bound, so the operator's recall
-    envelope is exactly 'fingerprints within hamming 7': token-feature
+    end.
+
+    Recall envelope = 'fingerprints within hamming n_chunks−block_chunks'
+    (and ``prefilter_hamming`` should not exceed that bound). Defaults
+    (8 chunks, d=1, prefilter 7) guarantee hamming ≤ 7 — right for small
+    / medium corpora, but each table then has only 256 possible buckets,
+    so beyond ~10⁵ docs the skew cap starts dropping every bucket. For
+    corpus scale, set ``block_chunks=3, prefilter_hamming=5`` (56 tables
+    keyed on 24 bits — occupancy-safe to billions of docs); token-feature
     fingerprints of J ≥ 0.9 pairs measure hamming ≤ 5 on the synthetic
-    corpus (shingle features spread them to ~10, needing more chunks —
-    pick features + n_chunks together)."""
-    cand = _simhash_candidates(
+    corpus, so the tighter envelope keeps them (shingle features spread
+    true pairs to ~10, needing more chunks — pick features + n_chunks
+    together). minhash_lsh (64-bit band keys from the start) is the other
+    scale-safe candidate generator for the same Jaccard predicate.
+
+    When ``eager``, the verified pair set is materialized and the number
+    of skew-capped buckets is recorded as ``out._lsh_dropped_buckets``."""
+    cand, dropped = _simhash_candidates(
         df, text_col, id_col, n_chunks, max_bucket_size,
         features=features, prefilter_hamming=prefilter_hamming,
+        block_chunks=block_chunks,
     )
     pairs = cand.select("id_a", "id_b").persist()
     out = _exact_jaccard_on_pairs(pairs, df, text_col, id_col, threshold)
+    if eager:
+        res = out.localCheckpoint(eager=True)
+        res._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
+        pairs.unpersist()
+        return res
     _unpersist_on_gc(out, pairs)
     return out
 

@@ -262,8 +262,18 @@ def dns_resolve_ip(
     resolution source is a HOSTS TABLE (ip → hostname; load it from
     /etc/hosts, a DNS export, or a PTR-zone dump) broadcast-joined onto
     the stream. Unresolved IPs fall back to the literal address, like
-    the reference's use-dns(no) path."""
-    h = hosts.select(F.col("ip").alias("_dns_ip"), F.col("hostname").alias("_dns_hn"))
+    the reference's use-dns(no) path.
+
+    The hosts side is deduplicated by ip (first hostname per ip, ordered
+    by hostname for determinism) — /etc/hosts routinely lists one IP on
+    several lines, and a duplicate-IP left join would FAN OUT event rows,
+    corrupting every downstream count. The reference's dns-cache likewise
+    holds exactly one name per address (lib/dnscache.c)."""
+    h = (
+        hosts.select(F.col("ip").alias("_dns_ip"), F.col("hostname").alias("_dns_hn"))
+        .groupBy("_dns_ip")
+        .agg(F.min("_dns_hn").alias("_dns_hn"))
+    )
     return (
         df.join(F.broadcast(h), F.col(ip_col) == F.col("_dns_ip"), "left")
         .withColumn(target, F.coalesce(F.col("_dns_hn"), F.col(ip_col)))

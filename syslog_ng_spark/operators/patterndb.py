@@ -419,7 +419,13 @@ def load_patterndb_xml(xml_source: str) -> tuple[list[PdbRule], list[PdbXmlActio
                 create_ctx = None
                 if cc_el is not None:
                     ca = cc_el.attrib
-                    msg_el = cc_el.find("message") or msg_el
+                    # NOTE: `find(...) or msg_el` would be wrong — a
+                    # childless Element (e.g. self-closed <message
+                    # inherit-properties="TRUE"/>) is FALSY, silently
+                    # falling back to the action-level message.
+                    cc_msg = cc_el.find("message")
+                    if cc_msg is not None:
+                        msg_el = cc_msg
                     create_ctx = (
                         ca.get("context-id", ""),
                         int(ca.get("context-timeout", "0")),

@@ -201,6 +201,8 @@ def embedding_near_dup(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 1,
+    max_bucket_size: int = 10000,
+    eager: bool = False,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with exact cosine ≥ threshold; candidates come
     from ``n_tables`` independent random-hyperplane LSH tables of
@@ -210,17 +212,29 @@ def embedding_near_dup(
     Recall per true pair = 1-(1-c(θ)^p)^L with c(θ)=1-θ/π: raise
     ``n_tables`` for recall, raise ``n_planes`` for selectivity. For real
     corpora whose near-dups sit at cosine ≥ 0.9 (θ ≤ 26°, c ≥ 0.86),
-    p=12–16 / L=8 prunes candidates sharply; for low thresholds over
-    isotropic vectors — the LSH worst case — selectivity collapses and
-    candidate count approaches all-pairs, which the verify stage absorbs
-    via broadcast id→vector joins (no wide shuffle of vectors).
+    p=12–16 / L=8 prunes candidates sharply.
+
+    Scale shape: the band join shuffles (id, table, bucket) rows — ~20
+    bytes per doc per table, never the vectors. The verify stage fetches
+    vectors for CANDIDATE ids only: semi-join the corpus down to the
+    (distinct) candidate id set, then broadcast that small id→vector
+    frame onto the pairs — the full corpus vector table is never
+    broadcast and never shuffled by pair. ``max_bucket_size`` is the same
+    skew guard as minhash_lsh (a hot bucket of m vectors otherwise costs
+    m² candidates); when ``eager`` the dropped-bucket count is recorded
+    as ``out._lsh_dropped_buckets``. Set ``None`` to disable.
     """
+    from .dedup import _cap_buckets, _unpersist_on_gc  # noqa: PLC0415
+
     df = _ensure_parallelism(df)
     buckets = _lsh_buckets_udf(n_planes, dim, n_tables)(F.col(vec_col))
     banded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(buckets).alias("tbl", "bk"),
     )
+    dropped = None
+    if max_bucket_size is not None:
+        banded, dropped = _cap_buckets(banded, ["tbl", "bk"], max_bucket_size)
     a2, b2 = banded.alias("a"), banded.alias("b")
     cand = (
         a2.join(
@@ -232,12 +246,33 @@ def embedding_near_dup(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
+    # cand is read 3× (pairs + the two sides of the id union) and is tiny
+    # (two longs per pair) — cache it so the LSH stage runs once.
+    cand = cand.persist()
+    ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .union(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    # semi-join → runtime filter into the scan: only candidate vectors
+    # are read twice; broadcasting them is safe because the candidate id
+    # set is bounded by the (capped) LSH output, not the corpus.
+    cvec = df.join(
+        F.broadcast(ids), F.col(id_col) == F.col("_cid"), "left_semi"
+    ).select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    va = cvec.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("_va"))
+    vb = cvec.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("_vb"))
+    out = (
         cand.join(F.broadcast(va), "id_a")
         .join(F.broadcast(vb), "id_b")
         .withColumn("cos", _cosine_pandas(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    if eager:
+        res = out.localCheckpoint(eager=True)
+        res._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
+        cand.unpersist()
+        return res
+    _unpersist_on_gc(out, cand)
+    return out

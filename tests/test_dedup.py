@@ -108,3 +108,63 @@ def test_simhash_pairs_chunk_width_param(docs):
     out = D.simhash_pairs(docs, max_hamming=7, n_chunks=8)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert (1, 4) in pairs  # identical fingerprints, hamming 0
+
+
+def test_minhash_eager_reports_dropped_buckets(spark):
+    """The cap is not silent: eager mode records how many buckets were
+    skew-dropped so callers can route boilerplate clusters to exact_dedup."""
+    hot = [(i, "same boilerplate words every single time") for i in range(500)]
+    df = spark.createDataFrame(hot, "doc_id long, text string")
+    out = D.minhash_lsh(df, threshold=0.5, max_bucket_size=100, eager=True)
+    assert out.count() == 0
+    assert out._lsh_dropped_buckets >= 16  # every band's single bucket dropped
+    # uncapped eager run reports zero drops
+    small = spark.createDataFrame(hot[:5], "doc_id long, text string")
+    out2 = D.minhash_lsh(small, threshold=0.5, max_bucket_size=None, eager=True)
+    assert out2._lsh_dropped_buckets == 0
+
+
+def _synthetic_corpus(spark, n_docs: int, n_dups: int):
+    """n_docs random 12-token docs (seeded) + n_dups near-dups formed by
+    swapping the last two tokens of doc i (same token multiset -> simhash
+    fingerprint hamming == 0; shingle-Jaccard ~0.54)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"tok{v}" for v in range(5000)]
+    base = [(i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(n_docs)]
+    dups = []
+    for j in range(n_dups):
+        toks = base[j][1].split()
+        toks[-1], toks[-2] = toks[-2], toks[-1]
+        dups.append((n_docs + j, " ".join(toks)))
+    return spark.createDataFrame(base + dups, "doc_id long, text string")
+
+
+def test_simhash_block_chunks_survive_corpus_scale(spark):
+    """The 100-TB keyspace fix (Manku WWW'07 block combinations): with
+    d=1 each of the 8 tables has only 256 possible bucket keys, so at
+    50k docs every bucket blows the skew cap and recall collapses to 0.
+    Re-keying on 3-chunk combinations (C(8,3)=56 tables, 24-bit keyspace)
+    keeps buckets tiny and recovers every planted pair, with the
+    pigeonhole guarantee intact to hamming <= 8-3 = 5."""
+    df = _synthetic_corpus(spark, 50_000, 30)
+    planted = {(j, 50_000 + j) for j in range(30)}
+
+    naive = D.simhash_near_dup(
+        df, threshold=0.5, n_chunks=8, block_chunks=1,
+        prefilter_hamming=5, max_bucket_size=50, eager=True,
+    )
+    naive_pairs = {(r.id_a, r.id_b) for r in naive.collect()}
+    # recall collapses (a stray pair can luck into a rare low-occupancy
+    # bucket — fingerprint bits are biased on short docs)
+    assert len(planted & naive_pairs) <= 3
+    assert naive._lsh_dropped_buckets >= 8 * 200  # ...audited as dropped
+
+    blocked = D.simhash_near_dup(
+        df, threshold=0.5, n_chunks=8, block_chunks=3,
+        prefilter_hamming=5, max_bucket_size=50, eager=True,
+    )
+    got = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert planted <= got                     # 100% recall on planted dups
+    assert blocked._lsh_dropped_buckets == 0  # keyspace no longer saturates

@@ -127,9 +127,12 @@ def test_near_dup_verify_has_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_embedding_verify_joins_are_broadcast(spark):
-    """The exact-cosine verify stage joins candidate ids back to vectors
-    via broadcast — the corpus vectors are never shuffled by pair."""
+def test_embedding_verify_semi_joins_candidate_vectors(spark):
+    """The exact-cosine verify stage never broadcasts (or shuffles) the
+    full corpus vector table: the corpus is first SEMI-joined down to the
+    candidate id set, and only that bounded frame is broadcast onto the
+    pairs. The round-2 version force-broadcast df.select(id, vec) over
+    the whole corpus — a hard driver OOM at 100 TB."""
     from syslog_ng_spark.operators.similarity import embedding_near_dup
 
     emb = spark.createDataFrame(
@@ -137,7 +140,14 @@ def test_embedding_verify_joins_are_broadcast(spark):
         "vec_id long, embedding array<double>",
     )
     plan = _plan(embedding_near_dup(emb, threshold=0.9, n_planes=4, n_tables=4))
-    assert plan.count("BroadcastHashJoin") >= 2
+    # the candidate-id runtime filter into the vector fetch
+    assert "LeftSemi" in plan
+    # pairs join the (semi-joined) vectors broadcast, twice
+    assert plan.count("BroadcastHashJoin") >= 3
+    # every vector fetch passes through the semi-join: the raw corpus
+    # relation appears once per vector read + once for the LSH banding,
+    # and each vector read is guarded by a LeftSemi above it
+    assert plan.count("LeftSemi") >= 2
 
 
 def test_pdb_correlate_is_one_window_one_agg(spark):

@@ -105,3 +105,35 @@ def test_embedding_near_dup_recall_vs_brute_force(spark, emb):
     }
     assert got == exact
     assert len(exact) > 0  # non-trivial at sf0.001
+
+
+def test_embedding_hot_bucket_cap_and_accounting(spark):
+    """One degenerate bucket (300 identical vectors land in the same LSH
+    bucket of every table) must not produce a quadratic pair set: the
+    skew cap drops those buckets (audited via _lsh_dropped_buckets), and
+    pairs outside the hot cluster are still found."""
+    from syslog_ng_spark.operators.similarity import embedding_near_dup
+
+    hot = [(i, [1.0] * 8) for i in range(300)]
+    # two near-identical cold vectors, far from the hot direction
+    cold = [
+        (9001, [(-1.0) ** j * (1.0 + 0.001 * j) for j in range(8)]),
+        (9002, [(-1.0) ** j * (1.0 + 0.0011 * j) for j in range(8)]),
+    ]
+    df = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+    out = embedding_near_dup(
+        df, threshold=0.99, dim=8, n_planes=4, n_tables=4,
+        max_bucket_size=100, eager=True,
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (9001, 9002) in pairs
+    assert not any(a < 300 and b < 300 for a, b in pairs)
+    assert out._lsh_dropped_buckets >= 4  # the hot bucket, in every table
+
+    # uncapped: the hot cluster verifies quadratically (correct, but the
+    # cap is what keeps this bounded at corpus scale)
+    sub = df.filter("vec_id < 20 or vec_id >= 9001")
+    n = embedding_near_dup(
+        sub, threshold=0.99, dim=8, n_planes=4, n_tables=4, max_bucket_size=None
+    ).count()
+    assert n == 20 * 19 / 2 + 1

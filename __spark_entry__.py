@@ -784,21 +784,31 @@ def q_simhash_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# The transcript gate materializes its (deterministic, generated) parsed
+# corpus here so DuckDB can score the SAME bits the engine routed —
+# closing the one rows-only gap on the driver scoreboard.
+_TRANSCRIPT_GATE_PATH = "/tmp/syslog_ng_spark_gate/transcript_parsed.parquet"
+
+
 def q_transcript_pipeline(spark, sf_dir):
     """End-to-end transcript pipeline on the deterministic synthetic
     corpus (BASELINE.json input_hint shape): syslog+kv parse → route →
-    per-sink counts. SELF-VERIFYING: the returned table carries the
-    engine's per-sink counts next to counts from an independently
-    hand-written expression of the reference's mpx semantics
-    (logmpx.c final/fallback algebra) — `parity` must be true on every
-    row. (No DuckDB oracle: the input is generated, not a view.)"""
+    per-sink egress counts. The parsed frame is written to parquet at
+    ``_TRANSCRIPT_GATE_PATH`` and the pipeline routes the READ-BACK
+    copy, so the DuckDB oracle (same file) scores byte-identical input.
+    A second, independently hand-written expression of the reference's
+    mpx semantics (logmpx.c final/fallback algebra) is asserted in-query
+    as well — `parity` guarded both ways."""
     from syslog_ng_spark.datagen import transcripts
     from syslog_ng_spark.operators.parsers import kv_parser, syslog_parser
     from syslog_ng_spark.plans import LogPath, Pipeline
     from syslog_ng_spark.functions import filters as FL
 
     df = transcripts(spark, n_convs=500, avg_turns=10)
-    parsed = kv_parser(syslog_parser(df), source="msg").persist()
+    kv_parser(syslog_parser(df), source="msg").select(
+        "conv_id", "turn_idx", "pri", "syslog_matched", "tool"
+    ).coalesce(1).write.mode("overwrite").parquet(_TRANSCRIPT_GATE_PATH)
+    parsed = spark.read.parquet(_TRANSCRIPT_GATE_PATH).persist()
     pipe = Pipeline(
         [
             LogPath("security", FL.FSeverity("err..emerg") & FL.FRaw(F.col("syslog_matched")), frozenset(["final"])),
@@ -806,7 +816,12 @@ def q_transcript_pipeline(spark, sf_dir):
             LogPath("other", None, frozenset(["fallback"])),
         ]
     )
-    engine = pipe.route(parsed, persist=False).metrics().orderBy("path")
+    engine = (
+        pipe.route(parsed, persist=False)
+        .metrics()
+        .select("path", "route_egress_total")
+        .orderBy("path")
+    )
 
     # independent reference semantics, written directly (not via Pipeline):
     m_sec = F.coalesce(
@@ -819,19 +834,26 @@ def q_transcript_pipeline(spark, sf_dir):
         F.sum((~m_sec & m_bash).cast("long")).alias("bash"),
         F.sum((~m_sec & ~m_bash).cast("long")).alias("other"),
     ).collect()[0]
-    ref_counts = {"security": ref["security"], "bash": ref["bash"], "other": ref["other"]}
-    ref_df = spark.createDataFrame(
-        sorted(ref_counts.items()), "path string, reference_egress long"
-    )
-    out = (
-        engine.join(ref_df, "path")
-        .withColumn("parity", F.col("route_egress_total") == F.col("reference_egress"))
-        .orderBy("path")
-    )
-    rows = out.collect()
+    got = {r.path: r.route_egress_total for r in engine.collect()}
     parsed.unpersist()
-    assert all(r.parity for r in rows), f"routing parity broken: {rows}"
-    return out
+    for p in ("security", "bash", "other"):
+        assert got[p] == ref[p], f"routing parity broken on {p}: {got} vs {ref}"
+    return engine
+
+
+_TRANSCRIPT_SQL = f"""
+WITH p AS (
+  SELECT CASE
+           WHEN coalesce(syslog_matched AND pri % 8 IN (0, 1, 2, 3), false)
+             THEN 'security'
+           WHEN tool = 'bash' THEN 'bash'
+           ELSE 'other'
+         END AS path
+  FROM read_parquet('{_TRANSCRIPT_GATE_PATH}/*.parquet')
+)
+SELECT path, CAST(count(*) AS BIGINT) AS route_egress_total
+FROM p GROUP BY path ORDER BY path
+"""
 
 
 def q_stats_aggregate(spark, sf_dir):
@@ -1067,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _EXACT_JACCARD_SQL,
         "simhash_neardup": _EXACT_JACCARD_SQL,
         "embedding_neardup": _EMBED_NEARDUP_SQL,
+        "transcript_pipeline": _TRANSCRIPT_SQL,
     }
 
 

@@ -92,14 +92,20 @@ _WILD_RE = re.compile(r"@([A-Za-z0-9]+)(?::([\w.]*))?(?::((?:[^@\\]|\\.)*))?@")
 def compile_pattern(pattern: str) -> str:
     """syslog-ng pdb pattern → start-anchored named-group regex string.
 
+    Scans left-to-right like r_insert_node (radix.c:1011-1060): ``@@``
+    is an ESCAPED literal ``@`` (radix.c:1022-1053), otherwise ``@`` opens
+    a parser spec closed by the next ``@``. A lone trailing/unpaired
+    ``@`` is kept as a literal (the reference logs "Unescaped @" and
+    rejects the rule; leniency is the batch-friendly divergence).
+
     No end anchor here — the matcher runs a COMPLETE-match pass first
     (pattern must consume the whole message) and falls back to a
     prefix/partial pass only for rows no rule fully matched, mirroring
     radix.c _find_node_with_state: a complete match by a later rule
     beats a prefix match by an earlier one."""
     out: list[str] = ["^"]
-    pos = 0
     anon = [0]
+    lit: list[str] = []
 
     def groupname(name: str | None) -> str:
         if name:
@@ -107,8 +113,28 @@ def compile_pattern(pattern: str) -> str:
         anon[0] += 1
         return f"anon{anon[0]}"
 
-    for m in _WILD_RE.finditer(pattern):
-        out.append(re.escape(pattern[pos : m.start()]))
+    def flush():
+        if lit:
+            out.append(re.escape("".join(lit)))
+            lit.clear()
+
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch != "@":
+            lit.append(ch)
+            i += 1
+            continue
+        if i + 1 < len(pattern) and pattern[i + 1] == "@":
+            lit.append("@")  # escaped literal @
+            i += 2
+            continue
+        m = _WILD_RE.match(pattern, i)
+        if m is None:  # unpaired @ — lenient literal
+            lit.append("@")
+            i += 1
+            continue
+        flush()
         kind = m.group(1)
         name = groupname(m.group(2))
         param = m.group(3) or ""
@@ -116,23 +142,37 @@ def compile_pattern(pattern: str) -> str:
         if builder is None:
             raise ValueError(f"unknown pdb wildcard @{kind}@ in {pattern!r}")
         out.append(builder(name, param))
-        pos = m.end()
-    out.append(re.escape(pattern[pos:]))
+        i = m.end()
+    flush()
     return "".join(out)
 
 
 @lru_cache(maxsize=64)
-def _compile_ruleset(
-    spec: tuple,
-) -> dict[str, list[tuple[str, str, re.Pattern, re.Pattern, tuple[str, ...]]]]:
-    """(rule_id, class, program, regex_src, tags)* → {program: [compiled]}
-    with (complete-match, prefix-match) regex variants per rule.
+def _compile_ruleset(spec: tuple) -> dict:
+    """(rule_id, class, program, regex_src, tags, statics)* →
+    {program: (program_regex_or_None, [compiled rules])} with
+    (complete-match, prefix-match) regex variants per rule.
+
+    Program names are PATTERNS in the reference, not literals — the
+    <ruleset> pattern element goes through the same radix compiler as
+    message patterns (modules/correlation/pdb-program.c, radix.c:667),
+    so ``ssh@ESTRING@@`` buckets every sshd/ssh-agent variant. Here a
+    program containing a @WILDCARD@ compiles to a complete-match regex
+    evaluated vectorized against the program column; literal programs
+    stay exact-equality dispatch (the fast path).
 
     Cached per worker process — the compile cost is paid once per
     executor, not per batch (the broadcast-of-compiled-automaton trick).
     """
     buckets: dict[str, list] = {}
+    prog_res: dict[str, re.Pattern | None] = {}
     for rule_id, klass, program, regex_src, tags, statics in spec:
+        if program not in prog_res:
+            prog_res[program] = (
+                re.compile(compile_pattern(program) + r"\Z")
+                if program and _WILD_RE.search(program)
+                else None
+            )
         buckets.setdefault(program, []).append(
             (
                 rule_id,
@@ -143,7 +183,7 @@ def _compile_ruleset(
                 statics,
             )
         )
-    return buckets
+    return {p: (prog_res[p], rules) for p, rules in buckets.items()}
 
 
 _VALUE_REF = re.compile(r"\$\{([\w.]+)\}")
@@ -215,10 +255,13 @@ def patterndb(
         # pass 0: complete matches only; pass 1: prefix fallback for rows
         # that no rule consumed entirely (radix.c partial-match order).
         for phase in (0, 1):
-          for program, bucket in buckets.items():
-            in_bucket = (
-                prog_f == program if program else pd.Series(True, index=text.index)
-            )
+          for program, (prog_re, bucket) in buckets.items():
+            if prog_re is not None:  # wildcard program pattern (pdb-program.c)
+                in_bucket = prog_f.str.match(prog_re).fillna(False)
+            elif program:
+                in_bucket = prog_f == program
+            else:
+                in_bucket = pd.Series(True, index=text.index)
             pending = in_bucket & text.notna() & rule_id.isna()
             if not pending.any():
                 continue
@@ -568,7 +611,11 @@ def pdb_correlate(
     contexts = (
         src.groupBy("_ctx_key", "ctx_id")
         .agg(
-            F.any_value(rid_col).alias("rule_id"),
+            # the context belongs to the rule of its FIRST message (the
+            # creator) — pdb-context.c stores rule_ref at context birth,
+            # and timeout actions fire from that rule even after other
+            # rules' messages merged in
+            F.min_by(rid_col, F.col(ts_col)).alias("rule_id"),
             F.count(F.lit(1)).alias("context_len"),
             F.min(ts_col).alias("first_ts"),
             F.max(ts_col).alias("last_ts"),

@@ -107,3 +107,15 @@ def test_complete_match_beats_earlier_prefix(spark):
     assert got["session opened for user alice "] == "r_full"
     assert got["session opened"] == "r_prefix"       # complete literal match
     assert got["session openedXY"] == "r_prefix"     # partial fallback
+
+
+def test_compile_pattern_at_escapes():
+    """radix.c:1022-1053 '@@' escape: a doubled @ is a literal @, scanned
+    left-to-right before parser specs (test_radix.c:240-254 idioms)."""
+    from syslog_ng_spark.operators.patterndb import compile_pattern
+    import re as _re
+
+    assert _re.fullmatch(compile_pattern("a@@b"), "a@b")
+    assert _re.fullmatch(compile_pattern("a@NUMBER:n@@@"), "a42@")
+    assert _re.fullmatch(compile_pattern("baa@@"), "baa@")
+    assert not _re.fullmatch(compile_pattern("a@@b"), "aXb")

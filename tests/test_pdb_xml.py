@@ -162,3 +162,110 @@ def test_cross_rule_and_create_context(spark):
     ctx = pdb_correlate(classified, rules, actions=actions).collect()
     got = sorted((r.context_id, r.context_len) for r in ctx)
     assert got == [("42", 2), ("7", 1), ("999", 1)]
+
+
+CROSS_CTX_XML = """<?xml version='1.0' encoding='UTF-8'?>
+<patterndb version='5'>
+  <ruleset name='jobs' id='bbbb'>
+    <patterns><pattern>scheduler</pattern></patterns>
+    <rules>
+      <rule id='r_start' class='system' provider='test'>
+        <pattern>job @NUMBER:jid@ started</pattern>
+        <actions>
+          <action trigger='match'>
+            <create-context context-id='${jid}' context-timeout='60'
+                            context-scope='global'>
+              <message inherit-properties='TRUE'/>
+            </create-context>
+          </action>
+          <action trigger='timeout'>
+            <message>
+              <value name='MESSAGE'>job ${jid} saw ${context_len} events</value>
+            </message>
+          </action>
+        </actions>
+      </rule>
+      <rule id='r_prog' class='system' provider='test'
+            context-id='${jid}' context-timeout='60' context-scope='global'>
+        <pattern>job @NUMBER:jid@ progress</pattern>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+"""
+
+
+def test_create_context_joined_by_other_rule_end_to_end(spark):
+    """RAC_CREATE_CONTEXT composition (pdb-action.h:39-62 + pdb-context.c
+    join path): rule r_start's match action OPENS context ${jid}; rule
+    r_prog's rows JOIN the same (global, jid) context via its own
+    context-id declaration; the context belongs to its creator, so
+    r_start's timeout action fires once over the MERGED context."""
+    rules, actions = load_patterndb_xml(CROSS_CTX_XML)
+    df = spark.createDataFrame(
+        [
+            ("scheduler", "job 5 started", _ts(0)),
+            ("scheduler", "job 5 progress", _ts(0, 20)),
+            ("scheduler", "job 5 progress", _ts(0, 40)),
+            ("scheduler", "job 9 progress", _ts(0, 25)),  # own context, no creator
+        ],
+        "program string, msg string, ts timestamp",
+    )
+    classified = patterndb(df, rules)
+    ctx = pdb_correlate(classified, rules, actions=actions).collect()
+    got = sorted((r.context_id, r.context_len, r.rule_id) for r in ctx)
+    assert got == [("5", 3, "r_start"), ("9", 1, "r_prog")]
+
+    synth = pdb_correlate(
+        classified, rules, emit="timeout-actions", actions=actions
+    ).collect()
+    assert [(r.MESSAGE, r.context_len) for r in synth] == [
+        ("job 5 saw 3 events", 3)
+    ]
+
+
+def test_self_closed_create_context_message_not_ignored():
+    """Regression (round-2 bug): a childless <message inherit-properties=
+    'TRUE'/> inside <create-context> is a FALSY ElementTree element; the
+    loader must still read its attributes instead of silently falling
+    back to the action-level <message>."""
+    _rules, actions = load_patterndb_xml(CROSS_CTX_XML)
+    cc = [a for a in actions if a.create_context is not None]
+    assert len(cc) == 1
+    assert cc[0].create_context == ("${jid}", 60, "global")
+    assert cc[0].inherit_properties == "TRUE"
+    assert cc[0].message == ()  # the self-closed element, not the outer one
+
+
+def test_program_wildcard_pattern(spark):
+    """Program names are radix PATTERNS in the reference
+    (modules/correlation/pdb-program.c, radix.c:667): a ruleset whose
+    program pattern is 'ssh@ANYSTRING@' must classify sshd and ssh-agent
+    rows, and must NOT swallow other programs."""
+    xml = """<?xml version='1.0'?>
+<patterndb version='5'>
+  <ruleset name='ssh-family' id='cccc'>
+    <patterns><pattern>ssh@ANYSTRING@</pattern></patterns>
+    <rules>
+      <rule id='r_any_ssh' class='system' provider='test'>
+        <pattern>key exchange @ESTRING:algo: @done</pattern>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+"""
+    rules, _ = load_patterndb_xml(xml)
+    df = spark.createDataFrame(
+        [
+            ("sshd", "key exchange kex1 done"),
+            ("ssh-agent", "key exchange kex2 done"),
+            ("nginx", "key exchange kex3 done"),
+        ],
+        "program string, msg string",
+    )
+    out = patterndb(df, rules).select("program", "pdb_rule_id", "pdb.values").collect()
+    by_prog = {r.program: r for r in out}
+    assert by_prog["sshd"].pdb_rule_id == "r_any_ssh"
+    assert by_prog["sshd"]["values"]["algo"] == "kex1"
+    assert by_prog["ssh-agent"].pdb_rule_id == "r_any_ssh"
+    assert by_prog["nginx"].pdb_rule_id is None

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .parsers import csv_parser, date_parser, regexp_parser
+from .parsers import csv_parser, date_parser, json_parser, kv_parser, regexp_parser
 
 # Apache combined log format (scl/apache/apache.conf analogue)
 _APACHE = (
@@ -247,3 +247,186 @@ def windows_eventlog_parser(df: DataFrame, source: str = "text", prefix: str = "
     src = F.col(source) if isinstance(source, str) else source
     out = df.withColumn("winlog", parse(src))
     return out.withColumn("winlog_matched", F.col("winlog").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Round-3 breadth sweep: the highest-traffic remaining reference presets
+# (scl/sudo, scl/iptables, scl/linux-audit, scl/fortigate, scl/osquery)
+# ---------------------------------------------------------------------------
+
+# within one ';'-separated sudo segment: optional stray words, then KEY=value
+# (value greedy to segment end — sudo COMMAND values contain spaces)
+_SUDO_KV = r"(?:^|\s)([A-Za-z0-9_]+)=(.*)$"
+
+
+def sudo_parser(df: DataFrame, source: str = "msg", prefix: str = ".sudo.") -> DataFrame:
+    """sudo-parser() (scl/sudo/sudo.conf): kv-parser with pair-separator
+    ';' and extract-stray-words-into('0'), SUBJECT = $(list-head $0) —
+    i.e. 'alice : TTY=pts/0 ; PWD=/x ; USER=root ; COMMAND=/bin/ls -l'
+    yields the kv map under the prefix, SUBJECT='alice', and rows without
+    a COMMAND are flagged unmatched (the block's pam-noise filter).
+
+    Values run to the END of their ';' segment (COMMAND keeps its
+    arguments) — the pair separator, not whitespace, terminates a value.
+    """
+    src = F.col(source) if isinstance(source, str) else source
+    parts = F.split(src, r"\s*;\s*")
+    key_of = lambda p: F.regexp_extract(p, _SUDO_KV, 1)  # noqa: E731
+    val_of = lambda p: F.regexp_extract(p, _SUDO_KV, 2)  # noqa: E731
+    entries = F.filter(
+        F.transform(
+            parts,
+            lambda p: F.struct(
+                F.concat(F.lit(prefix), key_of(p)).alias("key"),
+                val_of(p).alias("value"),
+            ),
+        ),
+        lambda e: e["key"] != prefix,
+    )
+    kv = F.map_from_entries(entries)
+    # stray words: whatever precedes the first KEY= in each segment
+    strays = F.flatten(
+        F.transform(
+            parts,
+            lambda p: F.split(
+                F.trim(F.regexp_replace(p, r"\s*\b[A-Za-z0-9_]+=.*$", "")), r"\s+"
+            ),
+        )
+    )
+    strays = F.filter(strays, lambda w: w != "")
+    out = (
+        df.withColumn("sudo", kv)
+        .withColumn(f"{prefix}SUBJECT", F.element_at(strays, 1))
+    )
+    cmd = F.element_at(F.col("sudo"), f"{prefix}COMMAND")
+    return out.withColumn(
+        "sudo_matched", F.coalesce(cmd.isNotNull() & (cmd != ""), F.lit(False))
+    )
+
+
+def iptables_parser(df: DataFrame, source: str = "msg", prefix: str = ".iptables.") -> DataFrame:
+    """iptables-parser() (scl/iptables/iptables.conf): plain kv-parser
+    over the netfilter log line ('IN=eth0 OUT= SRC=.. DPT=22 SYN ...');
+    flag-only tokens (DF/SYN) are not pairs and are skipped, empty
+    values (OUT=) are kept empty. The application's dispatch condition
+    (facility kern + program kernel + substring PROTO=) lives in the
+    app registration, mirrored here as <target>_matched."""
+    out = kv_parser(
+        df, source=source, pair_separator=" ", prefix=prefix, target="iptables"
+    )
+    src = F.col(source) if isinstance(source, str) else source
+    return out.withColumn(
+        "iptables_matched",
+        F.coalesce(src.contains("PROTO="), F.lit(False)),
+    )
+
+
+# fields the kernel hex-encodes when the value contains unprintable bytes
+# (modules/kvformat/linux-audit-parser.c:28-40 hexcoded_fields + aN regs)
+_AUDIT_HEX_FIELDS = (
+    "name", "proctitle", "path", "dir", "comm", "ocomm", "data", "old", "new",
+)
+
+
+def linux_audit_parser(
+    df: DataFrame, source: str = "msg", prefix: str = ".auditd."
+) -> DataFrame:
+    """linux-audit-parser() + the scl/linux-audit block: kv-parse the
+    audit record, kv-parse the nested msg='...' payload under
+    '<prefix>msg.', unset the raw msg, and hex-DECODE the fields the
+    kernel hex-encodes (modules/kvformat/linux-audit-parser.c
+    parse_linux_audit_style_hexdump): a value decodes only when the
+    field is one of the known hex fields (or an aN register), the value
+    is an even-length hex string, the decoded bytes contain at least one
+    character the kernel would have had to encode (outside 0x21-0x7e, or
+    a double quote), and the result is valid UTF-8 — otherwise the raw
+    value is kept, exactly like the reference's FALSE return paths."""
+    out = kv_parser(
+        df, source=source, pair_separator=" ", prefix=prefix, target="auditd"
+    )
+    m = F.col("auditd")
+    inner = F.element_at(m, f"{prefix}msg")
+    inner_df = kv_parser(
+        out, source=inner, pair_separator=" ", prefix=f"{prefix}msg.",
+        target="_auditd_inner",
+    )
+    merged = F.map_concat(
+        F.map_filter(F.col("auditd"), lambda k, _v: k != f"{prefix}msg"),
+        F.coalesce(
+            F.col("_auditd_inner"),
+            F.create_map().cast("map<string,string>"),
+        ),
+    )
+
+    hex_keys = [f"{prefix}{f}" for f in _AUDIT_HEX_FIELDS] + [
+        f"{prefix}msg.{f}" for f in _AUDIT_HEX_FIELDS
+    ]
+
+    def dec(k, v):
+        is_hex_field = k.isin(hex_keys) | k.rlike(
+            "^" + _re_escape(prefix) + r"(?:msg\.)?a[0-9]+$"
+        )
+        is_hex_val = v.rlike(r"^(?:[0-9a-fA-F]{2})+$")
+        # decode is STRICT in Spark 4 (MALFORMED_CHARACTER_CODING), so the
+        # utf8 validity gate must sit in an OUTER case — inner predicates
+        # may be reordered, outer branches are evaluated lazily per row
+        valid_utf8 = F.is_valid_utf8(F.unhex(v))
+        decoded = F.decode(F.unhex(v), "UTF-8")
+        kernel_would_encode = decoded.rlike(r'[^\x21-\x7e]|"')
+        return F.when(
+            is_hex_field & is_hex_val & valid_utf8,
+            F.when(kernel_would_encode, decoded).otherwise(v),
+        ).otherwise(v)
+
+    return (
+        inner_df.withColumn("auditd", F.transform_values(merged, dec))
+        .drop("_auditd_inner", "_auditd_inner_matched")
+        .withColumn("auditd_matched", F.size(F.col("auditd")) > 0)
+    )
+
+
+def _re_escape(s: str) -> str:
+    import re  # noqa: PLC0415
+
+    return re.escape(s)
+
+
+def fortigate_parser(df: DataFrame, source: str = "text", prefix: str = ".fortigate.") -> DataFrame:
+    """fortigate-parser() (scl/fortigate/fortigate.conf): strip the
+    <PRI> header (syslog-parser flags(no-header) — FortiGate sends no
+    date/host header), kv-parse the body, date-parse
+    '${date} ${time}' (%Y-%m-%d %H:%M:%S) into the stamp, set HOST from
+    devname; rows without devname are unmatched (the block's filter)."""
+    src = F.col(source) if isinstance(source, str) else source
+    body = F.regexp_replace(src, r"^<\d+>", "")
+    out = kv_parser(
+        df, source=body, pair_separator=" ", prefix=prefix, target="fortigate"
+    )
+    m = F.col("fortigate")
+    devname = F.element_at(m, f"{prefix}devname")
+    stamp_src = F.concat_ws(
+        " ", F.element_at(m, f"{prefix}date"), F.element_at(m, f"{prefix}time")
+    )
+    out = date_parser(out, ["yyyy-MM-dd HH:mm:ss"], source=stamp_src, target="stamp")
+    host_val = F.when(devname != "", devname)
+    if "host" in out.columns:
+        out = out.withColumn("host", F.coalesce(host_val, F.col("host")))
+    else:
+        out = out.withColumn("host", host_val)
+    return out.withColumn(
+        "fortigate_matched",
+        F.coalesce(devname.isNotNull() & (devname != ""), F.lit(False)),
+    )
+
+
+def osquery_parser(df: DataFrame, source: str = "text", prefix: str = ".osquery.") -> DataFrame:
+    """osquery() source block (scl/osquery/plugin.conf): json-parser with
+    prefix('.osquery.') over osqueryd result lines + the block's
+    program-override('osquery') (program set only on parsed rows)."""
+    out = json_parser(df, source=source, prefix=prefix, target="osquery")
+    prog = F.when(F.col("osquery_matched"), F.lit("osquery"))
+    if "program" in out.columns:
+        out = out.withColumn("program", F.coalesce(prog, F.col("program")))
+    else:
+        out = out.withColumn("program", prog)
+    return out

@@ -143,6 +143,11 @@ _SCL_PARSERS = {
     "sdata": "sdata_parser",
     "app": "app_parser",
     "windows-eventlog": "windows_eventlog_parser",
+    "sudo": "sudo_parser",
+    "iptables": "iptables_parser",
+    "linux-audit": "linux_audit_parser",
+    "fortigate": "fortigate_parser",
+    "osquery": "osquery_parser",
 }
 
 

@@ -124,3 +124,112 @@ def test_app_parser_dispatch(spark):
     )
     got = [r.app for r in app_parser(df).collect()]
     assert got == ["apache", "cisco", "rfc5424-sd", None]
+
+
+def test_sudo_parser(spark):
+    """scl/sudo/sudo.conf: ';'-separated kv with stray-word SUBJECT;
+    COMMAND keeps its arguments; pam rows (no COMMAND) are unmatched."""
+    from syslog_ng_spark.operators.scl import sudo_parser
+
+    df = spark.createDataFrame(
+        [
+            ("alice : TTY=pts/0 ; PWD=/home/alice ; USER=root ; COMMAND=/usr/bin/ls -l /tmp",),
+            ("pam_unix(sudo:session): session opened for user root",),
+        ],
+        "msg string",
+    )
+    out = sudo_parser(df).collect()
+    r = out[0]
+    assert r["sudo"][".sudo.COMMAND"] == "/usr/bin/ls -l /tmp"
+    assert r["sudo"][".sudo.TTY"] == "pts/0"
+    assert r["sudo"][".sudo.USER"] == "root"
+    assert r[".sudo.SUBJECT"] == "alice"
+    assert r["sudo_matched"] is True
+    assert out[1]["sudo_matched"] is False
+
+
+def test_iptables_parser(spark):
+    """scl/iptables/iptables.conf: kv over the netfilter line; flag-only
+    tokens (DF/SYN) skipped, empty values kept."""
+    from syslog_ng_spark.operators.scl import iptables_parser
+
+    line = ("IN=eth0 OUT= MAC=00:11:22:33:44:55 SRC=192.168.1.2 DST=10.0.0.1 "
+            "LEN=60 TTL=64 ID=12345 DF PROTO=TCP SPT=51234 DPT=22 SYN URGP=0")
+    out = iptables_parser(
+        spark.createDataFrame([(line,), ("unrelated kernel text",)], "msg string")
+    ).collect()
+    r = out[0]
+    assert r["iptables"][".iptables.PROTO"] == "TCP"
+    assert r["iptables"][".iptables.DPT"] == "22"
+    assert r["iptables"][".iptables.OUT"] == ""
+    assert ".iptables.DF" not in r["iptables"]  # flag token, not a pair
+    assert r["iptables_matched"] is True
+    assert out[1]["iptables_matched"] is False
+
+
+def test_linux_audit_parser_hexdecode_and_nested_msg(spark):
+    """modules/kvformat/linux-audit-parser.c semantics: hex fields decode
+    only when even-length hex AND the decoded bytes needed encoding
+    (space/quote/control); plain-hex-looking values that decode to fully
+    printable text stay raw (the kernel would not have encoded them);
+    the nested msg='...' payload lands under .auditd.msg. and the raw
+    msg is unset (scl/linux-audit block)."""
+    from syslog_ng_spark.operators.scl import linux_audit_parser
+
+    syscall = ("type=SYSCALL msg=audit(1364481363.243:24287): arch=c000003e "
+               "syscall=2 success=no exit=-13 a0=7fffd19c5592 ppid=2686 "
+               'comm="cat" proctitle=2F62696E2F6C73202D6C name=61626364')
+    user_acct = ("type=USER_ACCT msg=audit(1451578636.218:378): pid=5260 uid=0 "
+                 "msg='op=PAM:accounting acct=\"root\" exe=\"/usr/sbin/crond\" "
+                 "hostname=? terminal=cron res=success'")
+    out = linux_audit_parser(
+        spark.createDataFrame([(syscall,), (user_acct,)], "msg string")
+    ).collect()
+    m0 = out[0]["auditd"]
+    assert m0[".auditd.proctitle"] == "/bin/ls -l"      # contains space -> decoded
+    assert m0[".auditd.name"] == "61626364"             # decodes to 'abcd', all printable -> kept raw
+    assert m0[".auditd.a0"] == "7fffd19c5592"           # hex reg but decodes to invalid UTF-8 -> kept raw
+    assert m0[".auditd.comm"] == "cat"                  # quoted, not hex
+    assert ".auditd.msg" not in m0                      # unset after nested parse
+    m1 = out[1]["auditd"]
+    assert m1[".auditd.msg.acct"] == "root"
+    assert m1[".auditd.msg.res"] == "success"
+    assert m1[".auditd.type"] == "USER_ACCT"
+    assert ".auditd.msg" not in m1
+
+
+def test_fortigate_parser(spark):
+    """scl/fortigate/fortigate.conf: <PRI> stripped, kv body, stamp from
+    date+time, HOST from devname, unmatched without devname."""
+    from syslog_ng_spark.operators.scl import fortigate_parser
+
+    line = ('<189>date=2026-03-01 time=10:20:30 devname="FGT60D" '
+            'devid="FGT60D4614044725" logid="0100044546" type="event" '
+            'subtype="system" level="information" msg="System status"')
+    out = fortigate_parser(
+        spark.createDataFrame([(line,), ("plain syslog line",)], "text string")
+    ).collect()
+    r = out[0]
+    assert r["fortigate"][".fortigate.type"] == "event"
+    assert r["host"] == "FGT60D"
+    assert str(r["stamp"]) == "2026-03-01 10:20:30"
+    assert r["fortigate_matched"] is True
+    assert out[1]["fortigate_matched"] is False
+
+
+def test_osquery_parser(spark):
+    """scl/osquery/plugin.conf: json-parser with .osquery. prefix +
+    program-override on parsed rows."""
+    from syslog_ng_spark.operators.scl import osquery_parser
+
+    line = ('{"name":"pack_mon_info","hostIdentifier":"host1",'
+            '"unixTime":"1579097840","columns":{"pid":"700","version":"4.0.2"},'
+            '"action":"added"}')
+    out = osquery_parser(
+        spark.createDataFrame([(line, "old"), ("not json", "old")], "text string, program string")
+    ).collect()
+    r = out[0]
+    assert r["osquery"][".osquery.name"] == "pack_mon_info"
+    assert r["osquery"][".osquery.columns.pid"] == "700"
+    assert r["program"] == "osquery"
+    assert out[1]["program"] == "old"

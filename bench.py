@@ -179,9 +179,11 @@ def main() -> None:
             parse_runs[N_HI] = hi
     thr_parse = {lv: n_parse / parse_runs[lv][0] for lv in parse_runs}
     per_round = [round(t_lo / t_hi / (N_HI / N_LO), 3) for t_lo, t_hi in rounds]
-    # clamp at 1.0: session noise can make a round superlinear, which is
-    # the measurement lying, not the engine scaling better than ideal
-    efficiency = min(1.0, max(per_round))
+    # headline = MEDIAN of the rounds (best-of-N on a ratio with ~±25%
+    # session drift systematically overstates it); clamp at 1.0 only as a
+    # sanity bound — a superlinear round is the measurement lying, not
+    # the engine beating ideal scaling. Raw rounds stay in the output.
+    efficiency = min(1.0, sorted(per_round)[len(per_round) // 2])
 
     result = {
         "metric": "transcript_turns_parsed_routed_per_sec",

@@ -156,7 +156,14 @@ def syslog_parser(
         ),
     )
 
-    year = F.year(F.col(year_hint_col)).cast("string")
+    # BSD timestamps carry no year; hint from an event-time column when
+    # present, else the wall clock (lib/timeutils/ — the reference's
+    # assume-current-year behavior)
+    year = (
+        F.year(F.col(year_hint_col)).cast("string")
+        if year_hint_col in df.columns
+        else F.year(F.current_date()).cast("string")
+    )
     ts3 = F.try_to_timestamp(
         F.concat_ws(
             " ", year, F.regexp_replace(g3[2], r"\s+", " ")

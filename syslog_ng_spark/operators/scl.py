@@ -430,3 +430,189 @@ def osquery_parser(df: DataFrame, source: str = "text", prefix: str = ".osquery.
     else:
         out = out.withColumn("program", prog)
     return out
+
+
+def cee_parser(df: DataFrame, source: str = "msg", prefix: str = ".cee.") -> DataFrame:
+    """cee adapter (scl/cee/adapter.conf): json-parser with marker
+    '@cee:' — only messages carrying the CEE cookie parse, the rest pass
+    through unmatched."""
+    return json_parser(df, source=source, prefix=prefix, marker="@cee:", target="cee")
+
+
+def ewmm_parser(
+    df: DataFrame, source: str = "msg", program_col: str = "program"
+) -> DataFrame:
+    """ewmm-parser() (scl/ewmm/ewmm.conf): syslog-ng's own EWMM relay
+    format — rows whose program is '@syslog-ng' carry a JSON body of all
+    name-value pairs; parse it, lift ._TAGS into the tags array and drop
+    the hop-by-hop field."""
+    out = json_parser(df, source=source, target="ewmm")
+    prog_ok = F.col(program_col) == "@syslog-ng" if program_col in df.columns else F.lit(True)
+    matched = F.coalesce(prog_ok & F.col("ewmm_matched"), F.lit(False))
+    tags = F.filter(
+        F.transform(
+            F.split(F.element_at(F.col("ewmm"), "._TAGS"), ","), lambda t: F.trim(t)
+        ),
+        lambda t: t != "",
+    )
+    return (
+        out.withColumn("ewmm_matched", matched)
+        .withColumn("tags", F.when(matched, tags))
+        .withColumn(
+            "ewmm",
+            F.when(matched, F.map_filter(F.col("ewmm"), lambda k, _v: k != "._TAGS")),
+        )
+    )
+
+
+def websense_parser(df: DataFrame, source: str = "text", prefix: str = ".websense.") -> DataFrame:
+    """websense-parser() (scl/websense/plugin.conf): strip the timezone
+    code from the BSD timestamp, inject a 'Websense:' program so the
+    syslog header parses, then kv-parse the body. Dispatch = substring
+    'vendor=Websense' (the app registration's filter)."""
+    from .parsers import syslog_parser  # noqa: PLC0415
+
+    src = F.col(source) if isinstance(source, str) else source
+    # the reference substitutes "$1 " (its sscanf-style header parser
+    # absorbs the doubled space); this engine's header regex is strict,
+    # so drop the TZ token and its separator in one go
+    fixed = F.regexp_replace(
+        src, r"([A-Za-z]{3} [0-9 ]\d \d{2}:\d{2}:\d{2}) [A-Z]{3,4}", r"$1"
+    )
+    fixed = F.regexp_replace(fixed, r"(vendor=Websense)", r"Websense: $1")
+    out = df.withColumn("_ws_fixed", fixed)
+    out = syslog_parser(out, text_col="_ws_fixed", require_header=False)
+    out = kv_parser(out, source="msg", pair_separator=" ", prefix=prefix, target="websense")
+    return (
+        out.drop("_ws_fixed")
+        .withColumn(
+            "websense_matched",
+            F.coalesce(src.contains("vendor=Websense"), F.lit(False)),
+        )
+    )
+
+
+def checkpoint_parser(df: DataFrame, source: str = "text", prefix: str = ".checkpoint.") -> DataFrame:
+    """checkpoint-parser() (scl/checkpoint/plugin.conf), syslog branch:
+    space-CSV header (two layouts: ISO timestamp in $2, or date+time in
+    $2 $3) then ';'-separated 'k:v' pairs. The splunk branch ('k|v'
+    pairs joined by '=') is folded in as a fallback, like the
+    reference's if/else channel."""
+    src = F.col(source) if isinstance(source, str) else source
+    is_syslog = src.startswith("<")
+    # syslog branch: <PRI>seq ISO-ts HOST PROGRAM PID MSGID MSG...
+    parts = F.split(src, " ")
+    body = F.concat_ws(" ", F.slice(parts, 7, 1 << 20))
+    kv_body = F.when(is_syslog, body).otherwise(src)
+    seg = F.split(kv_body, r"\s*;\s*")
+
+    def _unquote(v):
+        return F.when(
+            v.rlike(r'^".*"$'), F.regexp_replace(v, r'^"(.*)"$', r"$1")
+        ).otherwise(v)
+
+    # segments may open with '[' and the last closes with ']'; values are
+    # usually quoted ('action:"Update"')
+    sys_entries = F.filter(
+        F.transform(
+            seg,
+            lambda p: F.struct(
+                F.concat(
+                    F.lit(prefix), F.regexp_extract(p, r"^[^\w]*([\w.\-]+):", 1)
+                ).alias("key"),
+                _unquote(
+                    F.regexp_extract(p, r"^[^\w]*[\w.\-]+:\s*(.*?)\s*\]?\s*$", 1)
+                ).alias("value"),
+            ),
+        ),
+        lambda e: e["key"] != prefix,
+    )
+    out = kv_parser(
+        df, source=src, value_separator="|", pair_separator="=",
+        prefix=prefix, target="_cp_splunk",
+    )
+    cp = F.when(is_syslog, F.map_from_entries(sys_entries)).otherwise(
+        F.col("_cp_splunk")
+    )
+    out = (
+        out.withColumn("checkpoint", cp)
+        .drop("_cp_splunk", "_cp_splunk_matched")
+        .withColumn("checkpoint_matched", F.size(F.col("checkpoint")) > 0)
+    )
+    out = out.withColumn(
+        "cp_host", F.when(is_syslog, F.element_at(parts, 3))
+    ).withColumn("cp_program", F.when(is_syslog, F.element_at(parts, 4)))
+    return date_parser(
+        out,
+        ["yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ss"],
+        source=F.regexp_replace(F.element_at(parts, 2), r"^<\d+>", ""),
+        target="cp_stamp",
+    )
+
+
+def pihole_ftl_parser(df: DataFrame, source: str = "text") -> DataFrame:
+    """pihole_ftl() (scl/pihole/pihole.conf): '[ts pid] LEVEL: message'
+    FTL.log lines → MESSAGE + stamp + PROGRAM='Pi-hole' + severity from
+    the level token (set-severity with condition)."""
+    from .rewrite import set_severity  # noqa: PLC0415
+
+    pat = (
+        r"^\[([^ ]+ [^ ]+) [^ \]]*\] "
+        r"(?:(FATAL|ERR|ERROR|Error|WARN|WARNING|Warning|Notice|INFO|DEBUG):|) ?(.*)"
+    )
+    src = F.col(source) if isinstance(source, str) else source
+    lvl = F.upper(F.regexp_extract(src, pat, 2))
+    sev_name = (
+        F.when(lvl == "FATAL", "crit")
+        .when(lvl.isin("ERR", "ERROR"), "err")
+        .when(lvl.isin("WARN", "WARNING"), "warning")
+        .when(lvl == "NOTICE", "notice")
+        .when(lvl == "DEBUG", "debug")
+        .when(lvl == "INFO", "info")
+    )
+    out = (
+        df.withColumn("MESSAGE", F.regexp_extract(src, pat, 3))
+        .withColumn("program", F.lit("Pi-hole"))
+        .withColumn(
+            "pihole_matched", F.coalesce(F.regexp_extract(src, pat, 1) != "", F.lit(False))
+        )
+    )
+    out = date_parser(
+        out,
+        ["yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm:ss"],
+        source=F.regexp_extract(src, pat, 1),
+        target="stamp",
+    )
+    if "pri" in out.columns:
+        out = set_severity(out, sev_name, condition=lvl != "")
+    else:
+        out = out.withColumn("level", F.when(lvl != "", sev_name))
+    return out
+
+
+def default_network_drivers(df: DataFrame, source: str = "text") -> DataFrame:
+    """default-network-drivers() (scl/default-network-drivers/plugin.conf),
+    the parse half: raw-topic app presets first (fortigate, websense),
+    else syslog-parse and try ewmm → syslog-topic app presets (cee,
+    iptables, sudo) — a CASE cascade instead of the reference's junction
+    (each preset parses as pruned columns; ``app`` names the winner)."""
+    from .parsers import syslog_parser  # noqa: PLC0415
+
+    out = fortigate_parser(df, source=source)
+    out = websense_parser(out, source=source)
+    out = syslog_parser(out, text_col=source, require_header=False)
+    out = ewmm_parser(out, source="msg")
+    out = cee_parser(out, source="msg")
+    out = iptables_parser(out, source="msg")
+    out = sudo_parser(out, source="msg")
+    return out.withColumn(
+        "app",
+        F.when(F.col("fortigate_matched"), "fortigate")
+        .when(F.col("websense_matched"), "websense")
+        .when(F.col("ewmm_matched"), "ewmm")
+        .when(F.col("cee_matched"), "cee")
+        .when(
+            F.col("iptables_matched") & (F.col("program") == "kernel"), "iptables"
+        )
+        .when(F.col("sudo_matched") & (F.col("program") == "sudo"), "sudo"),
+    )

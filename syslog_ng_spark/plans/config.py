@@ -148,6 +148,12 @@ _SCL_PARSERS = {
     "linux-audit": "linux_audit_parser",
     "fortigate": "fortigate_parser",
     "osquery": "osquery_parser",
+    "cee": "cee_parser",
+    "ewmm": "ewmm_parser",
+    "websense": "websense_parser",
+    "checkpoint": "checkpoint_parser",
+    "pihole-ftl": "pihole_ftl_parser",
+    "default-network-drivers": "default_network_drivers",
 }
 
 

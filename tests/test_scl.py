@@ -233,3 +233,120 @@ def test_osquery_parser(spark):
     assert r["osquery"][".osquery.columns.pid"] == "700"
     assert r["program"] == "osquery"
     assert out[1]["program"] == "old"
+
+
+def test_cee_parser(spark):
+    """scl/cee/adapter.conf: json only behind the @cee: cookie."""
+    from syslog_ng_spark.operators.scl import cee_parser
+
+    out = cee_parser(
+        spark.createDataFrame(
+            [('@cee:{"event":"login","user":"alice"}',), ('{"event":"x"}',)],
+            "msg string",
+        )
+    ).collect()
+    assert out[0]["cee"][".cee.event"] == "login"
+    assert out[0]["cee_matched"] is True
+    assert out[1]["cee_matched"] is False  # no cookie, no parse
+
+
+def test_ewmm_parser(spark):
+    """scl/ewmm/ewmm.conf: @syslog-ng EWMM relay rows json-parse; ._TAGS
+    lifts into tags and drops from the map."""
+    from syslog_ng_spark.operators.scl import ewmm_parser
+
+    body = '{"MESSAGE":"hello","HOST":"web1","._TAGS":".source.s_net,flagged"}'
+    out = ewmm_parser(
+        spark.createDataFrame(
+            [("@syslog-ng", body), ("nginx", body)],
+            "program string, msg string",
+        )
+    ).collect()
+    r = out[0]
+    assert r["ewmm"]["MESSAGE"] == "hello"
+    assert r["tags"] == [".source.s_net", "flagged"]
+    assert "._TAGS" not in r["ewmm"]
+    assert out[1]["ewmm_matched"] is False  # wrong program
+
+
+def test_websense_parser(spark):
+    """scl/websense/plugin.conf: TZ code stripped, program injected,
+    kv extracted."""
+    from syslog_ng_spark.operators.scl import websense_parser
+
+    line = ("Mar  1 14:31:18 EST 10.10.10.10 vendor=Websense product=Security "
+            "action=permitted src_host=192.168.1.25")
+    out = websense_parser(
+        spark.createDataFrame([(line,), ("other line",)], "text string")
+    ).collect()
+    r = out[0]
+    assert r["websense"][".websense.vendor"] == "Websense"
+    assert r["websense"][".websense.action"] == "permitted"
+    assert r["websense_matched"] is True
+    assert out[1]["websense_matched"] is False
+
+
+def test_checkpoint_parser(spark):
+    """scl/checkpoint/plugin.conf syslog branch: space-CSV header then
+    ';'-separated 'k:v' pairs (bracketed, quoted values); splunk branch
+    ('k|v' joined by '=') as fallback."""
+    from syslog_ng_spark.operators.scl import checkpoint_parser
+
+    syslog_line = ('<134>1 2018-03-21T17:25:25Z MDS-72 CheckPoint 13752 - '
+                   '[action:"Update"; flags:"150784"; ifdir:"inbound"; '
+                   'logid:"160571424"]')
+    splunk_line = "time|1557767758=action|Accept=orig|192.168.1.1"
+    out = checkpoint_parser(
+        spark.createDataFrame([(syslog_line,), (splunk_line,)], "text string")
+    ).collect()
+    r = out[0]
+    assert r["checkpoint"][".checkpoint.action"] == "Update"
+    assert r["checkpoint"][".checkpoint.logid"] == "160571424"
+    assert r["cp_host"] == "MDS-72"
+    assert r["cp_program"] == "CheckPoint"
+    assert str(r["cp_stamp"]).startswith("2018-03-21 17:25:25")
+    s = out[1]
+    assert s["checkpoint"][".checkpoint.action"] == "Accept"
+    assert s["checkpoint"][".checkpoint.orig"] == "192.168.1.1"
+
+
+def test_pihole_ftl_parser(spark):
+    """scl/pihole/pihole.conf: '[ts pid] LEVEL: msg' → MESSAGE, stamp,
+    Pi-hole program, severity from the level token."""
+    from syslog_ng_spark.operators.scl import pihole_ftl_parser
+
+    out = pihole_ftl_parser(
+        spark.createDataFrame(
+            [
+                ("[2026-03-01 10:20:30.123 4527] WARNING: Insufficient permissions",),
+                ("[2026-03-01 10:20:31.000 4527] FTL started",),
+            ],
+            "text string",
+        )
+    ).collect()
+    r = out[0]
+    assert r["MESSAGE"] == "Insufficient permissions"
+    assert r["program"] == "Pi-hole"
+    assert str(r["stamp"]).startswith("2026-03-01 10:20:30")
+    assert r["level"] == "warning"
+    assert out[1]["MESSAGE"] == "FTL started"
+    assert out[1]["level"] is None
+
+
+def test_default_network_drivers_dispatch(spark):
+    """scl/default-network-drivers: one ingest surface, per-app dispatch —
+    fortigate (raw kv), cee (cookie json), iptables (kernel kv),
+    sudo — each lands in its own app lane; plain syslog falls through."""
+    from syslog_ng_spark.operators.scl import default_network_drivers
+
+    rows = [
+        ('<189>date=2026-03-01 time=10:20:30 devname="FGT60D" type="event"',),
+        ('<13>Mar  1 10:20:30 web1 myapp[7]: @cee:{"event":"login"}',),
+        ("<6>Mar  1 10:20:30 gw kernel: IN=eth0 OUT= SRC=1.2.3.4 DST=5.6.7.8 PROTO=TCP DPT=22",),
+        ("<85>Mar  1 10:20:30 db1 sudo: alice : TTY=pts/0 ; USER=root ; COMMAND=/bin/ls",),
+        ("<13>Mar  1 10:20:30 web1 nginx[8]: plain message",),
+    ]
+    out = default_network_drivers(
+        spark.createDataFrame(rows, "text string")
+    ).select("app", "program").collect()
+    assert [r.app for r in out] == ["fortigate", "cee", "iptables", "sudo", None]

@@ -856,6 +856,84 @@ FROM p GROUP BY path ORDER BY path
 """
 
 
+def q_scl_sudo(spark, sf_dir):
+    """SCL sudo preset (scl/sudo/sudo.conf) as an INVERSE-PROPERTY gate:
+    deterministically format sudo log lines from customer columns, parse
+    them back with sudo_parser, return the extracted fields. The DuckDB
+    oracle recomputes the same fields straight from the source columns —
+    parse(format(x)) == x, the same check the reference's functional
+    tests run on canned lines, but over 10k rows."""
+    from syslog_ng_spark.operators.scl import sudo_parser
+
+    c = _t(spark, sf_dir, "customer")
+    line = F.concat(
+        F.regexp_replace("c_name", "#", "_"), F.lit(" : TTY=pts/"),
+        F.pmod("c_custkey", F.lit(10)).cast("string"),
+        F.lit(" ; PWD=/home/seg ; USER=root ; COMMAND=/bin/report "),
+        F.col("c_mktsegment"), F.lit(" "), F.col("c_acctbal").cast("string"),
+    )
+    parsed = sudo_parser(c.withColumn("msg", line))
+    m = F.col("sudo")
+    return parsed.select(
+        "c_custkey",
+        F.col("`.sudo.SUBJECT`").alias("subject"),
+        F.element_at(m, ".sudo.TTY").alias("tty"),
+        F.element_at(m, ".sudo.COMMAND").alias("command"),
+        F.col("sudo_matched").alias("matched"),
+    ).orderBy("c_custkey")
+
+
+_SCL_SUDO_SQL = """
+SELECT c_custkey,
+       replace(c_name, '#', '_') AS subject,
+       'pts/' || CAST(c_custkey % 10 AS VARCHAR) AS tty,
+       '/bin/report ' || c_mktsegment || ' ' || CAST(c_acctbal AS VARCHAR)
+         AS command,
+       true AS matched
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_scl_apache(spark, sf_dir):
+    """SCL apache-accesslog preset (scl/apache/apache.conf), same
+    inverse-property construction: combined-log lines formatted from
+    orders columns, parsed back; typed fields (int response, long bytes,
+    timestamp) must round-trip."""
+    from syslog_ng_spark.operators.scl import apache_accesslog_parser
+
+    o = _t(spark, sf_dir, "orders")
+    ts = F.date_format(
+        F.col("o_orderdate").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss Z"
+    )
+    line = F.concat(
+        F.lit("10.0."), F.pmod("o_custkey", F.lit(256)).cast("string"),
+        F.lit(".1 - frank ["), ts, F.lit('] "GET /orders/'),
+        F.col("o_orderkey").cast("string"), F.lit(' HTTP/1.0" '),
+        F.when(F.col("o_orderstatus") == "F", 200).otherwise(404).cast("string"),
+        F.lit(" "), F.round("o_totalprice").cast("long").cast("string"),
+    )
+    parsed = apache_accesslog_parser(o.withColumn("text", line))
+    return parsed.select(
+        "o_orderkey",
+        F.col("`.apache.clientip`").alias("clientip"),
+        F.col("`.apache.request`").alias("request"),
+        F.col("`.apache.response`").alias("response"),
+        F.col("`.apache.bytes`").alias("bytes"),
+        F.col("`.apache.stamp`").alias("stamp"),
+    ).orderBy("o_orderkey")
+
+
+_SCL_APACHE_SQL = """
+SELECT o_orderkey,
+       '10.0.' || CAST(o_custkey % 256 AS VARCHAR) || '.1' AS clientip,
+       '/orders/' || CAST(o_orderkey AS VARCHAR) AS request,
+       CASE WHEN o_orderstatus = 'F' THEN 200 ELSE 404 END AS response,
+       CAST(round(o_totalprice) AS BIGINT) AS bytes,
+       CAST(o_orderdate AS TIMESTAMP) AS stamp
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def q_stats_aggregate(spark, sf_dir):
     """stats aggregators (§2.7): running average / maximum / EPS per key
     (stats-average.c, stats-maximum.c, stats-change-per-second.c)."""
@@ -1051,6 +1129,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the query self-verifies against independently-written reference
         # semantics (see docstring)
         "transcript_pipeline": q_transcript_pipeline,
+        "scl_sudo": q_scl_sudo,
+        "scl_apache": q_scl_apache,
     }
 
 
@@ -1090,6 +1170,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _EXACT_JACCARD_SQL,
         "embedding_neardup": _EMBED_NEARDUP_SQL,
         "transcript_pipeline": _TRANSCRIPT_SQL,
+        "scl_sudo": _SCL_SUDO_SQL,
+        "scl_apache": _SCL_APACHE_SQL,
     }
 
 

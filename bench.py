@@ -209,37 +209,80 @@ def main() -> None:
     }
     shutil.rmtree(work, ignore_errors=True)
 
+    write_bench_md(result)
+    print(json.dumps(result))
+
+
+def write_bench_md(result: dict) -> None:
+    """Render BENCH.md from a bench result dict. Also reachable via
+    `python bench.py --report <result.json>` to regenerate the report
+    without re-measuring."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pipe = result["pipeline"]
+    (route_level, route_stats), = pipe["route_job"].items()
     rows = "\n".join(
-        f"| local[{lv}] | {parse_runs[lv][0]:.3f} | {thr_parse[lv]:,.0f} |"
-        for lv in parse_runs
+        f"| {lv} | {st['sec']:.3f} | {st['rows_per_sec']:,.0f} |"
+        for lv, st in pipe["full_parse_job"].items()
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as fh:
+
+    # per-query delta vs the previous round, when its JSON is around
+    prev_q, prev_name = {}, None
+    for cand in sorted(
+        f for f in os.listdir(repo) if f.startswith("BENCH_r") and f.endswith(".json")
+    ):
+        try:
+            with open(os.path.join(repo, cand)) as fh:
+                prev = json.load(fh)
+            prev = prev.get("parsed", prev)  # driver wraps under "parsed"
+            if prev.get("queries") and prev["queries"] != result["queries"]:
+                prev_q, prev_name = prev["queries"], cand
+        except (OSError, ValueError):
+            continue
+    cmp_section = ""
+    if prev_q:
+        lines = []
+        for q, sec in result["queries"].items():
+            p = prev_q.get(q)
+            delta = f"{(sec / p - 1) * 100:+.0f}%" if p else "new"
+            lines.append(f"| {q} | {p if p is not None else '—'} | {sec} | {delta} |")
+        cmp_section = (
+            f"\n## Per-query seconds at sf={result['sf']} (vs {prev_name})\n\n"
+            "Same isolation protocol both rounds (fresh plan per run, "
+            "clearCache + GC between queries).\n\n"
+            f"| query | prev s | now s | Δ |\n|---|---|---|---|\n" + "\n".join(lines) + "\n"
+        )
+
+    with open(os.path.join(repo, "BENCH.md"), "w") as fh:
         fh.write(
             "# BENCH — measured locally by bench.py\n\n"
-            f"Corpus: {n_turns:,} turns (deterministic datagen, seed 42), "
+            f"Corpus: {pipe['n_turns']:,} turns (deterministic datagen, seed 42), "
             "shuffle.partitions = cores, AQE on.\n\n"
             "## Headline: parse+route+count\n\n"
             "read parquet → syslog parse → severity filter → 3-sink route "
             "(final/fallback) → per-sink counts (Catalyst prunes parsing to "
             "the columns routing needs — that pruning is the point):\n\n"
-            f"**{thr_route:,.0f} turns/s** at local[{CPUS}] "
+            f"**{result['value']:,.0f} turns/s** at {route_level} "
             f"(reference single-node relay: 600-800k msg/s, README.md:91-93).\n\n"
             "## N→4N scaling criterion (full-parse job, every field forced)\n\n"
             f"| level | wall s | turns/s |\n|---|---|---|\n{rows}\n\n"
-            f"**Scaling efficiency local[{N_LO}] → local[{N_HI}] = {efficiency:.3f}** "
-            "(target ≥ 0.8, BASELINE.json).\n\n"
+            f"**Scaling efficiency {pipe['scaling_pair']} = "
+            f"{pipe['scaling_efficiency']:.3f}** (target ≥ 0.8, BASELINE.json; "
+            f"MEDIAN of interleaved rounds {pipe['scaling_rounds']}, clamped "
+            "at 1.0 as a sanity bound).\n\n"
             "Why this pair: on a real cluster each added EXECUTOR brings its "
             "own memory bandwidth; on this single host string-heavy parsing "
             "saturates the shared memory bus above ~12 threads (pure-compute "
             "scales ~21×/32 procs), so the non-saturated pair is the honest "
             "executor-scaling analogue (full 1..32 curve: SCALE.md/PLANS.md). "
             "Plans are shuffle-free until the final aggregate — no exchange "
-            "bottleneck appears at higher executor counts.\n\n"
-            f"Per-query seconds at sf={SF}: see BENCH JSON `queries`.\n"
+            "bottleneck appears at higher executor counts.\n"
+            + cmp_section
         )
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--report":
+        with open(sys.argv[2]) as fh:
+            write_bench_md(json.load(fh))
+    else:
+        main()

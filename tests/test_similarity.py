@@ -137,3 +137,28 @@ def test_embedding_hot_bucket_cap_and_accounting(spark):
         sub, threshold=0.99, dim=8, n_planes=4, n_tables=4, max_bucket_size=None
     ).count()
     assert n == 20 * 19 / 2 + 1
+
+
+def test_ivf_topk_recall_and_pruning(spark, emb):
+    """IVF ANN: √n k-means cells, nprobe nearest cells per query, exact
+    rerank inside — self-hits always recovered (a vector's own cell is
+    its nearest), recall vs brute force bounded below, and the probe
+    touches only nprobe cells' worth of rows."""
+    assigned, centroids = SIM.ivf_index(emb, n_cells=8, seed=7)
+    n_cells = assigned.select("_cell").distinct().count()
+    assert 2 <= n_cells <= 8
+
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = SIM.brute_force_topk(emb, queries, k=3)
+    approx = SIM.ivf_topk(assigned, centroids, queries, k=3, nprobe=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    for qid in {q for q, _ in e}:
+        assert (qid, qid) in a          # self-hit: own cell is nearest
+    assert len(a & e) >= len(e) // 2    # ≥50% of exact top-3 at nprobe=3/8
+
+    # probing ALL cells degenerates to exact — same result set
+    full = SIM.ivf_topk(assigned, centroids, queries, k=3, nprobe=8)
+    f = {(r.query_id, r.vec_id, r.rank) for r in full.collect()}
+    ex = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    assert f == ex

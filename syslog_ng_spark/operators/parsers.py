@@ -536,23 +536,62 @@ def regexp_parser(
     out = df
     matched_any = F.lit(False)
     per_pattern_matched = [src.rlike(p) for _, p in compiled]
+
+    # MATCH-ONCE extraction: regexp_extract re-runs the FULL regex per
+    # group (a k-group pattern costs k matches — measured seconds at
+    # sf0.1 on the apache preset), so instead each pattern is applied
+    # once via regexp_replace packing every group into one \x1e-joined
+    # string, then split. The pattern is wrapped to consume the whole
+    # input (\A..[\s\S]*\z) so exactly one replacement happens; an
+    # unanchored pattern keeps its search-anywhere semantics via a lazy
+    # prefix INSIDE the consumed region.
+    #
+    # The packed array and match flags are MATERIALIZED as (temporary)
+    # columns before the per-group projection: Spark does no common-
+    # subexpression elimination under CASE WHEN branches, so referencing
+    # the split expression from inside k `when(...)` columns re-runs the
+    # regex k times (measured: 4.7s vs 1.1s on the apache preset at
+    # sf0.1) — while CollapseProject keeps a materialized non-cheap
+    # column in its own projection, computed once.
+    _SEP = "\x1e"
+
+    def _packed_parts(creg: "_re.Pattern", praw: str):
+        body = praw
+        head = "\\A"
+        if body.startswith("^"):
+            body = body[1:]
+        else:
+            head += "[\\s\\S]*?"
+        # a literal trailing $ already pins the end — appending a tail
+        # after it would make the wrapper unmatchable
+        tail = "" if (body.endswith("$") and not body.endswith("\\$")) else "[\\s\\S]*"
+        whole = f"{head}(?:{body}){tail}\\z"
+        repl = _SEP.join(f"${i}" for i in range(1, creg.groups + 1))
+        return F.split(F.regexp_replace(src, whole, repl), _SEP, -1)
+
+    tmp_parts = [f"_re_p{i}" for i in range(len(compiled))]
+    tmp_match = [f"_re_m{i}" for i in range(len(compiled))]
+    for tp, tm, (creg, praw), m in zip(
+        tmp_parts, tmp_match, compiled, per_pattern_matched
+    ):
+        out = out.withColumn(tp, _packed_parts(creg, praw)).withColumn(tm, m)
     for name in all_names:
         col = F.lit(None).cast("string")
         # later patterns only fill when earlier ones didn't match (first-wins)
         expr = None
-        for (creg, praw), m in zip(compiled, per_pattern_matched):
+        for (creg, _praw), tp, tm in zip(compiled, tmp_parts, tmp_match):
             if name in creg.groupindex:
-                idx = creg.groupindex[name]
-                cand = F.regexp_extract(src, praw, idx)
+                cand = F.element_at(F.col(tp), creg.groupindex[name])
                 expr = (
-                    F.when(m, cand) if expr is None else expr.when(m, cand)
+                    F.when(F.col(tm), cand)
+                    if expr is None
+                    else expr.when(F.col(tm), cand)
                 )
-            # build chained when
         col = expr.otherwise(F.lit(None)) if expr is not None else col
         out = out.withColumn(prefix + name, col)
-    for m in per_pattern_matched:
-        matched_any = matched_any | m
-    return out.withColumn(matched_col, matched_any)
+    for tm in tmp_match:
+        matched_any = matched_any | F.col(tm)
+    return out.withColumn(matched_col, matched_any).drop(*tmp_parts, *tmp_match)
 
 
 # ---------------------------------------------------------------------------

@@ -934,6 +934,49 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def q_scl_linux_audit(spark, sf_dir):
+    """SCL linux-audit preset (scl/linux-audit + modules/kvformat/
+    linux-audit-parser.c), inverse-property gate: audit records are
+    formatted from documents columns with the text field HEX-ENCODED the
+    way the kernel does (values containing spaces/quotes/control bytes),
+    plus a nested msg='...' payload; the parser must hex-DECODE the
+    proctitle back to the original text and lift the nested kv under
+    .auditd.msg. — DuckDB recomputes everything from the source columns."""
+    from syslog_ng_spark.operators.scl import linux_audit_parser
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_snippet", F.substring("text", 1, 40)
+    )
+    line = F.concat(
+        F.lit("type=SYSCALL msg=audit("), F.col("doc_id").cast("string"),
+        F.lit(".0:1): syscall=2 comm=\"w\" proctitle="),
+        F.lower(F.hex(F.encode(F.col("_snippet"), "UTF-8"))),
+        F.lit(" msg='op=doc lang="), F.col("lang"), F.lit(" res=success'"),
+    )
+    parsed = linux_audit_parser(d.withColumn("msg", line))
+    m = F.col("auditd")
+    return parsed.select(
+        "doc_id",
+        F.element_at(m, ".auditd.proctitle").alias("proctitle"),
+        F.element_at(m, ".auditd.comm").alias("comm"),
+        F.element_at(m, ".auditd.msg.lang").alias("lang2"),
+        F.element_at(m, ".auditd.msg.res").alias("res"),
+    ).orderBy("doc_id")
+
+
+# the parser decodes proctitle only when the decoded bytes NEED encoding
+# (space/quote/control — parse_linux_audit_style_hexdump); 40-char doc
+# snippets always contain a space, so every row decodes.
+_SCL_AUDIT_SQL = """
+SELECT doc_id,
+       substring(text, 1, 40) AS proctitle,
+       'w' AS comm,
+       lang AS lang2,
+       'success' AS res
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_stats_aggregate(spark, sf_dir):
     """stats aggregators (§2.7): running average / maximum / EPS per key
     (stats-average.c, stats-maximum.c, stats-change-per-second.c)."""
@@ -1131,6 +1174,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_pipeline": q_transcript_pipeline,
         "scl_sudo": q_scl_sudo,
         "scl_apache": q_scl_apache,
+        "scl_linux_audit": q_scl_linux_audit,
     }
 
 
@@ -1172,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_pipeline": _TRANSCRIPT_SQL,
         "scl_sudo": _SCL_SUDO_SQL,
         "scl_apache": _SCL_APACHE_SQL,
+        "scl_linux_audit": _SCL_AUDIT_SQL,
     }
 
 

@@ -188,3 +188,34 @@ def stream_suppress(
     return stream_df.groupBy(*key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
     )
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus-wide exact dedup: emit only the FIRST row of each
+    normalized-text hash ever seen — the streaming face of
+    ``dedup.exact_dedup`` (a training-data ingest pipeline deduping as it
+    lands, before batch near-dup passes).
+
+    Spark shape: dropDuplicates on the 64-bit xxhash key rides the state
+    store (RocksDB/HDFS-backed on a cluster), so state is 8 bytes + key
+    overhead per distinct document and partitioned by hash — no skew,
+    no driver state. With ``watermark_col`` set, state for hashes older
+    than the watermark is evicted (dedup-within-horizon, the bounded-
+    state production configuration); without it state grows with the
+    distinct corpus, exactly like the batch operator's groupBy.
+    """
+    h = F.xxhash64(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    ).alias("_h")
+    out = stream_df.withColumn("_h", h)
+    if watermark_col is not None:
+        return out.withWatermark(watermark_col, watermark).dropDuplicates(
+            ["_h", ]
+        ).drop("_h")
+    return out.dropDuplicates(["_h"]).drop("_h")

@@ -244,3 +244,48 @@ def test_stream_suppress_event_time_timeout(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sup_evt").collect()
     }
     assert ("h1", "a", 2) in got  # flushed by the event-time timer
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """Streaming exact dedup holds state ACROSS micro-batches: a text
+    seen in batch 1 is suppressed when it reappears in batch 2; the
+    first occurrence of each normalized text survives. (File sink +
+    checkpoint — the memory sink cannot recover from a checkpoint.)"""
+    import os
+
+    from syslog_ng_spark.streaming.stream import stream_exact_dedup
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "other text"), (3, "HELLO   world ")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stream_exact_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {1, 2}  # 3 normalizes to 1's text
+
+    # batch 2: one repeat (suppressed via state), one new
+    spark.createDataFrame(
+        [(4, "hello world"), (5, "brand new")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {1, 2, 5}

@@ -465,3 +465,49 @@ def register_template_func(name: str, fn) -> None:
 
 def template_func_names() -> list[str]:
     return sorted(_TEMPLATE_FUNCS)
+
+
+def _format_gelf(raw, cols):
+    """$(format-gelf) (scl/graylog2/plugin.conf): GELF 1.1 payload —
+    format-json with the fixed field set, numeric level/timestamp
+    (--auto-cast int()/int64() in the reference), empty values omitted
+    by to_json's null-dropping. The trailing $(binary 0x00) GELF TCP
+    framing byte is transport-level and intentionally not part of the
+    rendered column (sinks here are tables, not sockets)."""
+    def t(name):
+        return compile_template("${" + name + "}")
+
+    def nullif_empty(c):
+        return F.when(c != "", c)
+
+    return F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            F.coalesce(nullif_empty(t("HOST")), F.lit("-")).alias("host"),
+            F.coalesce(nullif_empty(t("MSG")), F.lit("-")).alias("short_message"),
+            nullif_empty(t("LEVEL_NUM")).cast("int").alias("level"),
+            nullif_empty(t("R_UNIXTIME")).cast("bigint").alias("timestamp"),
+            nullif_empty(t("PROGRAM")).alias("_program"),
+            nullif_empty(t("PID")).cast("int").alias("_pid"),
+            nullif_empty(t("FACILITY")).alias("_facility"),
+        )
+    )
+
+
+_TEMPLATE_FUNCS["format-gelf"] = _format_gelf
+
+
+def loggly_line(token: str, tag: str, template: str = "${MSG}") -> Column:
+    """scl/loggly/loggly.conf network-destination line: RFC5424 header +
+    the customer-token SDATA element + the payload template."""
+    return compile_template(
+        "<${PRI}>1 ${ISODATE} ${HOST} ${PROGRAM} ${PID} ${MSGID} "
+        f'[{token}@41058 tag="{tag}"] {template}'
+    )
+
+
+def splunk_hec_raw_line(template: str = "${S_ISODATE} ${HOST} ${MSGHDR}${MSG}") -> Column:
+    """scl/splunk/splunk.conf splunk_hec_raw() body template (the HTTP
+    batching/token plumbing collapses to a table write per SURVEY's
+    threaded-destination mapping)."""
+    return compile_template(template)

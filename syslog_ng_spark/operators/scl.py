@@ -616,3 +616,18 @@ def default_network_drivers(df: DataFrame, source: str = "text") -> DataFrame:
         )
         .when(F.col("sudo_matched") & (F.col("program") == "sudo"), "sudo"),
     )
+
+
+def junos_parser(df: DataFrame, source: str = "text") -> DataFrame:
+    """junos application (scl/junos/plugin.conf): Juniper devices speak
+    RFC5424 with their data in SDATA; the app matches when the junos
+    reason field is present — sdata-parse + that filter as the matched
+    flag."""
+    out = sdata_parser(df, source=source)
+    reason = F.element_at(
+        F.col("sdata"), ".SDATA.junos@2636.1.1.1.2.129.reason"
+    )
+    return out.withColumn(
+        "junos_matched",
+        F.coalesce(reason.isNotNull() & (reason != ""), F.lit(False)),
+    )

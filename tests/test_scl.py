@@ -350,3 +350,18 @@ def test_default_network_drivers_dispatch(spark):
         spark.createDataFrame(rows, "text string")
     ).select("app", "program").collect()
     assert [r.app for r in out] == ["fortigate", "cee", "iptables", "sudo", None]
+
+
+def test_junos_application(spark):
+    """scl/junos/plugin.conf: the junos app matches on the SDATA reason
+    field being present."""
+    from syslog_ng_spark.operators.scl import junos_parser
+
+    rows = [
+        ('[junos@2636.1.1.1.2.129 reason="link down" interface="ge-0/0/1"]',),
+        ('[other@1 k="v"]',),
+    ]
+    out = junos_parser(spark.createDataFrame(rows, "text string")).collect()
+    assert out[0]["junos_matched"] is True
+    assert out[0]["sdata"][".SDATA.junos@2636.1.1.1.2.129.reason"] == "link down"
+    assert out[1]["junos_matched"] is False

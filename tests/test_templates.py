@@ -183,3 +183,48 @@ def test_new_template_funcs(spark):
     ).collect()[0]
     for i, (tpl, want) in enumerate(cases.items()):
         assert row[f"c{i}"] == want, f"{tpl}: {row[f'c{i}']!r} != {want!r}"
+
+
+def test_format_gelf(spark):
+    """$(format-gelf) (scl/graylog2): GELF 1.1 JSON with numeric level /
+    timestamp and '-' defaults, rendered from the engine's canonical
+    columns through the macro layer (MSG->text, LEVEL_NUM->pri%8,
+    R_UNIXTIME->ts)."""
+    import datetime
+    import json
+
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame(
+        [("web1", "disk full", 27, datetime.datetime(2023, 11, 14, 22, 13, 20),
+          "cron", 42)],
+        "host string, text string, pri int, ts timestamp, program string, pid int",
+    )
+    out = df.select(compile_template("$(format-gelf)").alias("g")).collect()[0].g
+    obj = json.loads(out)
+    assert obj["version"] == "1.1"
+    assert obj["host"] == "web1"
+    assert obj["short_message"] == "disk full"
+    assert obj["level"] == 3 and isinstance(obj["level"], int)  # 27 % 8
+    assert obj["timestamp"] == 1700000000
+    assert obj["_program"] == "cron" and obj["_pid"] == 42
+    assert obj["_facility"] == "daemon"  # 27 // 8 = 3
+
+
+def test_loggly_and_splunk_templates(spark):
+    import datetime
+
+    from syslog_ng_spark.functions.templates import loggly_line, splunk_hec_raw_line
+
+    df = spark.createDataFrame(
+        [(13, datetime.datetime(2026, 3, 1, 10, 20, 30), "web1", "myapp", 7,
+          "-", "hello")],
+        "pri int, ts timestamp, host string, program string, pid int, "
+        "msgid string, text string",
+    )
+    got = df.select(loggly_line("TOKEN", "prod").alias("l")).collect()[0].l
+    assert got == ('<13>1 2026-03-01T10:20:30+00:00 web1 myapp 7 - '
+                   '[TOKEN@41058 tag="prod"] hello')
+    got2 = df.select(splunk_hec_raw_line(
+        "${ISODATE} ${HOST} ${PROGRAM}[${PID}]: ${MSG}").alias("s")).collect()[0].s
+    assert got2 == "2026-03-01T10:20:30+00:00 web1 myapp[7]: hello"

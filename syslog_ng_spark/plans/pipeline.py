@@ -141,8 +141,18 @@ class Pipeline:
         ``sources`` list then only see their sources, and ``catchall``
         paths see everything (logmpx attach semantics).
         """
-        normal = [p for p in self.paths if not p.has(FLAG_FALLBACK)]
+        normal = [
+            p for p in self.paths
+            if not p.has(FLAG_FALLBACK) and not p.has(FLAG_CATCHALL)
+        ]
         fallbacks = [p for p in self.paths if p.has(FLAG_FALLBACK)]
+        # catch-all paths re-attach directly to the SOURCE
+        # (cfg-tree.c:1571-1576): they are OUTSIDE the matched/final
+        # machinery — a message consumed by a final path still reaches
+        # them, and their delivery never marks the message matched for
+        # fallback purposes (tests/light logpath/test_multiple_flags.py
+        # pins both properties)
+        catchalls = [p for p in self.paths if p.has(FLAG_CATCHALL)]
 
         def attach(p: LogPath) -> Column:
             if p.has(FLAG_CATCHALL) or p.sources is None or source_col is None:
@@ -153,6 +163,10 @@ class Pipeline:
         # pass 1: evaluate every non-fallback branch's own predicate
         for p in normal:
             out = out.withColumn(f"_match_{p.name}", attach(p) & _pred(p.filter))
+        for p in catchalls:
+            m = _pred(p.filter)
+            out = out.withColumn(f"_ingress_{p.name}", F.lit(True))
+            out = out.withColumn(f"_deliver_{p.name}", m)
 
         # consumption prefix: _consumed_before_k = any earlier final branch matched
         consumed = F.lit(False)

@@ -136,3 +136,51 @@ def test_multiple_filters_implicit_and(spark):
     routed = cc.route(df, persist=False)
     assert [r.text for r in routed.sink("dest_true").collect()] == ["MESSAGE"]
     assert [r.text for r in routed.sink("dest_false").collect()] == ["foobar"]
+
+
+def test_multiple_flags_truth_table(spark):
+    """Port of logpath/test_multiple_flags.py: final + plain + fallback
+    paths in one log statement plus a catch-all path outside it — the
+    4-message (host × program) truth table:
+      host-A/app-A → dest1 only (final consumes it before dest2)
+      host-A/app-B → dest1
+      host-B/app-A → dest2
+      host-B/app-B → dest3 (fallback — matched nowhere)
+      all 4        → dest4 (catch-all re-attaches to the source)"""
+    df = spark.createDataFrame(
+        [("host-A", "app-A"), ("host-A", "app-B"),
+         ("host-B", "app-A"), ("host-B", "app-B")],
+        "host string, program string",
+    )
+    pipe = Pipeline(
+        [
+            LogPath("dest1", F.col("host") == "host-A", frozenset(["final"])),
+            LogPath("dest2", F.col("program") == "app-A"),
+            LogPath("dest3", None, frozenset(["fallback"])),
+            LogPath("dest4", None, frozenset(["catchall"])),
+        ]
+    )
+    routed = pipe.route(df)
+    sink = lambda n: sorted(  # noqa: E731
+        (r.host, r.program) for r in routed.sink(n).collect()
+    )
+    assert sink("dest1") == [("host-A", "app-A"), ("host-A", "app-B")]
+    assert sink("dest2") == [("host-B", "app-A")]
+    assert sink("dest3") == [("host-B", "app-B")]
+    assert len(sink("dest4")) == 4  # catch-all sees every source row
+
+
+def test_flags_catch_all_sees_consumed_rows(spark):
+    """Port of logpath/test_flags_catch_all.py: a message delivered by a
+    normal (even final) path STILL reaches the catch-all path — catchall
+    re-attaches to the source, ignoring matching state."""
+    df = spark.createDataFrame([("m1",), ("m2",)], "text string")
+    pipe = Pipeline(
+        [
+            LogPath("d1", F.col("text") == "m1", frozenset(["final"])),
+            LogPath("call", None, frozenset(["catchall"])),
+        ]
+    )
+    routed = pipe.route(df)
+    assert {r.text for r in routed.sink("d1").collect()} == {"m1"}
+    assert {r.text for r in routed.sink("call").collect()} == {"m1", "m2"}

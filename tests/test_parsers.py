@@ -219,3 +219,71 @@ def test_kv_custom_pair_separator(spark):
     # default ', ' separator still splits on commas
     out2 = kv_parser(df.selectExpr("'a=1, b=2' AS text")).collect()[0]
     assert out2.kv == {"a": "1", "b": "2"}
+
+
+KV_SCANNER_C_TABLE = [
+    # (input, expected) — lib/scanner/kv-scanner/tests/test_kv_scanner.c
+    ("foo=", {"foo": ""}),
+    ("foo=bar", {"foo": "bar"}),
+    ("foo=bar lorem ipsum key=value some more values",
+     {"foo": "bar lorem ipsum", "key": "value some more values"}),
+    ('foo="\\"" bar=baz', {"foo": '"', "bar": "baz"}),
+    ("foo='\"' bar=baz", {"foo": '"', "bar": "baz"}),
+    ('key1="\\"value1"', {"key1": '"value1'}),
+    ('key1="\\b \\f \\n \\r \\t \\\\"', {"key1": "\b \f \n \r \t \\"}),
+    ('key1="\\p"', {"key1": "\\p"}),          # unknown escape stays
+    ("key1='\\'value1'", {"key1": "'value1"}),
+    ("key1=\\b\\f\\n\\r\\t\\\\", {"key1": "\\b\\f\\n\\r\\t\\\\"}),  # unquoted: no decode
+    ('foo=a "bar baz" ', {"foo": 'a "bar baz"'}),
+    ('foo=a "bar baz c=d', {"foo": 'a "bar baz', "c": "d"}),
+    ('foo=a "bar baz"=f c=d a', {"foo": 'a "bar baz"=f', "c": "d a"}),
+    ("k=a=b c=d", {"k": "a=b", "c": "d"}),
+    ("k=\t", {"k": "\t"}),
+    ("k=,\t", {"k": ",\t"}),
+    ("k=v,", {"k": "v,"}),
+    ("k=v, ", {"k": "v"}),
+    ("k===a=b", {"k": "==a=b"}),
+    (":=v", {}),                              # restricted key charset
+    ("*k=v", {"k": "v"}),
+    ("foo =  bar ggg baz   =   ez", {"foo": "bar ggg", "baz": "ez"}),
+    (" k= b", {"k": "b"}),
+    ('k="a', {"k": '"a'}),                    # unterminated quote stays literal
+    ("foo='bar", {"foo": "'bar"}),
+]
+
+
+def test_kv_scanner_c_table(spark):
+    """kv-parser semantics pinned against the reference scanner's OWN
+    test table (lib/scanner/kv-scanner/tests/test_kv_scanner.c): quoted
+    C-string unescaping, embedded-space unquoted values that end only at
+    the separator / next key / line end, trimmed separators, restricted
+    key charset, unterminated-quote fallback."""
+    from syslog_ng_spark.operators.parsers import kv_parser
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(KV_SCANNER_C_TABLE)], "i int, text string"
+    )
+    rows = kv_parser(df).orderBy("i").collect()
+    for r, (inp, exp) in zip(rows, KV_SCANNER_C_TABLE):
+        assert dict(r.kv or {}) == exp, f"input {inp!r}"
+
+
+def test_kv_scanner_custom_separators(spark):
+    """with_separators / pair_separator C cases: exact-string splitting,
+    single-space separator disables the embedded-space heuristic, splunk
+    'k|v' pairs joined by '='."""
+    from syslog_ng_spark.operators.parsers import kv_parser
+
+    cases = [
+        ("foo=bar baz  ;bar=foo;", "=", ";", {"foo": "bar baz", "bar": "foo"}),
+        ("foo=v1 v2 bar=v3 v4", "=", " ", {"foo": "v1", "bar": "v3"}),
+        ("foo=v1 v2   bar=v3 v4  ", "=", "   ", {"foo": "v1 v2", "bar": "v3 v4"}),
+        ("time|1557767758=action|Accept", "|", "=",
+         {"time": "1557767758", "action": "Accept"}),
+    ]
+    for inp, vs, ps, exp in cases:
+        df = spark.createDataFrame([(inp,)], "text string")
+        got = dict(
+            kv_parser(df, value_separator=vs, pair_separator=ps).collect()[0].kv
+        )
+        assert got == exp, f"input {inp!r} sep {ps!r}"

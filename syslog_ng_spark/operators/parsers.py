@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schema import (
+    TAG_INVALID_PRI,
+    TAG_INVALID_PROGRAM,
+    TAG_MISSING_HEADER,
     TAG_MISSING_HOSTNAME,
     TAG_MISSING_PRI,
     TAG_MISSING_TIMESTAMP,
@@ -40,15 +43,31 @@ from ..schema import (
 # ---------------------------------------------------------------------------
 
 # RFC3164: <PRI>MMM dd HH:MM:SS host program[pid]: message
+# Shape notes mirroring modules/syslogformat/syslog-format.c:
+# - an optional single space may follow <PRI> (test_syslog_format.c
+#   rfc3164_check_program cases use '<189> Feb ...');
+# - the HOSTNAME is only expected when a TIMESTAMP was parsed ("without
+#   timestamp, host is not expected" — rfc3164_error_missing_timestamp),
+#   hence the nested group;
+# - the program[pid]: section is optional — the reference's 3164 parser
+#   accepts any line, the remainder becomes MSG (laxness gated here by
+#   ``require_header``);
+# - PID is any run up to ']'/' '/':' (the reference does not require
+#   digits — syslog-format.c:404); the typed pid column still casts to
+#   int, non-numeric pids null out.
 _RFC3164 = (
-    r"^(?:<(\d{1,3})>)?"  # 1 pri (optional → TAG_MISSING_PRI)
-    r"(?:([A-Z][a-z]{2}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2})\s)?"  # 2 timestamp
-    r"(?:([\w.\-]+)\s)?"  # 3 hostname
-    r"([^\s:\[\]]+)"  # 4 program
-    r"(?:\[(\d+)\])?"  # 5 pid
-    r":\s?"
+    r"^(?:<(\d{1,3})> ?)?"  # 1 pri (optional → TAG_MISSING_PRI)
+    r"(?:([A-Z][a-z]{2}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2})\s"  # 2 timestamp
+    r"(?:([\w.\-]+)\s)?)?"  # 3 hostname (only after a timestamp)
+    r"(?:([^\s:\[\]]+)"  # 4 program
+    r"(?:\[([^\]\s:]*)\])?"  # 5 pid
+    r":\s?)?"
     r"((?s:.*))$"  # 6 message
 )
+
+# Cisco-style leading sequence number after PRI: '<189>65536: ...' →
+# .SDATA.meta.sequenceId (syslog-format.c cisco_seqid handling)
+_CISCO_SEQ = r"^(<\d{1,3}>)(\d+): ?"
 
 # RFC5424: <PRI>VER TIMESTAMP HOST APP PID MSGID SDATA MSG
 _RFC5424 = (
@@ -123,6 +142,20 @@ def syslog_parser(
             .withColumn(p + "syslog_tags", F.array().cast("array<string>"))
             .withColumn(p + "syslog_matched", F.lit(True))
         )
+    # Cisco sequence id: '<PRI>NNN: rest' → strip the seq token before
+    # the main parse, surface it as .SDATA.meta.sequenceId. Materialized
+    # as columns so the CASE + replace run once, not per downstream regex.
+    df = df.withColumn("_syslog_seq", _nullif_empty(F.regexp_extract(t, _CISCO_SEQ, 2)))
+    df = df.withColumn(
+        "_syslog_src",
+        F.when(
+            F.col("_syslog_seq").isNotNull(), F.regexp_replace(t, _CISCO_SEQ, "$1")
+        ).otherwise(t),
+    )
+    raw_t = t
+    t = F.col("_syslog_src")
+    seq = F.col("_syslog_seq")
+
     is5424 = t.rlike(r"^<\d{1,3}>\d+\s")
 
     repl3 = SEP.join(f"${i}" for i in range(1, 7))
@@ -207,16 +240,44 @@ def syslog_parser(
             F.regexp_extract_all(sd, F.lit(_SD_PAIR), 2),
         ),
     )
+    sdata = F.when(
+        seq.isNotNull(), F.create_map(F.lit(".SDATA.meta.sequenceId"), seq)
+    ).otherwise(sdata)
     msg = F.when(matched, F.when(is5424, g5[9]).otherwise(g3[6]))
 
-    # error tags mirroring LM_T_SYSLOG_MISSING_* (logmsg.h:107-143)
+    # LP_CHECK_PROGRAM (msg-format.h:63, syslog-format.c:356-400): the
+    # program must be [A-Za-z0-9._()/-]+ AND contain at least one alpha
+    # char; otherwise program/pid stay unset, the text from the program
+    # token onward is the MSG, and the invalid-program tag is set.
+    invalid_prog = F.lit(False)
+    if "check-program" in flags:
+        prog_ok = program.rlike(r"^[A-Za-z0-9._()/\-]*$") & program.rlike("[A-Za-z]")
+        invalid_prog = (
+            F.coalesce(matched & ~is5424 & program.isNotNull() & ~prog_ok, F.lit(False))
+        )
+        rest = F.regexp_replace(
+            t,
+            r"^(?:<\d{1,3}> ?)?"
+            r"(?:[A-Z][a-z]{2}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2}\s"
+            r"(?:[\w.\-]+\s)?)?((?s:.*))$",
+            "$1",
+        )
+        program = F.when(~invalid_prog, program)
+        pid = F.when(~invalid_prog, pid)
+        msg = F.when(invalid_prog, rest).otherwise(msg)
+
+    # error tags mirroring LM_T_SYSLOG_* (logmsg.h:107-143)
+    bad_pri = raw_t.rlike(r"^<") & ~raw_t.rlike(r"^<\d{1,3}>")
     tags = F.when(
         matched,
         F.filter(
             F.array(
                 F.when(_nullif_empty(pri_raw).isNull(), F.lit(TAG_MISSING_PRI)),
+                F.when(bad_pri, F.lit(TAG_INVALID_PRI)),
                 F.when(~is5424 & (g3[2] == ""), F.lit(TAG_MISSING_TIMESTAMP)),
+                F.when(~is5424 & (g3[2] == ""), F.lit(TAG_MISSING_HEADER)),
                 F.when(~is5424 & (g3[3] == ""), F.lit(TAG_MISSING_HOSTNAME)),
+                F.when(invalid_prog, F.lit(TAG_INVALID_PROGRAM)),
             ),
             lambda x: x.isNotNull(),
         ),
@@ -234,6 +295,7 @@ def syslog_parser(
         .withColumn(p + "syslog_format", fmt)
         .withColumn(p + "syslog_tags", tags)
         .withColumn(p + "syslog_matched", F.coalesce(matched, F.lit(False)))
+        .drop("_syslog_seq", "_syslog_src")
     )
 
 

@@ -74,3 +74,6 @@ TAG_MISSING_TIMESTAMP = "syslog.missing_timestamp"
 TAG_MISSING_HOSTNAME = "syslog.missing_hostname"
 TAG_UNEXPECTED_FRAMING = "syslog.unexpected_framing"
 TAG_INVALID_VERSION = "syslog.invalid_version"
+TAG_INVALID_PRI = "syslog.invalid_pri"
+TAG_INVALID_PROGRAM = "syslog.rfc3164_invalid_program"
+TAG_MISSING_HEADER = "syslog.rfc3164_missing_header"

@@ -287,3 +287,65 @@ def test_kv_scanner_custom_separators(spark):
             kv_parser(df, value_separator=vs, pair_separator=ps).collect()[0].kv
         )
         assert got == exp, f"input {inp!r} sep {ps!r}"
+
+
+def test_syslog_format_c_cases(spark):
+    """Port of modules/syslogformat/tests/test_syslog_format.c: cisco
+    sequence id, invalid-PRI lax acceptance, missing-timestamp (host not
+    expected without a timestamp), post-PRI space, check-program
+    validation (alpha required, restricted charset)."""
+    from syslog_ng_spark.operators.parsers import syslog_parser
+
+    rows = [
+        (0, "<189>65536: "),
+        (1, "<189 Feb  3 12:34:56 host program[pid]: message"),
+        (2, "<189> program[pid]: message"),
+        (3, "<189> Feb  3 12:34:56 host "
+            "program_0123456789-abcdefghijklmnopqrstuvwxyz"
+            "(ABCDEFGHIJKLMNOPQRSTUVWXYZ).valid/chars[pid]: message"),
+        (4, "<189> Feb  3 12:34:56 host 323235243.2354[pid]: message"),
+        (5, "<189> Feb  3 12:34:56 host program![pid]: message"),
+        (6, "<189> Feb  3 12:34:56 host 127.0.0.1[pid]: message"),
+    ]
+    import datetime
+
+    ts = datetime.datetime(2026, 2, 3)
+    df = spark.createDataFrame(
+        [(i, t, ts) for i, t in rows], "i int, text string, ts timestamp"
+    )
+    out = {
+        r.i: r
+        for r in syslog_parser(
+            df, require_header=False, flags={"check-program"}
+        ).collect()
+    }
+    # cisco sequence id → SDATA, empty MSG
+    assert out[0].sdata[".SDATA.meta.sequenceId"] == "65536"
+    assert out[0].msg == ""
+    assert out[0].pri == 189
+    # malformed PRI: whole line is the MSG, tagged
+    assert out[1].msg == rows[1][1]
+    assert "syslog.invalid_pri" in out[1].syslog_tags
+    assert out[1].program is None
+    # no timestamp → no host, program still parses, missing-header tags
+    assert out[2].host is None
+    assert out[2].program == "program"
+    assert out[2].msg == "message"
+    assert "syslog.missing_timestamp" in out[2].syslog_tags
+    assert "syslog.rfc3164_missing_header" in out[2].syslog_tags
+    # valid program charset incl. ()./- passes check-program
+    assert out[3].program == (
+        "program_0123456789-abcdefghijklmnopqrstuvwxyz"
+        "(ABCDEFGHIJKLMNOPQRSTUVWXYZ).valid/chars")
+    assert out[3].host == "host"
+    assert out[3].msg == "message"
+    assert "syslog.rfc3164_invalid_program" not in out[3].syslog_tags
+    # decimal-only / bad-char / IP programs fail check-program: program
+    # unset, MSG keeps the raw tail, tag set
+    for i, tail in [(4, "323235243.2354[pid]: message"),
+                    (5, "program![pid]: message"),
+                    (6, "127.0.0.1[pid]: message")]:
+        assert out[i].program is None, i
+        assert out[i].msg == tail, i
+        assert "syslog.rfc3164_invalid_program" in out[i].syslog_tags, i
+        assert out[i].host == "host", i

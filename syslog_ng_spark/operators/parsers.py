@@ -304,6 +304,25 @@ def syslog_parser(
 # ---------------------------------------------------------------------------
 
 
+# csv-scanner escape-backslash-with-sequences decode (csvscanner.c /
+# lib/scanner/csv-scanner: \a\b\f\n\r\t\v + \xHH; an invalid hex escape
+# drops the backslash and keeps the rest literal — test_csv_scanner.c
+# escape_backslash_x_sequence_incorrect: '\x4Q' → 'x4Q')
+_CSV_SEQ_RE = _re.compile(r"\\(x[0-9A-Fa-f]{2}|.|$)")
+_CSV_SEQ = {"a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r",
+            "t": "\t", "v": "\v"}
+
+
+def _csv_decode_sequences(s: str) -> str:
+    def rep(m):
+        g = m.group(1)
+        if len(g) == 3 and g.startswith("x"):
+            return chr(int(g[1:], 16))
+        return _CSV_SEQ.get(g, g)
+
+    return _CSV_SEQ_RE.sub(rep, s)
+
+
 def csv_parser(
     df: DataFrame,
     columns: list[str] | list[tuple[str, str]],
@@ -315,15 +334,42 @@ def csv_parser(
     prefix: str = "",
     greedy: bool = False,
     strip_whitespace: bool = False,
+    dialect: str | None = None,
 ) -> DataFrame:
-    """Split ``source`` into named typed columns via the JVM CSV reader.
+    r"""Split ``source`` into named typed columns via the JVM CSV reader.
 
     ``columns``: names or (name, sparkType) pairs; type hints mirror
-    csvparser.c:177-252. Dialects: quote/escape options cover the
-    reference's escape-none / backslash / double-char modes.
-    ``greedy``: last column swallows the rest of the line.
-    Adds ``<prefix><name>`` columns + ``<prefix>csv_matched``.
+    csvparser.c:177-252. ``greedy``: last column swallows the rest of the
+    line. Adds ``<prefix><name>`` columns + ``<prefix>csv_matched``.
+
+    ``dialect`` names the reference's quote dialects
+    (csv-scanner.h CSVScannerDialect):
+    - 'escape-none'          — no escape character inside quotes;
+    - 'escape-double-char'   — '""' inside a quoted field is a quote
+                               (the JVM reader's native behavior);
+    - 'escape-backslash'     — backslash escapes the next char, which is
+                               kept literal ('\n' → 'n');
+    - 'escape-backslash-with-sequences' — C-string decode of
+      \a\b\f\n\r\t\v and \xHH; invalid hex drops the backslash.
+      Corner divergence: the tokenizer collapses a doubled backslash
+      before the sequence pass, so a literal backslash directly before a
+      sequence letter decodes as the sequence (not in the reference's
+      test set).
     """
+    post = None
+    if dialect is not None:
+        if dialect == "escape-double-char":
+            escape = '"'  # univocity: quoteEscape == quote → '""' is '"'
+        elif dialect == "escape-none":
+            escape = "\x01"  # unused char: no escaping inside quotes
+        elif dialect == "escape-backslash":
+            escape = escape or "\\"
+            post = "drop"
+        elif dialect == "escape-backslash-with-sequences":
+            escape = escape or "\\"
+            post = "sequences"
+        else:
+            raise ValueError(f"unknown csv dialect {dialect!r}")
     names = [(c, "string") if isinstance(c, str) else c for c in columns]
     src = F.col(source) if isinstance(source, str) else source
 
@@ -365,12 +411,15 @@ def csv_parser(
 
     schema_str = ", ".join(f"`{n}` {t}" for n, t in names)
     opts = {"sep": delimiter, "quote": quote, "mode": "PERMISSIVE"}
+    if escape is not None:
+        opts["escape"] = escape
     restore_escaped = False
-    if escape:
+    if escape == "\\":
         # The JVM CSV reader's `escape` only covers quotes; the reference's
         # backslash dialect (CSV_SCANNER_ESCAPE_BACKSLASH) also escapes the
         # delimiter in unquoted fields — emulate by masking `\<delim>`
-        # with a sentinel and restoring it per column.
+        # with a sentinel and restoring it per column. (Only meaningful
+        # for the backslash dialects — a quote-char escape must not mask.)
         src = F.regexp_replace(
             src, _re.escape(escape) + _re.escape(delimiter), "\x00"
         )
@@ -380,10 +429,18 @@ def csv_parser(
     parsed = F.from_csv(src, schema_str, opts)
     out = df.withColumn("_csv_struct", parsed)
     matched = F.lit(True)
+    if post == "sequences":
+        @F.pandas_udf(T.StringType())
+        def _seqdec(col: pd.Series) -> pd.Series:
+            return col.map(lambda v: _csv_decode_sequences(v) if v is not None else None)
     for n, _t in names:
         c = F.col("_csv_struct")[n]
         if restore_escaped:
             c = F.regexp_replace(c.cast("string"), "\x00", delimiter).cast(_t)
+        if post == "drop":
+            c = F.regexp_replace(c.cast("string"), r"\\(.)", "$1").cast(_t)
+        elif post == "sequences":
+            c = _seqdec(c.cast("string")).cast(_t)
         if strip_whitespace:
             c = F.when(c.isNotNull(), F.trim(c.cast("string")).cast(_t)).otherwise(c)
         out = out.withColumn(prefix + n, c)

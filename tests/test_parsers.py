@@ -349,3 +349,39 @@ def test_syslog_format_c_cases(spark):
         assert out[i].msg == tail, i
         assert "syslog.rfc3164_invalid_program" in out[i].syslog_tags, i
         assert out[i].host == "host", i
+
+
+def test_csv_scanner_c_cases(spark):
+    """Port of lib/scanner/csv-scanner/tests/test_csv_scanner.c: null
+    value, partial input, greedy, doubled-quote escape, backslash
+    dialects incl. \\xHH sequences with invalid-hex fallback."""
+    from syslog_ng_spark.operators.parsers import csv_parser
+
+    def parse(line, cols=3, **kw):
+        df = spark.createDataFrame([(line,)], "text string")
+        out = csv_parser(df, [f"c{i}" for i in range(cols)], **kw).collect()[0]
+        return [out[f"c{i}"] for i in range(cols)]
+
+    assert parse("val1,val2,val3") == ["val1", "val2", "val3"]
+    assert parse("val1,null,val3", null_value="null") == ["val1", None, "val3"]
+    assert parse("val1,val2") == ["val1", "val2", None]  # partial input
+    assert parse("foo,bar,baz", cols=2, greedy=True) == ["foo", "bar,baz"]
+    # escape-double-char: '""' inside quotes is a literal quote
+    assert parse('foo,"this is a single quote "" character",x',
+                 dialect="escape-double-char") == [
+        "foo", 'this is a single quote " character', "x"]
+    # escape-backslash: backslash keeps the next char literal
+    assert parse('foo,"this is a single quote \\" character\\n",x',
+                 dialect="escape-backslash") == [
+        "foo", 'this is a single quote " charactern', "x"]
+    # escape-backslash-with-sequences: C-string decode
+    assert parse('foo,"\\"\\a\\t\\v\\r\\n\\"",x',
+                 dialect="escape-backslash-with-sequences") == [
+        "foo", '"\a\t\v\r\n"', "x"]
+    assert parse('foo,"\\x41\\x2e\\x40",x',
+                 dialect="escape-backslash-with-sequences") == [
+        "foo", "A.@", "x"]
+    # invalid hex escape: backslash dropped, rest literal
+    assert parse('foo,"\\x4Q",x',
+                 dialect="escape-backslash-with-sequences") == [
+        "foo", "x4Q", "x"]

@@ -180,16 +180,20 @@ def _intish(c: Column) -> Column:
 _TEMPLATE_FUNCS: dict[str, object] = {
     # strings (str-funcs.c)
     "echo": lambda raw, cols: F.concat_ws(" ", *cols),
-    "length": lambda raw, cols: F.length(cols[0]).cast("string"),
-    "substr": lambda raw, cols: F.expr("1").cast("string"),  # replaced below
-    "strip": lambda raw, cols: F.trim(cols[0]),
-    "lowercase": lambda raw, cols: F.lower(cols[0]),
-    "uppercase": lambda raw, cols: F.upper(cols[0]),
-    "sanitize": lambda raw, cols: F.regexp_replace(cols[0], r"[/]", "_"),
-    "replace-delimiter": lambda raw, cols: F.translate(cols[0], raw[0], raw[1]),
-    "padding": lambda raw, cols: F.lpad(
-        cols[0], int(raw[1]), raw[2] if len(raw) > 2 else " "
+    "length": lambda raw, cols: F.concat_ws(
+        " ", *[F.length(c).cast("string") for c in cols]
     ),
+    "substr": lambda raw, cols: F.expr("1").cast("string"),  # replaced below
+    # multi-arg str funcs join with a space; strip drops empty results
+    # (str-funcs.c tf_string_argv — test_basicfuncs.c:192-215)
+    "strip": lambda raw, cols: F.concat_ws(
+        " ", *[F.nullif(F.trim(c), F.lit("")) for c in cols]
+    ),
+    "lowercase": lambda raw, cols: F.lower(F.concat_ws(" ", *cols)),
+    "uppercase": lambda raw, cols: F.upper(F.concat_ws(" ", *cols)),
+    "sanitize": lambda raw, cols: _sanitize(raw, cols),
+    "replace-delimiter": lambda raw, cols: F.translate(cols[0], raw[0], raw[1]),
+    "padding": lambda raw, cols: _padding(raw, cols),
     "implode": lambda raw, cols: F.concat_ws(raw[0], *cols[1:]),
     "explode": lambda raw, cols: F.array_join(F.split(cols[1], re.escape(raw[0])), ","),
     # conditional (cond-funcs.c)
@@ -198,13 +202,11 @@ _TEMPLATE_FUNCS: dict[str, object] = {
         *[F.when(F.length(c) > 0, c) for c in cols]
     ),
     # numeric (numeric-funcs.c)
-    "+": lambda raw, cols: _intish(_num(cols[0]) + _num(cols[1])),
-    "-": lambda raw, cols: _intish(_num(cols[0]) - _num(cols[1])),
-    "*": lambda raw, cols: _intish(_num(cols[0]) * _num(cols[1])),
-    "/": lambda raw, cols: _intish(
-        F.floor(_num(cols[0]) / _num(cols[1]))
-    ),
-    "%": lambda raw, cols: _intish(F.pmod(_num(cols[0]), _num(cols[1]))),
+    "+": lambda raw, cols: _arith("+", cols),
+    "-": lambda raw, cols: _arith("-", cols),
+    "*": lambda raw, cols: _arith("*", cols),
+    "/": lambda raw, cols: _arith("/", cols),
+    "%": lambda raw, cols: _arith("%", cols),
     "round": lambda raw, cols: F.round(
         _num(cols[0]), int(raw[1]) if len(raw) > 1 else 0
     ).cast("string"),
@@ -305,11 +307,75 @@ def _list_slice(raw, cols):
     return F.array_join(F.slice(arr, start + 1, 1_000_000), ",")
 
 
+
+def _arith(op: str, cols):
+    """$(+ - * / %) — numeric-funcs.c semantics: both-integer operands
+    compute in int64 (including truncating division), otherwise double;
+    unparsable operands or a zero divisor render 'NaN'. Divergence: the
+    reference prints doubles with 20 decimals; Spark's natural rendering
+    is used here."""
+    a_s, b_s = cols[0], cols[1]
+    both_int = a_s.rlike(r"^-?\d+$") & b_s.rlike(r"^-?\d+$")
+    al, bl = a_s.cast("long"), b_s.cast("long")
+    ad, bd = a_s.cast("double"), b_s.cast("double")
+    if op == "+":
+        li, d = al + bl, ad + bd
+    elif op == "-":
+        li, d = al - bl, ad - bd
+    elif op == "*":
+        li, d = al * bl, ad * bd
+    elif op == "/":
+        li = F.when(bl != 0, (al / bl).cast("long"))
+        d = F.when(bd != 0.0, ad / bd)
+    else:  # %
+        li = F.when(bl != 0, al % bl)
+        d = F.when(bd != 0.0, ad % bd)
+    res = F.when(both_int, li.cast("string")).otherwise(_intish(d))
+    return F.coalesce(res, F.lit("NaN"))
+
+
+def _sanitize(raw, cols):
+    opts = {"replacement": "_", "invalid": "/", "keep_control": False}
+    args = list(raw)
+    vals = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in ("-r", "--replacement"):
+            opts["replacement"] = args[i + 1]; i += 2
+        elif a in ("-i", "--invalid-chars"):
+            opts["invalid"] = args[i + 1].strip("'"); i += 2
+        elif a in ("-C", "--ctrl-chars-keep"):
+            opts["keep_control"] = True; i += 1
+        else:
+            vals.append(a); i += 1
+    cls = "[" + re.escape(opts["invalid"]) + ("]" if opts["keep_control"] else r"\x00-\x1f]")
+    # positional args were compiled to columns; options consumed above
+    target = cols[len(cols) - len(vals):] if vals else cols
+    # each argument is sanitized INDIVIDUALLY, then args join with '/'
+    # (tf_sanitize appends a '/' between positional args)
+    cleaned = [F.regexp_replace(c, cls, opts["replacement"]) for c in target]
+    return F.concat_ws("/", *cleaned) if len(cleaned) > 1 else cleaned[0]
+
+
+def _padding(raw, cols):
+    """$(padding value width [padstring]) — str-funcs.c tf_padding: the
+    value is NEVER truncated; the pad pattern repeats and is cut to fit;
+    an empty pad string falls back to spaces."""
+    width = int(raw[1])
+    pad = raw[2] if len(raw) > 2 else " "
+    pad = pad.strip("'") or " "
+    v = cols[0]
+    return F.when(F.length(v) >= width, v).otherwise(F.lpad(v, width, pad))
+
+
 def _substr_fn(raw, cols):
-    """$(substr value start [len]) — 0-based start like the reference."""
+    """$(substr value start [len]) — 0-based start; a NEGATIVE start
+    counts from the end of the string (str-funcs.c tf_substr)."""
     start = int(raw[1])
     length = int(raw[2]) if len(raw) > 2 else (1 << 30)
-    return F.substring(cols[0], start + 1, length)
+    pos = start + 1 if start >= 0 else start
+    return F.substring(cols[0], pos, length)
 
 
 _TEMPLATE_FUNCS["substr"] = _substr_fn

@@ -228,3 +228,63 @@ def test_loggly_and_splunk_templates(spark):
     got2 = df.select(splunk_hec_raw_line(
         "${ISODATE} ${HOST} ${PROGRAM}[${PID}]: ${MSG}").alias("s")).collect()[0].s
     assert got2 == "2026-03-01T10:20:30+00:00 web1 myapp[7]: hello"
+
+
+def test_basicfuncs_c_table(spark):
+    """Port of modules/basicfuncs/tests/test_basicfuncs.c string/numeric
+    cases over the engine's template compiler (HOST=bzorp,
+    PROGRAM=syslog-ng, PID=23323, FACILITY_NUM=19 fixture, like the C
+    suite's default message)."""
+    import datetime
+
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame(
+        [("bzorp", "syslog-ng", 23323, 155, datetime.datetime(2026, 2, 11),
+          "msg", "  value  ")],
+        "host string, program string, pid int, pri int, ts timestamp, "
+        "text string, strip1 string",
+    )
+    cases = [
+        ("$(length $HOST $PID)", "5 5"),
+        ("$(length $HOST)", "5"),
+        ("$(substr $HOST 1 3)", "zor"),
+        ("$(substr $HOST 1)", "zorp"),
+        ("$(substr $HOST -1)", "p"),
+        ("$(substr $HOST -2 1)", "r"),
+        ("$(strip ${strip1})", "value"),
+        ("$(sanitize alma/bela)", "alma_bela"),
+        ("$(sanitize -r @ alma/bela)", "alma@bela"),
+        ("$(sanitize -i @ alma@bela)", "alma_bela"),
+        ("$(sanitize $HOST $PROGRAM)", "bzorp/syslog-ng"),
+        ("$(lowercase ŐRÜLT ÍRÓ)", "őrült író"),
+        ("$(uppercase őrült író)", "ŐRÜLT ÍRÓ"),
+        ("$(padding foo 10)", "       foo"),
+        ("$(padding foo 10 x)", "xxxxxxxfoo"),
+        ("$(padding foo 10 abc)", "abcabcafoo"),
+        ("$(padding foo 2)", "foo"),
+        ("$(padding foo 3)", "foo"),
+        ("$(padding foo 6 abc)", "abcfoo"),
+        # FACILITY_NUM for pri 155 is 19 (the C fixture's value)
+        ("$(+ $FACILITY_NUM 1)", "20"),
+        ("$(+ -1 -1)", "-2"),
+        ("$(- $FACILITY_NUM 1)", "18"),
+        ("$(- $FACILITY_NUM 20)", "-1"),
+        ("$(* $FACILITY_NUM 2)", "38"),
+        ("$(/ $FACILITY_NUM 2)", "9"),
+        ("$(% $FACILITY_NUM 3)", "1"),
+        ("$(/ $FACILITY_NUM 0)", "NaN"),
+        ("$(% $FACILITY_NUM 0)", "NaN"),
+        ("$(+ foo bar)", "NaN"),
+        ("$(/ 2147483648 1)", "2147483648"),
+        ("$(+ 5000000000 5000000000)", "10000000000"),
+        ("$(% 10000000000 5000000001)", "4999999999"),
+        ("$(* 5000000000 2)", "10000000000"),
+        ("$(- 10000000000 5000000000)", "5000000000"),
+        ("$(/ 3 2)", "1"),  # both-int operands: int64 division
+    ]
+    sel = df.select(
+        *[compile_template(t).alias(f"c{i}") for i, (t, _) in enumerate(cases)]
+    ).collect()[0]
+    for i, (tpl, exp) in enumerate(cases):
+        assert sel[f"c{i}"] == exp, f"{tpl!r}: {sel[f'c{i}']!r} != {exp!r}"

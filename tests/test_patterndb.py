@@ -119,3 +119,73 @@ def test_compile_pattern_at_escapes():
     assert _re.fullmatch(compile_pattern("a@NUMBER:n@@@"), "a42@")
     assert _re.fullmatch(compile_pattern("baa@@"), "baa@")
     assert not _re.fullmatch(compile_pattern("a@@b"), "aXb")
+
+
+def test_radix_longest_prefix_dispatch(spark):
+    """Port of test_radix.c's literal table (lines 180-228): lookup
+    resolves to the LONGEST inserted pattern that matches as a prefix —
+    a complete match beats any prefix match, and among prefix matches the
+    longest wins ('kort' → 'ko', 'koromp' → 'korom', 'kortes' → 'korte')."""
+    from syslog_ng_spark.operators.patterndb import PdbRule, patterndb
+
+    literals = ["alma", "korte", "barack", "dinnye", "almafa", "almabor",
+                "almafa2", "ko", "koros", "koro", "koromporkolt", "korom",
+                "korozott", "al", "all"]
+    rules = [PdbRule(p, "t", "", p) for p in literals]
+    cases = [
+        ("kor", "ko"), ("ko", "ko"), ("kort", "ko"), ("korti", "ko"),
+        ("korte", "korte"), ("kortes", "korte"), ("koromp", "korom"),
+        ("korompo", "korom"), ("korompor", "korom"), ("korompok", "korom"),
+        ("korompa", "korom"), ("koromi", "korom"), ("almafa", "almafa"),
+        ("almafa2", "almafa2"), ("almafax", "almafa"), ("alm", "al"),
+        ("nothing", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(cases)], "i int, msg string"
+    )
+    got = {r.i: r.pdb_rule_id
+           for r in patterndb(df, rules, program_col="msg").collect()}
+    for i, (k, exp) in enumerate(cases):
+        assert got[i] == exp, f"{k!r}: {got[i]!r} != {exp!r}"
+
+
+def test_radix_escape_and_parser_table(spark):
+    """Port of test_radix.c's @@-escape + parser block (lines 240-295):
+    doubled @ is a literal @, escapes compose with typed parsers, and a
+    complete match by a parser rule beats everything."""
+    from syslog_ng_spark.operators.patterndb import PdbRule, patterndb
+
+    patterns = [
+        "a@@NUMBER@@aa@@@@",      # literal 'a@NUMBER@aa@@'
+        "a@@ab",                   # literal 'a@ab'
+        "a@@a@@",                  # literal 'a@a@'
+        "a@@@NUMBER:szam0@",       # 'a@' + NUMBER
+        "a@NUMBER:szamx@aaa",
+        "a@NUMBER@",
+        "a@NUMBER@aa",
+        "baa@@",                   # literal 'baa@'
+        "@@a",                     # literal '@a'
+        "@@",                      # literal '@'
+        "@@@@",                    # literal '@@'
+    ]
+    rules = [PdbRule(p, "t", "", p) for p in patterns]
+    cases = [
+        ("a@", None),
+        ("a@NUMBER@aa@@", "a@@NUMBER@@aa@@@@"),
+        ("a@a", None),
+        ("a@ab", "a@@ab"),
+        ("a@a@", "a@@a@@"),
+        ("a@ax", None),
+        ("a@15555", "a@@@NUMBER:szam0@"),
+        ("a15555aaa", "a@NUMBER:szamx@aaa"),
+        ("@a", "@@a"),
+        ("@", "@@"),
+        ("@@", "@@@@"),
+    ]
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(cases)], "i int, msg string"
+    )
+    got = {r.i: r.pdb_rule_id
+           for r in patterndb(df, rules, program_col="msg").collect()}
+    for i, (k, exp) in enumerate(cases):
+        assert got[i] == exp, f"{k!r}: {got[i]!r} != {exp!r}"

@@ -107,3 +107,48 @@ def test_netmask6(spark):
     # /128 exact host
     got = _eval(df, FL.FNetmask6("2001:db8::1/128", F.col("src_ip")))
     assert got == [True, False, False, False, False]
+
+
+def test_fop_cmp_c_table(spark):
+    """Port of lib/filter/tests/test_filters_fop_cmp.c: '<'-style
+    operators are type-aware (numeric when both sides parse), while
+    lt/le/gt/ge/eq/ne compare STRINGS ('7 lt 10' is FALSE — '7' sorts
+    after '10' bytewise). Fixture: SEVERITY_NUM=7, FACILITY_NUM=19,
+    LEVEL_NUM=7."""
+    from syslog_ng_spark.functions.filters import FCmp
+
+    df = spark.createDataFrame([(7, 19)], "sev int, fac int")
+
+    def ev(lhs, rhs, op, mode):
+        col = FCmp(lhs, rhs, op, mode=mode).to_column()
+        return df.select(col.alias("r")).collect()[0].r
+
+    S, FN = F.col("sev"), F.col("fac")
+    numeric_cases = [
+        (10, 10, "==", True), (S, 7, "==", True), (S, S, "==", True),
+        (10, 11, "==", False),
+        (10, 9, "!=", True), (S, 8, "!=", True), (S, FN, "!=", True),
+        (10, 10, "!=", False),
+        (10, 11, "<", True), (7, 8, "<", True), (7, 10, "<", True),
+        (S, 8, "<", True), (S, 10, "<", True),
+        (11, 10, "<", False), (11, 11, "<", False),
+        (11, 11, "<=", True), (10, 11, "<=", True), (11, 10, "<=", False),
+        (11, 10, ">", True), (10, 7, ">", True), (10, 11, ">", False),
+        (10, 10, ">=", True), (10, 11, ">=", False),
+    ]
+    for lhs, rhs, op, exp in numeric_cases:
+        assert ev(lhs, rhs, op, "type_aware") is exp, (lhs, op, rhs)
+
+    string_cases = [
+        ("10", "10", "==", True), ("10", "11", "==", False),
+        ("10", "9", "!=", True),
+        ("10", "11", "<", True), ("7", "8", "<", True),
+        ("7", "10", "<", False),        # '7' > '10' bytewise
+        ("11", "10", "<", False),
+        ("11", "11", "<=", True), ("7", "10", "<=", False),
+        ("11", "10", ">", True), ("8", "7", ">", True),
+        ("10", "7", ">", False),        # '10' < '7' bytewise
+        ("10", "10", ">=", True), ("10", "7", ">=", False),
+    ]
+    for lhs, rhs, op, exp in string_cases:
+        assert ev(lhs, rhs, op, "string") is exp, (lhs, op, rhs)

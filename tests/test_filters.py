@@ -152,3 +152,30 @@ def test_fop_cmp_c_table(spark):
     ]
     for lhs, rhs, op, exp in string_cases:
         assert ev(lhs, rhs, op, "string") is exp, (lhs, op, rhs)
+
+
+def test_netmask_c_table(spark):
+    """Port of lib/filter/tests/test_filters_netmask.c ip4 socket cases
+    (source address 10.10.0.1 against various CIDRs; default/loopback
+    when no saddr)."""
+    from syslog_ng_spark.functions.filters import FNetmask
+
+    df = spark.createDataFrame(
+        [("10.10.0.1",), ("127.0.0.1",)], "saddr string"
+    )
+    cases = [
+        ("10.10.0.0/16", ["10.10.0.1"]),
+        ("10.10.0.0/24", ["10.10.0.1"]),
+        ("10.10.10.0/24", []),
+        ("0.0.10.10/24", []),
+        ("127.0.0.1/32", ["127.0.0.1"]),
+        ("127.0.0.2/32", []),
+    ]
+    for cidr, exp in cases:
+        got = [
+            r.saddr
+            for r in df.filter(
+                FNetmask(cidr, F.col("saddr")).to_column()
+            ).collect()
+        ]
+        assert got == exp, cidr

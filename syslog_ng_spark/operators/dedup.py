@@ -114,22 +114,54 @@ def minhash_signature(c: Column, k: int = 64) -> Column:
     return _minhash_from_hashes(sh_hashes, F.lit(k))
 
 
+def _doc_batches(lists, max_flat: int = 200_000):
+    """Group per-doc hash lists into chunks whose TOTAL element count
+    stays under ``max_flat`` — the cross-doc vectorization below builds a
+    (total × k) intermediate, and bounding total bounds peak memory."""
+    import numpy as np  # noqa: PLC0415
+
+    batch, total = [], 0
+    for i, lst in enumerate(lists):
+        # Arrow hands list columns over as numpy arrays — no truthiness
+        n = 0 if lst is None else len(lst)
+        if batch and total + n > max_flat:
+            yield batch
+            batch, total = [], 0
+        batch.append((i, lst, n))
+        total += n
+    if batch:
+        yield batch
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _minhash_from_hashes(hashes: pd.Series, k_ser: pd.Series) -> pd.Series:
+    """k permutation-minima, vectorized ACROSS documents: flatten every
+    doc's shingle hashes in the Arrow batch, one (total × k) universal-
+    hash product, per-doc minima via ``np.minimum.reduceat`` — a per-doc
+    numpy call costs ~0.1-1 ms of dispatch overhead, which dominated the
+    signature pass (measured 5.2 s → ~1 s on the sf0.1 corpus)."""
     import numpy as np  # noqa: PLC0415
 
     k = int(k_ser.iloc[0])
     A = np.array(_MH_A[:k], dtype=np.int64).astype(np.uint64)
     B = np.array(_MH_B[:k], dtype=np.int64).astype(np.uint64)
 
-    def one(lst):
-        if lst is None or len(lst) == 0:
-            return None
-        h = np.asarray(lst, dtype=np.int64).astype(np.uint64)
-        mins = (h[:, None] * A + B).min(axis=0).astype(np.int64)
-        return mins.tolist()
-
-    return hashes.map(one)
+    lists = hashes.to_list()
+    out = [None] * len(lists)
+    for batch in _doc_batches(lists):
+        nonempty = [(i, lst, n) for i, lst, n in batch if n]
+        if not nonempty:
+            continue
+        flat = np.concatenate(
+            [np.asarray(lst, dtype=np.int64) for _i, lst, _n in nonempty]
+        ).astype(np.uint64)
+        lens = np.array([n for _i, _lst, n in nonempty])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        M = flat[:, None] * A + B  # (total × k), wrapping uint64
+        mins = np.minimum.reduceat(M, starts, axis=0).astype(np.int64)
+        for j, (i, _lst, _n) in enumerate(nonempty):
+            out[i] = mins[j].tolist()
+    return pd.Series(out)
 
 
 # Deterministic odd multipliers / offsets for the universal-hash
@@ -331,21 +363,31 @@ def simhash(c: Column, bits: int = 64, features: str = "tokens") -> Column:
 
 @F.pandas_udf(T.LongType())
 def _simhash64_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit majority fingerprint, vectorized ACROSS documents (same
+    flatten + ``reduceat`` construction as ``_minhash_from_hashes`` —
+    per-doc numpy dispatch dominated the fingerprint pass)."""
     import numpy as np  # noqa: PLC0415
 
     shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts)
 
-    def one(lst):
-        if lst is None or len(lst) == 0:
-            return 0
-        a = np.asarray(lst, dtype=np.int64).astype(np.uint64)
-        ones = ((a[:, None] >> shifts) & 1).sum(axis=0)
-        fp = np.uint64(0)
-        set_bits = (ones * 2 > len(lst))
-        fp = np.sum(np.where(set_bits, np.uint64(1) << shifts, np.uint64(0)))
-        return int(np.int64(fp))
-
-    return hashes.map(one)
+    lists = hashes.to_list()
+    out = np.zeros(len(lists), dtype=np.int64)
+    for batch in _doc_batches(lists):
+        nonempty = [(i, lst, n) for i, lst, n in batch if n]
+        if not nonempty:
+            continue
+        flat = np.concatenate(
+            [np.asarray(lst, dtype=np.int64) for _i, lst, _n in nonempty]
+        ).astype(np.uint64)
+        lens = np.array([n for _i, _lst, n in nonempty])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        bits = ((flat[:, None] >> shifts) & np.uint64(1))  # (total × 64)
+        ones = np.add.reduceat(bits, starts, axis=0)  # (docs × 64)
+        fp = ((ones * 2 > lens[:, None]) * weights).sum(axis=1).astype(np.int64)
+        for j, (i, _lst, _n) in enumerate(nonempty):
+            out[i] = fp[j]
+    return pd.Series(out)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -280,6 +280,10 @@ def write_bench_md(result: dict) -> None:
             f"{pipe['scaling_efficiency']:.3f}** (target ≥ 0.8, BASELINE.json; "
             f"MEDIAN of interleaved rounds {pipe['scaling_rounds']}, clamped "
             "at 1.0 as a sanity bound).\n\n"
+            "Host-noise caveat: repeated clean runs of this bench on this "
+            "shared host vary ±15% on the headline and up to 2× on "
+            "individual heavy queries (same code, same data); compare "
+            "rounds by direction and magnitude, not single-run decimals.\n\n"
             "Why this pair: on a real cluster each added EXECUTOR brings its "
             "own memory bandwidth; on this single host string-heavy parsing "
             "saturates the shared memory bus above ~12 threads (pure-compute "

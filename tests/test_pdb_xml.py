@@ -269,3 +269,33 @@ def test_program_wildcard_pattern(spark):
     assert by_prog["sshd"]["values"]["algo"] == "kex1"
     assert by_prog["ssh-agent"].pdb_rule_id == "r_any_ssh"
     assert by_prog["nginx"].pdb_rule_id is None
+
+
+def test_correlation_scope_matrix(spark):
+    """correlation-key.c scopes (:29-40): with the same evaluated
+    context-id, 'global' merges across hosts+programs, 'host' separates
+    per host, 'program' per (host, program), 'process' per (host,
+    program, pid) — the scope columns are part of the context key."""
+    from syslog_ng_spark.operators.patterndb import PdbRule, patterndb, pdb_correlate
+
+    def run(scope):
+        rules = [PdbRule("r", "t", "", "u @NUMBER:uid@",
+                         context_id="${uid}", context_timeout=60,
+                         context_scope=scope)]
+        df = spark.createDataFrame(
+            [
+                ("h1", "p1", 1, "u 5", _ts(0)),
+                ("h1", "p1", 2, "u 5", _ts(0, 10)),   # other pid
+                ("h1", "p2", 1, "u 5", _ts(0, 20)),   # other program
+                ("h2", "p1", 1, "u 5", _ts(0, 30)),   # other host
+            ],
+            "host string, program string, pid int, msg string, ts timestamp",
+        )
+        ctx = pdb_correlate(patterndb(df, rules, program_col="program",
+                                      text_col="msg"), rules)
+        return sorted(r.context_len for r in ctx.collect())
+
+    assert run("global") == [4]            # one merged context
+    assert run("host") == [1, 3]           # h1 (3 rows) + h2 (1)
+    assert run("program") == [1, 1, 2]     # (h1,p1)x2, (h1,p2), (h2,p1)
+    assert run("process") == [1, 1, 1, 1]  # pid splits the h1/p1 pair

@@ -207,9 +207,15 @@ _TEMPLATE_FUNCS: dict[str, object] = {
     "*": lambda raw, cols: _arith("*", cols),
     "/": lambda raw, cols: _arith("/", cols),
     "%": lambda raw, cols: _arith("%", cols),
-    "round": lambda raw, cols: F.round(
-        _num(cols[0]), int(raw[1]) if len(raw) > 1 else 0
-    ).cast("string"),
+    # $(round value [prec]): precision outside 0..20 is NaN
+    # (numeric-funcs.c tf_round)
+    "round": lambda raw, cols: (
+        F.lit("NaN")
+        if len(raw) > 1 and not (0 <= int(raw[1]) <= 20)
+        else _intish(
+            F.round(_num(cols[0]), int(raw[1]) if len(raw) > 1 else 0)
+        )
+    ),
     "ceil": lambda raw, cols: F.ceil(_num(cols[0])).cast("string"),
     "floor": lambda raw, cols: F.floor(_num(cols[0])).cast("string"),
     # list-aggregating numerics over comma-separated list strings
@@ -266,7 +272,12 @@ _TEMPLATE_FUNCS: dict[str, object] = {
         "syslog_ng_spark.functions.filters", fromlist=["ip_to_long"]
     ).ip_to_long(cols[0]).cast("string"),
     # fname (fname-funcs.c)
-    "dirname": lambda raw, cols: F.regexp_extract(cols[0], r"^(.*)/[^/]*$", 1),
+    # dirname of a bare filename is '.' (files.c tf_dirname /
+    # test_basicfuncs.c test_fname_funcs)
+    "dirname": lambda raw, cols: F.coalesce(
+        F.nullif(F.regexp_extract(cols[0], r"^(.*)/[^/]*$", 1), F.lit("")),
+        F.when(cols[0].startswith("/"), F.lit("/")).otherwise(F.lit(".")),
+    ),
     "basename": lambda raw, cols: F.regexp_extract(cols[0], r"([^/]*)$", 1),
     # codecs (urlencode.c)
     "base64-encode": lambda raw, cols: F.base64(cols[0].cast("binary")),

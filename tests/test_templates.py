@@ -288,3 +288,34 @@ def test_basicfuncs_c_table(spark):
     ).collect()[0]
     for i, (tpl, exp) in enumerate(cases):
         assert sel[f"c{i}"] == exp, f"{tpl!r}: {sel[f'c{i}']!r} != {exp!r}"
+
+
+def test_basicfuncs_fname_and_round(spark):
+    """test_basicfuncs.c fname + numeric edge cases: dirname of a bare
+    name is '.', trailing-slash dirs, round precision bounds."""
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame([("x",)], "dummy string")
+    cases = [
+        ("$(basename foo)", "foo"),
+        ("$(basename /foo/bar)", "bar"),
+        ("$(basename /foo/bar/baz)", "baz"),
+        ("$(dirname foo)", "."),
+        ("$(dirname /foo/bar)", "/foo"),
+        ("$(dirname /foo/bar/)", "/foo/bar"),
+        ("$(dirname /foo/bar/baz)", "/foo/bar"),
+        ("$(round 2.0)", "2"),
+        ("$(round 2.123456 3)", "2.123"),
+        ("$(round 2.123456 4)", "2.1235"),
+        ("$(round 0.5)", "1"),
+        ("$(round 2 -1)", "NaN"),
+        ("$(round 2 21)", "NaN"),
+        ("$(round 2 0)", "2"),
+        ("$(floor 0.7)", "0"),
+        ("$(ceil 0.2)", "1"),
+    ]
+    row = df.select(
+        *[compile_template(t).alias(f"c{i}") for i, (t, _) in enumerate(cases)]
+    ).collect()[0]
+    for i, (tpl, exp) in enumerate(cases):
+        assert row[f"c{i}"] == exp, f"{tpl!r}: {row[f'c{i}']!r} != {exp!r}"

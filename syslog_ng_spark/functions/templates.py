@@ -218,19 +218,30 @@ _TEMPLATE_FUNCS: dict[str, object] = {
     ),
     "ceil": lambda raw, cols: F.ceil(_num(cols[0])).cast("string"),
     "floor": lambda raw, cols: F.floor(_num(cols[0])).cast("string"),
-    # list-aggregating numerics over comma-separated list strings
+    # list-aggregating numerics over comma-separated list strings.
+    # Non-numeric elements are SKIPPED, an all-invalid list renders ''
+    # (numeric-funcs.c tf_num_aggregate / test_numeric_aggregate_*).
     "sum": lambda raw, cols: _intish(
-        F.aggregate(
-            F.split(cols[0], ","), F.lit(0.0), lambda acc, x: acc + x.cast("double")
-        )
+        F.aggregate(_numlist(cols[0]), F.lit(0.0), lambda acc, x: acc + x)
     ),
-    "min": lambda raw, cols: _intish(F.array_min(F.transform(F.split(cols[0], ","), lambda x: x.cast("double")))),
-    "max": lambda raw, cols: _intish(F.array_max(F.transform(F.split(cols[0], ","), lambda x: x.cast("double")))),
-    "average": lambda raw, cols: _intish(
-        F.aggregate(
-            F.split(cols[0], ","), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    "min": lambda raw, cols: _intish(F.array_min(_numlist(cols[0]))),
+    "max": lambda raw, cols: _intish(F.array_max(_numlist(cols[0]))),
+    # average over all-integer elements divides in int64 (truncating),
+    # like the reference's long-mode aggregate: avg(1,2) == 1
+    "average": lambda raw, cols: F.when(
+        ~F.exists(
+            F.split(cols[0], ","),
+            lambda x: x.cast("double").isNotNull() & ~x.rlike(r"^\s*-?\d+\s*$"),
+        ),
+        (
+            F.aggregate(_numlist(cols[0]), F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(_numlist(cols[0]))
+        ).cast("long").cast("string"),
+    ).otherwise(
+        _intish(
+            F.aggregate(_numlist(cols[0]), F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(_numlist(cols[0]))
         )
-        / F.size(F.split(cols[0], ","))
     ),
     # str extras (str-funcs.c)
     "indent-multi-line": lambda raw, cols: F.regexp_replace(
@@ -317,6 +328,18 @@ def _list_slice(raw, cols):
         return F.array_join(F.slice(arr, start + 1, length), ",")
     return F.array_join(F.slice(arr, start + 1, 1_000_000), ",")
 
+
+
+
+def _numlist(c: Column) -> Column:
+    """Comma list → array<double> of only the VALID numeric elements
+    (invalid/empty skipped); an all-invalid list becomes null so the
+    aggregate renders '' like the reference."""
+    arr = F.filter(
+        F.transform(F.split(c, ","), lambda x: x.cast("double")),
+        lambda v: v.isNotNull(),
+    )
+    return F.when(F.size(arr) > 0, arr)
 
 
 def _arith(op: str, cols):

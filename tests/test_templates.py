@@ -319,3 +319,29 @@ def test_basicfuncs_fname_and_round(spark):
     ).collect()[0]
     for i, (tpl, exp) in enumerate(cases):
         assert row[f"c{i}"] == exp, f"{tpl!r}: {row[f'c{i}']!r} != {exp!r}"
+
+
+def test_numeric_aggregates_skip_invalid(spark):
+    """test_basicfuncs.c numeric-aggregate cases: invalid list elements
+    are skipped; an all-invalid list renders ''; C 'average' is integer
+    on integral results."""
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame(
+        [("1,-1,3", "abc,1,c,2,", "abc,c,")],
+        "good string, mixed string, bad string",
+    )
+    cases = [
+        ("$(sum ${good})", "3"), ("$(min ${good})", "-1"),
+        ("$(max ${good})", "3"), ("$(average ${good})", "1"),
+        ("$(sum ${mixed})", "3"), ("$(min ${mixed})", "1"),
+        ("$(max ${mixed})", "2"), ("$(average ${mixed})", "1"),
+        ("$(sum ${bad})", ""), ("$(min ${bad})", ""),
+        ("$(max ${bad})", ""), ("$(average ${bad})", ""),
+    ]
+    row = df.select(
+        *[compile_template(t).alias(f"c{i}") for i, (t, _) in enumerate(cases)]
+    ).collect()[0]
+    for i, (tpl, exp) in enumerate(cases):
+        got = row[f"c{i}"] or ""
+        assert got == exp, f"{tpl!r}: {got!r} != {exp!r}"

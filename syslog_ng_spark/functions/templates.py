@@ -54,9 +54,15 @@ def _resolve_name(name: str, columns: set[str] | None) -> Column:
         return F.element_at(F.col(MATCHES_COL), int(name) + 1)
     if is_macro(name):
         return macro(name)
-    if columns is None or name in columns:
-        return F.col(name)
-    return F.element_at(F.col(NV_COL), name)
+    if columns is not None:
+        if name in columns:
+            return F.col(name)
+        return F.element_at(F.col(NV_COL), name)
+    # no column-set hint: dotted names are NVTable entries (dot-notation
+    # keys live in the nv map, not as top-level columns)
+    if "." in name:
+        return F.element_at(F.col(NV_COL), name)
+    return F.col(name)
 
 
 def _find_call_end(s: str, start: int) -> int:
@@ -97,7 +103,22 @@ def compile_template(
             parts.append(_compile_call(inner, columns))
             pos = end
         elif tok.startswith("${"):
-            parts.append(_resolve_name(tok[2:-1], columns).cast("string"))
+            inner = tok[2:-1]
+            if ":-" in inner:
+                # ${NAME:-default} — default when unset OR empty
+                # (lib/template/compiler.c default-value syntax,
+                # test_template.c '${APP.VALUE99:-ures}' → 'ures')
+                name, default = inner.split(":-", 1)
+                parts.append(
+                    F.coalesce(
+                        F.nullif(
+                            _resolve_name(name, columns).cast("string"), F.lit("")
+                        ),
+                        F.lit(default),
+                    )
+                )
+            else:
+                parts.append(_resolve_name(inner, columns).cast("string"))
             pos = m.end()
         else:
             parts.append(_resolve_name(tok[1:], columns).cast("string"))

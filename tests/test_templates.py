@@ -345,3 +345,26 @@ def test_numeric_aggregates_skip_invalid(spark):
     for i, (tpl, exp) in enumerate(cases):
         got = row[f"c{i}"] or ""
         assert got == exp, f"{tpl!r}: {got!r} != {exp!r}"
+
+
+def test_template_default_value_syntax(spark):
+    """lib/template default-value syntax (test_template.c): ${NAME:-d}
+    falls back when the name is unset or empty, and $$ escaping keeps
+    composing with match refs."""
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame(
+        [({"APP.VALUE": "value", "APP.EMPTY": ""}, ["first-match"])],
+        "nv map<string,string>, matches array<string>",
+    )
+    cases = [
+        ("${APP.VALUE:-ures}", "value"),
+        ("${APP.VALUE99:-ures}", "ures"),
+        ("${APP.EMPTY:-ures}", "ures"),
+        ("$$$0$$", "$first-match$"),
+    ]
+    row = df.select(
+        *[compile_template(t).alias(f"c{i}") for i, (t, _) in enumerate(cases)]
+    ).collect()[0]
+    for i, (tpl, exp) in enumerate(cases):
+        assert row[f"c{i}"] == exp, f"{tpl!r}: {row[f'c{i}']!r} != {exp!r}"

@@ -173,8 +173,20 @@ def set_pri(df: DataFrame, pri: Column | int, condition=None) -> DataFrame:
 
 
 def set_matches(df: DataFrame, source: str, matches_col: str = "matches") -> DataFrame:
-    """set-matches() — load $1.. from a list value (rewrite-set-matches.c)."""
-    return df.withColumn(matches_col, F.split(F.col(source), ","))
+    """set-matches() — load $1.. from a list value; $0 becomes UNSET
+    (rewrite-set-matches.c + lib/rewrite/tests/test_set_matches.c:
+    list items land in match slots 1.., slot 0 is cleared). The matches
+    array is $0-first, so a null leads."""
+    return df.withColumn(
+        matches_col,
+        F.concat(F.array(F.lit(None).cast("string")), F.split(F.col(source), ",")),
+    )
+
+
+def unset_matches(df: DataFrame, matches_col: str = "matches") -> DataFrame:
+    """unset-matches() — clear every match slot (test_set_matches.c
+    unset_matches case)."""
+    return df.withColumn(matches_col, F.lit(None).cast("array<string>"))
 
 
 def fix_timezone(df: DataFrame, tz: str, ts_col: str = "ts") -> DataFrame:

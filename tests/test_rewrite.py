@@ -68,9 +68,20 @@ def test_credit_card_mask(spark):
 
 
 def test_set_matches(spark):
-    df = spark.createDataFrame([("a,b,c",)], "lst string")
-    out = RW.set_matches(df, "lst").collect()[0]
-    assert out.matches == ["a", "b", "c"]
+    """test_set_matches.c 'numeric' case: items land in $1.., $0 unset."""
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame([("foo,bar",)], "lst string")
+    out = RW.set_matches(df, "lst")
+    row = out.select(
+        compile_template("$1").alias("m1"),
+        compile_template("$2").alias("m2"),
+        compile_template("${0:-unset}").alias("m0"),
+    ).collect()[0]
+    assert (row.m1, row.m2, row.m0) == ("foo", "bar", "unset")
+
+    cleared = RW.unset_matches(out).collect()[0]
+    assert cleared.matches is None
 
 
 def test_rename(spark):

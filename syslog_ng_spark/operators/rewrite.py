@@ -101,13 +101,29 @@ def groupunset(df: DataFrame, glob: str) -> DataFrame:
     return out
 
 
-def groupset(df: DataFrame, glob: str, value: Column | str) -> DataFrame:
-    """groupset(glob value) — set every matching column (rewrite-groupset.c)."""
+def groupset(df: DataFrame, glob: str | list[str], value: Column | str) -> DataFrame:
+    """groupset(value values(globs...)) — set every matching column
+    (rewrite-groupset.c). In a string template, ``$_`` binds to the
+    column's OLD value per target ("$_ alma" appends ' alma' to each
+    matched field — lib/rewrite/tests/test_rewrite.c group_set cases);
+    ``glob`` accepts one pattern or a list (values("f1" "f2"))."""
     import fnmatch  # noqa: PLC0415
 
+    globs = [glob] if isinstance(glob, str) else list(glob)
     out = df
     for n, _typ in df.dtypes:
-        if fnmatch.fnmatch(n, glob):
+        if not any(fnmatch.fnmatch(n, g) for g in globs):
+            continue
+        if isinstance(value, str) and "$_" in value:
+            from ..functions import templates as TPL  # noqa: PLC0415
+
+            TPL._BINDINGS.append({"_": F.col(n).cast("string")})
+            try:
+                v = TPL.compile_template(value, set(df.columns))
+            finally:
+                TPL._BINDINGS.pop()
+            out = set_value(out, n, v)
+        else:
             out = set_value(out, n, value)
     return out
 

@@ -101,3 +101,18 @@ def test_guess_timezone(spark):
     r = guess_timezone(df).collect()[0]
     assert r.tz_guess_offset == 5 * 3600
     assert abs((r.ts - ref).total_seconds()) <= 3
+
+
+def test_groupset_old_value_and_multi_globs(spark):
+    """test_rewrite.c group_set cases: '$_ alma' template appends to the
+    old value of EACH matched field; values() accepts multiple globs."""
+    df = spark.createDataFrame(
+        [("v1", "v2", "other")], "field1 string, field2 string, aux string"
+    )
+    out = RW.groupset(df, "field*", "$_ alma").collect()[0]
+    assert out.field1 == "v1 alma"
+    assert out.field2 == "v2 alma"
+    assert out.aux == "other"
+
+    out2 = RW.groupset(df, ["field1", "aux"], "X").collect()[0]
+    assert (out2.field1, out2.field2, out2.aux) == ("X", "v2", "X")

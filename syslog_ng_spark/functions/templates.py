@@ -24,8 +24,11 @@ from __future__ import annotations
 import re
 import shlex
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schema import MATCHES_COL, NV_COL
 from .macros import is_macro, macro
@@ -149,6 +152,7 @@ def _split_args(body: str) -> list[str]:
     buf: list[str] = []
     depth = 0
     in_q: str | None = None
+    saw_quote = False  # a quoted token may be EMPTY ('' is a real arg)
     i = 0
     while i < len(body):
         ch = body[i]
@@ -159,6 +163,7 @@ def _split_args(body: str) -> list[str]:
                 buf.append(ch)
         elif ch in ('"', "'") and depth == 0:
             in_q = ch
+            saw_quote = True
         elif ch == "$" and i + 1 < len(body) and body[i + 1] == "(":
             depth += 1
             buf.append("$(")
@@ -171,13 +176,14 @@ def _split_args(body: str) -> list[str]:
             depth -= 1
             buf.append(ch)
         elif ch.isspace() and depth == 0:
-            if buf:
+            if buf or saw_quote:
                 out.append("".join(buf))
                 buf = []
+            saw_quote = False
         else:
             buf.append(ch)
         i += 1
-    if buf:
+    if buf or saw_quote:
         out.append("".join(buf))
     return out
 
@@ -283,21 +289,34 @@ _TEMPLATE_FUNCS: dict[str, object] = {
     # $(template name) — invoke a named template (tf-template.c); names
     # are registered via register_named_template()
     "template": lambda raw, cols: _NAMED_TEMPLATES[raw[0]](),
-    # lists (list-funcs.c) — list = comma-separated string, as in the reference
+    # lists (list-funcs.c over lib/scanner/list-scanner): a syslog-ng
+    # list is comma-separated with optional double-quoted elements
+    # (commas/escapes inside survive); every arg is itself a list, args
+    # concatenate, unquoted empty elements vanish
     "list-search": lambda raw, cols: F.when(
-        F.array_position(F.split(cols[1], ","), raw[0]) > 0,
-        (F.array_position(F.split(cols[1], ","), raw[0]) - 1).cast("string"),
+        F.array_position(_list_arr(cols[1:]), raw[0]) > 0,
+        (F.array_position(_list_arr(cols[1:]), raw[0]) - 1).cast("string"),
     ).otherwise(""),
-    "list-concat": lambda raw, cols: F.concat_ws(",", *cols),
-    "list-head": lambda raw, cols: F.element_at(F.split(cols[0], ","), 1),
-    "list-tail": lambda raw, cols: F.array_join(
-        F.slice(F.split(cols[0], ","), 2, 1_000_000), ","
+    "list-concat": lambda raw, cols: _list_enc(_list_arr(cols)),
+    "list-head": lambda raw, cols: F.coalesce(
+        F.element_at(_list_arr(cols), 1), F.lit("")
     ),
-    "list-nth": lambda raw, cols: F.element_at(
-        F.split(cols[1], ","), int(raw[0]) + 1
+    "list-tail": lambda raw, cols: _list_enc(
+        F.slice(_list_arr(cols), 2, 1_000_000)
     ),
-    "list-count": lambda raw, cols: F.size(F.split(cols[0], ",")).cast("string"),
-    "list-append": lambda raw, cols: F.concat_ws(",", *cols),
+    "list-nth": lambda raw, cols: F.coalesce(
+        F.element_at(_list_arr(cols[1:]), int(raw[0]) + 1), F.lit("")
+    ),
+    "list-count": lambda raw, cols: F.size(_list_arr(cols)).cast("string"),
+    # list-append: first arg parses as a list, FURTHER args append as
+    # literal elements (quoted on encode if they contain specials)
+    "list-append": lambda raw, cols: _list_enc(
+        F.concat(
+            _list_arr(cols[:1]),
+            F.array(*[c.cast("string") for c in cols[1:]]) if len(cols) > 1
+            else F.array().cast("array<string>"),
+        )
+    ),
     "list-slice": lambda raw, cols: _list_slice(raw, cols),
     # ip (ip-funcs.c)
     "ipv4-to-int": lambda raw, cols: __import__(
@@ -350,6 +369,71 @@ def _list_slice(raw, cols):
     return F.array_join(F.slice(arr, start + 1, 1_000_000), ",")
 
 
+
+
+
+# --- syslog-ng list model (lib/scanner/list-scanner/list-scanner.c) ---------
+# A list value is comma-separated; an element may be double-quoted, in
+# which case commas survive and backslash escapes decode (\t \" \\ ...).
+# Unquoted empty elements are skipped by the scanner.
+
+_LIST_ELEM_RE = re.compile(r'"((?:[^"\\]|\\.)*)"|([^,]+)')
+_LIST_DEC = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\", '"': '"'}
+_LIST_NEEDS_QUOTE = re.compile(r'[,"\\\t\n\r]')
+
+
+def _list_parse_py(s):
+    if not s:
+        return []
+    out = []
+    for m in _LIST_ELEM_RE.finditer(s):
+        if m.group(1) is not None:
+            out.append(
+                re.sub(
+                    r"\\(.)",
+                    lambda e: _LIST_DEC.get(e.group(1), "\\" + e.group(1)),
+                    m.group(1),
+                )
+            )
+        else:
+            out.append(m.group(2))
+    return out
+
+
+def _list_encode_py(items):
+    parts = []
+    for it in items:
+        if it is None:
+            continue
+        if it == "" or _LIST_NEEDS_QUOTE.search(it):
+            enc = it.replace("\\", "\\\\").replace('"', '\\"')
+            enc = enc.replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+            parts.append('"' + enc + '"')
+        else:
+            parts.append(it)
+    return ",".join(parts)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _list_parse_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: _list_parse_py(v) if v is not None else [])
+
+
+@F.pandas_udf(T.StringType())
+def _list_enc_udf(a: pd.Series) -> pd.Series:
+    return a.map(lambda v: _list_encode_py(list(v)) if v is not None else "")
+
+
+def _list_arr(cols) -> Column:
+    """Parse-and-concat every argument as a list (tf_list semantics:
+    each arg is a list in itself)."""
+    if not cols:
+        return F.array().cast("array<string>")
+    return F.concat(*[_list_parse_udf(c.cast("string")) for c in cols])
+
+
+def _list_enc(arr: Column) -> Column:
+    return _list_enc_udf(arr)
 
 
 def _numlist(c: Column) -> Column:

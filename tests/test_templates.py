@@ -368,3 +368,44 @@ def test_template_default_value_syntax(spark):
     ).collect()[0]
     for i, (tpl, exp) in enumerate(cases):
         assert row[f"c{i}"] == exp, f"{tpl!r}: {row[f'c{i}']!r} != {exp!r}"
+
+
+def test_list_funcs_c_table(spark):
+    """test_basicfuncs.c list cases over the list-scanner model: quoted
+    elements keep commas/escapes, unquoted empties are skipped, append
+    quotes elements containing specials."""
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame([("bzorp", "syslog-ng", 23323)],
+                               "host string, program string, pid int")
+    cases = [
+        ("$(list-concat)", ""),
+        ("$(list-concat foo bar baz)", "foo,bar,baz"),
+        ("$(list-concat foo bar baz '')", "foo,bar,baz"),
+        ("$(list-concat foo $HOST $PROGRAM $PID bar)", "foo,bzorp,syslog-ng,23323,bar"),
+        ("$(list-concat foo '$HOST,$PROGRAM,$PID,' bar)", "foo,bzorp,syslog-ng,23323,bar"),
+        ("$(list-append '' foo)", "foo"),
+        ("$(list-append '' foo bar)", "foo,bar"),
+        ("$(list-append foo,bar,baz 'x')", "foo,bar,baz,x"),
+        ("$(list-append foo,bar,baz '')", 'foo,bar,baz,""'),
+        ("$(list-append foo,bar,baz 'xxx,')", 'foo,bar,baz,"xxx,"'),
+        ("$(list-head)", ""),
+        ("$(list-head '')", ""),
+        ("$(list-head foo,)", "foo"),
+        ("$(list-head ,bar,baz)", "bar"),
+        ("$(list-head foo bar)", "foo"),
+        ("$(list-head '' bar baz)", "bar"),
+        ('$(list-head \'"\\tfoo,",bar,baz\')', "\tfoo,"),
+        ('$(list-nth 0 \'"foo,","bar","baz"\')', "foo,"),
+        ('$(list-nth 1 \'"foo,","bar","baz"\')', "bar"),
+        ('$(list-nth 3 \'"foo,","bar","baz"\')', ""),
+        ("$(list-count foo,bar,baz)", "3"),
+        ("$(list-count ,bar,baz)", "2"),
+        ("$(list-tail foo,bar,baz)", "bar,baz"),
+    ]
+    row = df.select(
+        *[compile_template(t).alias(f"c{i}") for i, (t, _) in enumerate(cases)]
+    ).collect()[0]
+    for i, (tpl, exp) in enumerate(cases):
+        got = row[f"c{i}"] or ""
+        assert got == exp, f"{tpl!r}: {got!r} != {exp!r}"

@@ -337,9 +337,7 @@ _TEMPLATE_FUNCS: dict[str, object] = {
     # structured
     "format-json": lambda raw, cols: _format_json(raw, cols),
     "format-welf": lambda raw, cols: _format_welf(raw, cols),
-    "format-date": lambda raw, cols: F.date_format(
-        F.to_timestamp(cols[1]), _strptime_to_java(raw[0])
-    ),
+    "format-date": lambda raw, cols: _format_date(raw, cols),
     # crypto (modules/cryptofuncs)
     "sha1": lambda raw, cols: F.sha1(cols[0]),
     "sha256": lambda raw, cols: F.sha2(cols[0], 256),
@@ -445,6 +443,38 @@ def _numlist(c: Column) -> Column:
         lambda v: v.isNotNull(),
     )
     return F.when(F.size(arr) > 0, arr)
+
+
+
+def _format_date(raw, cols):
+    """$(format-date [--time-zone TZ] <strptime-fmt> [timestamp]) —
+    modules/timestamp/tests/test_format_date.c: the value may be a
+    timestamp string OR a unix epoch (with optional fraction); with no
+    value argument the message's own stamp ($STAMP → the ts column)
+    formats. --time-zone renders in that zone."""
+    args = list(raw)
+    i = 0
+    tz = None
+    if args and args[i] in ("--time-zone", "-t"):
+        tz = args[i + 1]
+        i += 2
+    fmt = _strptime_to_java(args[i])
+    val_idx = i + 1
+    if val_idx < len(cols):
+        v = cols[val_idx]
+        ts = F.coalesce(
+            F.try_to_timestamp(v),
+            F.when(
+                v.rlike(r"^\d+(\.\d+)?$"),
+                F.timestamp_seconds(v.cast("double")),
+            ),
+        )
+    else:
+        ts = F.col("ts")
+    out = F.date_format(ts, fmt)
+    if tz:
+        out = F.date_format(F.from_utc_timestamp(ts, tz), fmt)
+    return out
 
 
 def _arith(op: str, cols):
@@ -642,16 +672,31 @@ def _format_welf(raw, cols):
 
 
 def _strptime_to_java(fmt: str) -> str:
-    """Subset strptime → java.time pattern translation."""
+    """Subset strptime → java.time pattern translation. Literal LETTERS
+    outside %-directives must be single-quoted for java.time ('T' in
+    %Y-%m-%dT%H:%M:%S would otherwise be read as a pattern char)."""
     table = {
         "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
         "%S": "ss", "%b": "MMM", "%e": "d", "%z": "xx", "%f": "SSSSSS",
         "%j": "DDD", "%y": "yy", "%p": "a", "%I": "hh", "%A": "EEEE", "%a": "EEE",
+        "%%": "%",
     }
-    out = fmt
-    for k, v in table.items():
-        out = out.replace(k, v)
-    return out
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt) and "%" + fmt[i + 1] in table:
+            out.append(table["%" + fmt[i + 1]])
+            i += 2
+        elif fmt[i].isalpha():
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out.append("'" + fmt[i:j] + "'")
+            i = j
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
 
 
 _NAMED_TEMPLATES: dict = {}

@@ -409,3 +409,31 @@ def test_list_funcs_c_table(spark):
     for i, (tpl, exp) in enumerate(cases):
         got = row[f"c{i}"] or ""
         assert got == exp, f"{tpl!r}: {got!r} != {exp!r}"
+
+
+def test_format_date_c_cases(spark):
+    """test_format_date.c: epoch values, message-stamp default, and
+    --time-zone rendering (session TZ is UTC)."""
+    import datetime
+
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2022, 11, 3, 19, 36, 53),)], "ts timestamp"
+    )
+    # NOTE: the C suite renders the un-zoned cases in the TEST HOST's
+    # local zone (CET in the recorded expectations); this engine renders
+    # in the session zone, pinned to UTC — epoch 1667500613 is
+    # 18:36:53Z. The --time-zone case is zone-explicit and matches the
+    # C expectation exactly.
+    cases = [
+        ("$(format-date %Y-%m-%dT%H:%M:%S)", "2022-11-03T19:36:53"),
+        ("$(format-date %Y-%m-%dT%H:%M:%S 1667500613)", "2022-11-03T18:36:53"),
+        ("$(format-date --time-zone PST8PDT %Y-%m-%dT%H:%M:%S 1667500613)",
+         "2022-11-03T11:36:53"),
+    ]
+    row = df.select(
+        *[compile_template(t).alias(f"c{i}") for i, (t, _) in enumerate(cases)]
+    ).collect()[0]
+    for i, (tpl, exp) in enumerate(cases):
+        assert row[f"c{i}"] == exp, f"{tpl!r}: {row[f'c{i}']!r} != {exp!r}"

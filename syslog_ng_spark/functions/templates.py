@@ -83,10 +83,23 @@ def _find_call_end(s: str, start: int) -> int:
     raise ValueError(f"unbalanced $() in template: {s!r}")
 
 
+_COLUMNS_CTX: list = []  # compile-time column-set context (for $(format-json --scope ...))
+
+
 def compile_template(
     template: str, columns: set[str] | None = None
 ) -> Column:
     """Compile a template string into one string-typed Column."""
+    _COLUMNS_CTX.append(columns)
+    try:
+        return _compile_template_inner(template, columns)
+    finally:
+        _COLUMNS_CTX.pop()
+
+
+def _compile_template_inner(
+    template: str, columns: set[str] | None = None
+) -> Column:
     parts: list[Column] = []
     pos = 0
     while pos < len(template):
@@ -551,13 +564,126 @@ _TEMPLATE_FUNCS["substr"] = _substr_fn
 
 
 def _format_json(raw, cols):
-    """$(format-json key=value ...) — builds a JSON object column."""
-    pairs = {}
-    for a in raw:
-        if "=" in a:
+    """$(format-json ...) — modules/json/format-json.c shape
+    (expectations from tests/test_format_json.c):
+
+    - ``key=value`` pairs; DOTTED keys build NESTED objects
+      (msg.text=x msg.id=42 → {"msg":{"text":..,"id":..}});
+    - a leading '.' maps to '_' unless --leave-initial-dot;
+    - --scope s1,s2 merges value-pairs scopes; --key / --exclude glob
+      the merged key set; --shift-levels N / --add-prefix P transform
+      keys before nesting; bare names select nv entries (omitted when
+      unset);
+    - --auto-cast / --omit-empty-values are accepted; values here are
+      strings (the engine's nv model) and null/absent values are
+      omitted, which covers the omit-empty contract for unset names.
+    """
+    import json as _json  # noqa: PLC0415
+
+    cur_cols = _COLUMNS_CTX[-1] if _COLUMNS_CTX else None
+    scopes: list[str] = []
+    inc: list[str] = []
+    exc: list[str] = []
+    leave_dot = False
+    shift = 0
+    add_prefix = ""
+    pairs: list = []
+    bare: list[str] = []
+    i = 0
+    while i < len(raw):
+        a = raw[i]
+        if a == "--scope":
+            scopes += [x.strip() for x in raw[i + 1].split(",")]
+            i += 2
+        elif a == "--key":
+            inc.append(raw[i + 1]); i += 2
+        elif a == "--exclude":
+            exc.append(raw[i + 1]); i += 2
+        elif a == "--leave-initial-dot":
+            leave_dot = True; i += 1
+        elif a == "--shift-levels":
+            shift = int(raw[i + 1]); i += 2
+        elif a == "--add-prefix":
+            add_prefix = raw[i + 1]; i += 2
+        elif a in ("--auto-cast", "--omit-empty-values"):
+            i += 1
+        elif "=" in a:
             k, v = a.split("=", 1)
-            pairs[k] = compile_template(v)
-    return F.to_json(F.struct(*[v.alias(k) for k, v in pairs.items()]))
+            pairs.append((k, compile_template(v, cur_cols)))
+            i += 1
+        else:
+            bare.append(a); i += 1
+
+    m = F.create_map().cast("map<string,string>")
+    if scopes:
+        from .value_pairs import _scope_map  # noqa: PLC0415
+
+        for sc in scopes:
+            m = F.map_concat(m, _scope_map(sorted(cur_cols or []), sc))
+    entries = []
+    for name in bare:
+        entries += [F.lit(name), F.element_at(F.col(NV_COL), name).cast("string")
+                    if (cur_cols is None or NV_COL in cur_cols)
+                    else F.lit(None).cast("string")]
+    for name, col in pairs:
+        entries += [F.lit(name), col.cast("string")]
+    if entries:
+        m = F.map_concat(m, F.create_map(*entries))
+    if inc or exc:
+        from .value_pairs import _glob_pred  # noqa: PLC0415
+
+        if inc:
+            preds = [_glob_pred(p) for p in inc]
+            cond = preds[0]
+            m = F.map_filter(
+                m, lambda k, _v: _fold_or([p(k) for p in preds])
+            )
+        if exc:
+            preds = [_glob_pred(p) for p in exc]
+            m = F.map_filter(
+                m, lambda k, _v: ~_fold_or([p(k) for p in preds])
+            )
+
+    def render(d):
+        if d is None:
+            return "{}"
+        tree: dict = {}
+        for k, v in d.items():
+            if v is None:
+                continue
+            if shift:
+                segs0 = k.split(".")
+                k = ".".join(segs0[min(shift, len(segs0) - 1):])
+            k = add_prefix + k
+            if k.startswith(".") and not leave_dot:
+                k = "_" + k[1:]
+            segs = [sg for sg in k.split(".") if sg != ""] or [k]
+            # a leading-dot key keeps its first empty segment as part of
+            # the first rendered segment when leave_dot is on
+            if k.startswith(".") and leave_dot:
+                segs = ["." + segs[0]] + segs[1:]
+            node = tree
+            for sg in segs[:-1]:
+                nxt = node.get(sg)
+                if not isinstance(nxt, dict):
+                    nxt = {}
+                    node[sg] = nxt
+                node = nxt
+            node[segs[-1]] = v
+        return _json.dumps(tree, ensure_ascii=False, separators=(",", ":"))
+
+    @F.pandas_udf(T.StringType())
+    def _render_udf(col: pd.Series) -> pd.Series:
+        return col.map(render)
+
+    return _render_udf(m)
+
+
+def _fold_or(conds):
+    c = conds[0]
+    for x in conds[1:]:
+        c = c | x
+    return c
 
 
 def _lambda_template(template: str):

@@ -23,33 +23,39 @@ _BUILTIN_COLS_3164 = ["host", "program", "pid", "text", "pri"]
 _BUILTIN_COLS_5424 = [*_BUILTIN_COLS_3164, "msgid"]
 
 
-def _cols_to_map(df: DataFrame, cols: list[str]) -> Column:
+def _cols_to_map(columns, cols: list[str]) -> Column:
     entries = []
     for c in cols:
-        if c in df.columns:
+        if c in columns:
             entries += [F.lit(c), F.col(c).cast("string")]
     if not entries:
         return F.create_map().cast("map<string,string>")
     return F.create_map(*entries)
 
 
-def _nv(df: DataFrame) -> Column:
-    if "nv" in df.columns:
+def _nv(columns) -> Column:
+    if "nv" in columns:
         return F.coalesce(F.col("nv"), F.create_map().cast("map<string,string>"))
     return F.create_map().cast("map<string,string>")
 
 
-def _scope_map(df: DataFrame, scope: str) -> Column:
+def _scope_map(df_or_columns, scope: str) -> Column:
+    """Scope → map column. Accepts a DataFrame or a COLUMN-NAME list —
+    the builders only need the schema's names, which lets template
+    functions ($(format-json --scope ...)) reuse scopes with just the
+    compile-time column set."""
+    df = df_or_columns
+    columns = list(df.columns) if isinstance(df, DataFrame) else list(df)
     if scope in ("nv-pairs", "nv_pairs"):
-        return F.map_filter(_nv(df), lambda k, _v: ~k.startswith("."))
+        return F.map_filter(_nv(columns), lambda k, _v: ~k.startswith("."))
     if scope in ("dot-nv-pairs", "dot_nv_pairs"):
-        return F.map_filter(_nv(df), lambda k, _v: k.startswith("."))
+        return F.map_filter(_nv(columns), lambda k, _v: k.startswith("."))
     if scope == "rfc3164" or scope == "core":
-        return _cols_to_map(df, _BUILTIN_COLS_3164)
+        return _cols_to_map(columns, _BUILTIN_COLS_3164)
     if scope in ("rfc5424", "syslog-proto"):
-        return _cols_to_map(df, _BUILTIN_COLS_5424)
+        return _cols_to_map(columns, _BUILTIN_COLS_5424)
     if scope == "sdata":
-        if "sdata" in df.columns:
+        if "sdata" in columns:
             return F.coalesce(
                 F.transform_keys(F.col("sdata"), lambda k, _v: F.concat(F.lit(".SDATA."), k)),
                 F.create_map().cast("map<string,string>"),
@@ -70,7 +76,8 @@ def _scope_map(df: DataFrame, scope: str) -> Column:
         return F.create_map(*entries) if entries else F.create_map().cast("map<string,string>")
     if scope == "everything":
         return F.map_concat(
-            _cols_to_map(df, [c for c in df.columns if c != "nv"]), _nv(df)
+            _cols_to_map(columns, [c for c in columns if c != "nv"]),
+            _nv(columns),
         )
     raise ValueError(f"unknown value-pairs scope {scope!r}")
 

@@ -437,3 +437,45 @@ def test_format_date_c_cases(spark):
     ).collect()[0]
     for i, (tpl, exp) in enumerate(cases):
         assert row[f"c{i}"] == exp, f"{tpl!r}: {row[f'c{i}']!r} != {exp!r}"
+
+
+def test_format_json_c_cases(spark):
+    """test_format_json.c shape (order-insensitive compare): nested
+    dotted keys, leading-dot → '_', scopes, key globs, shift-levels +
+    add-prefix, bare nv selections omitted when unset."""
+    import json
+
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame(
+        [("bzorp", "syslog-ng", 23323, "msgtext",
+          {".program.@name": "syslog-ng", "plain": "v"})],
+        "host string, program string, pid int, text string, nv map<string,string>",
+    )
+    colset = set(df.columns)
+
+    def render(tpl):
+        return json.loads(
+            df.select(compile_template(tpl, colset).alias("j")).collect()[0].j
+        )
+
+    assert render("$(format-json MSG=$text)") == {"MSG": "msgtext"}
+    assert render("$(format-json msg.text=$text msg.id=42 host=bzorp)") == {
+        "msg": {"text": "msgtext", "id": "42"}, "host": "bzorp"}
+    assert render("$(format-json .foo=bar)") == {"_foo": "bar"}
+    assert render("$(format-json @program.123=${program})") == {
+        "@program": {"123": "syslog-ng"}}
+    assert render("$(format-json .program.@name=${program})") == {
+        "_program": {"@name": "syslog-ng"}}
+    # scope + key glob
+    got = render("$(format-json --scope rfc3164)")
+    assert got["host"] == "bzorp" and got["program"] == "syslog-ng"
+    got2 = render("$(format-json --scope rfc3164 --key h*)")
+    assert set(got2) == {"host"}
+    # shift-levels + add-prefix over an nv selection
+    got3 = render(
+        "$(format-json .program.@name=${program} --key .program.* "
+        "--shift-levels 2 --add-prefix _)")
+    assert got3 == {"_@name": "syslog-ng"}
+    # bare unset nv names are omitted
+    assert render("$(format-json x=1 .program.foo)") == {"x": "1"}

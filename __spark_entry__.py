@@ -643,6 +643,38 @@ def q_ivf_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def ivf_bench_phases(spark, sf_dir):
+    """Bench-only split of q_ivf_topk: returns ``(build, probe)`` thunks
+    so bench.py reports index CONSTRUCTION (k-means fit + assignment —
+    one-time at 100 TB, amortized over every subsequent query) separately
+    from the PROBE (the recurring per-query cost). ``build`` materializes
+    the assigned corpus; ``probe`` rebuilds its plan on every call (no
+    AQE/cache reuse between timed runs)."""
+    from syslog_ng_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    state: dict = {}
+
+    def build():
+        assigned, centroids = ivf_index(emb, n_cells=8, seed=42)
+        assigned = assigned.persist()
+        assigned.count()
+        state["assigned"], state["centroids"] = assigned, centroids
+
+    def probe():
+        queries = (
+            emb.orderBy("vec_id").limit(5)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        ivf_topk(
+            state["assigned"], state["centroids"], queries, k=5, nprobe=8
+        ).collect()
+
+    return build, probe
+
+
 def q_patterndb_classify(spark, sf_dir):
     """PatternDB (§2.5): classify synthesized per-event lines, typed
     extraction, per-class counts."""
@@ -1193,9 +1225,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
-        # rows-only: input is generated in-session, not a DuckDB view;
-        # the query self-verifies against independently-written reference
-        # semantics (see docstring)
+        # every entry below also has a DuckDB oracle in oracle_sql()
+        # (transcript_pipeline writes its parsed corpus to parquet so
+        # DuckDB reads the same bytes; the SCL presets use the
+        # inverse-property formulation — see each docstring)
         "transcript_pipeline": q_transcript_pipeline,
         "scl_sudo": q_scl_sudo,
         "scl_apache": q_scl_apache,

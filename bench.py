@@ -146,17 +146,45 @@ def main() -> None:
     ).select(array_to_vector("v").alias("f"))
     KMeans(k=2, seed=1, maxIter=1, featuresCol="f").fit(_warm)
 
-    for name, fn in entrymod.queries().items():
-        # isolate queries: drop lingering caches from prior queries and
-        # run finalizer-based unpersists NOW — cross-talk otherwise swings
-        # the heavy near-dup queries 4× between runs
+    def _isolate():
+        # isolate runs: drop lingering caches and run finalizer-based
+        # unpersists NOW — cross-talk otherwise swings the heavy
+        # near-dup queries 4× between runs
         gc.collect()
         spark.catalog.clearCache()
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.collect()
-        qtimes[name] = round(time.time() - t0, 3)
-        del df
+
+    def _median3(thunk, isolate: bool = True) -> float:
+        # MEDIAN of 3 runs, plan REBUILT per run (thunk constructs the
+        # DataFrame fresh each call): single-shot timings in a shared
+        # session drift up to 2× with session state (r3's flagship_route
+        # printed +262% while the same pipeline's fresh-session headline
+        # moved −11%); the median of fresh plans is adjudicable.
+        times = []
+        for _ in range(3):
+            if isolate:
+                _isolate()
+            else:
+                gc.collect()
+            t0 = time.time()
+            thunk()
+            times.append(time.time() - t0)
+        return round(sorted(times)[1], 3)
+
+    for name, fn in entrymod.queries().items():
+        if name == "ivf_topk" and hasattr(entrymod, "ivf_bench_phases"):
+            # index construction is one-time/amortized at 100 TB — report
+            # build and probe as separate numbers (VERDICT r3 item 4)
+            build, probe = entrymod.ivf_bench_phases(spark, SF_DIR)
+            _isolate()
+            t0 = time.time()
+            build()
+            qtimes["ivf_index_build"] = round(time.time() - t0, 3)
+            # probe runs against the persisted index (clearCache would
+            # drop it and re-time the build) — the recurring query cost
+            qtimes[name] = _median3(probe, isolate=False)
+            _isolate()
+            continue
+        qtimes[name] = _median3(lambda f=fn: f(spark, SF_DIR).collect())
     spark.stop()
 
     # --- throughput: routed-count job at full parallelism -------------------
@@ -258,8 +286,11 @@ def write_bench_md(result: dict) -> None:
             lines.append(f"| {q} | {p if p is not None else '—'} | {sec} | {delta} |")
         cmp_section = (
             f"\n## Per-query seconds at sf={result['sf']} (vs {prev_name})\n\n"
-            "Same isolation protocol both rounds (fresh plan per run, "
-            "clearCache + GC between queries).\n\n"
+            "This round: MEDIAN of 3 runs per query, plan rebuilt per run, "
+            "clearCache + GC between runs (rounds ≤ r3 were single-shot — "
+            "their numbers carry up-to-2× session drift; trust direction "
+            "only). ivf_index_build is reported separately from the "
+            "ivf_topk probe.\n\n"
             f"| query | prev s | now s | Δ |\n|---|---|---|---|\n" + "\n".join(lines) + "\n"
         )
 

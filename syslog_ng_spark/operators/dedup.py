@@ -520,8 +520,8 @@ def simhash_near_dup(
     n_chunks: int = 8,
     max_bucket_size: int = 1000,
     features: str = "tokens",
-    prefilter_hamming: int = 7,
-    block_chunks: int = 1,
+    prefilter_hamming: int = 5,
+    block_chunks: int = 3,
     eager: bool = False,
 ) -> DataFrame:
     """Near-dup pairs: SimHash block buckets generate candidates, a cheap
@@ -532,16 +532,17 @@ def simhash_near_dup(
 
     Recall envelope = 'fingerprints within hamming n_chunks−block_chunks'
     (and ``prefilter_hamming`` should not exceed that bound). Defaults
-    (8 chunks, d=1, prefilter 7) guarantee hamming ≤ 7 — right for small
-    / medium corpora, but each table then has only 256 possible buckets,
-    so beyond ~10⁵ docs the skew cap starts dropping every bucket. For
-    corpus scale, set ``block_chunks=3, prefilter_hamming=5`` (56 tables
-    keyed on 24 bits — occupancy-safe to billions of docs); token-feature
-    fingerprints of J ≥ 0.9 pairs measure hamming ≤ 5 on the synthetic
-    corpus, so the tighter envelope keeps them (shingle features spread
-    true pairs to ~10, needing more chunks — pick features + n_chunks
-    together). minhash_lsh (64-bit band keys from the start) is the other
-    scale-safe candidate generator for the same Jaccard predicate.
+    (8 chunks, block_chunks=3, prefilter 5) are the SCALE-SAFE keying:
+    C(8,3)=56 tables keyed on 24 bits — occupancy ~n/2²⁴, safe to
+    billions of docs; token-feature fingerprints of J ≥ 0.9 pairs
+    measure hamming ≤ 5 on the synthetic corpus, so the envelope keeps
+    them (shingle features spread true pairs to ~10, needing more chunks
+    — pick features + n_chunks together). ``block_chunks=1,
+    prefilter_hamming=7`` widens the envelope to hamming ≤ 7 but each
+    table then has only 256 possible buckets, so beyond ~10⁵ docs the
+    skew cap silently drops every bucket — an explicit SMALL-CORPUS
+    opt-in only. minhash_lsh (64-bit band keys from the start) is the
+    other scale-safe candidate generator for the same Jaccard predicate.
 
     When ``eager``, the verified pair set is materialized and the number
     of skew-capped buckets is recorded as ``out._lsh_dropped_buckets``."""

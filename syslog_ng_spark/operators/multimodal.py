@@ -146,12 +146,18 @@ def audio_windows(df: DataFrame, window_ms: int = 500, hop_ms: int = 250) -> Dat
     )
 
 
-def media_near_dup(df: DataFrame, threshold: float = 0.99, dim: int = 8) -> DataFrame:
+def media_near_dup(
+    df: DataFrame,
+    threshold: float = 0.99,
+    dim: int = 8,
+    max_gather_ids: int = 1_000_000,
+) -> DataFrame:
     """Near-duplicate media pairs: decode→featurize (mapInPandas), then
     the embedding near-dup machinery over the feature vectors — the
     LLM-pipeline composition (dedup training media before captioning).
     With the stub decoder, byte-identical payloads featurize identically
-    (cos 1.0); a real decoder makes this perceptual."""
+    (cos 1.0); a real decoder makes this perceptual. ``max_gather_ids``
+    bounds the verify's driver-side gather (see ``embedding_near_dup``)."""
     from .similarity import embedding_near_dup  # noqa: PLC0415
 
     feats = (
@@ -160,5 +166,6 @@ def media_near_dup(df: DataFrame, threshold: float = 0.99, dim: int = 8) -> Data
         .select(F.col("media_id").alias("vec_id"), F.col("feat").cast("array<double>").alias("embedding"))
     )
     return embedding_near_dup(
-        feats, threshold=threshold, n_planes=4, dim=dim, n_tables=8
+        feats, threshold=threshold, n_planes=4, dim=dim, n_tables=8,
+        max_gather_ids=max_gather_ids,
     )

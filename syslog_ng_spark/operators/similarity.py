@@ -203,6 +203,7 @@ def embedding_near_dup(
     n_tables: int = 1,
     max_bucket_size: int = 10000,
     eager: bool = False,
+    max_gather_ids: int = 1_000_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with exact cosine ≥ threshold; candidates come
     from ``n_tables`` independent random-hyperplane LSH tables of
@@ -217,12 +218,27 @@ def embedding_near_dup(
     Scale shape: the band join shuffles (id, table, bucket) rows — ~20
     bytes per doc per table, never the vectors. The verify stage fetches
     vectors for CANDIDATE ids only: semi-join the corpus down to the
-    (distinct) candidate id set, then broadcast that small id→vector
-    frame onto the pairs — the full corpus vector table is never
-    broadcast and never shuffled by pair. ``max_bucket_size`` is the same
-    skew guard as minhash_lsh (a hot bucket of m vectors otherwise costs
-    m² candidates); when ``eager`` the dropped-bucket count is recorded
-    as ``out._lsh_dropped_buckets``. Set ``None`` to disable.
+    (distinct) candidate id set. When that id set is small (≤
+    ``max_gather_ids``) the candidate vectors are gathered to the driver
+    once and broadcast as a numpy matrix, and the verify UDF receives
+    only (id_a, id_b) pairs — a measured 2× win over shipping vectors
+    per pair through Arrow. When the id set exceeds the bound (dup-heavy
+    corpora can make it corpus-proportional) the verify falls back to a
+    fully distributed shuffle-join: candidate vectors joined onto the
+    pairs on both sides, cosine via the vectorized pandas UDF — slower
+    per pair, but driver memory stays O(1). Driver memory is therefore
+    bounded by ``max_gather_ids × dim × 8`` bytes (~0.5 GB at the
+    defaults); set ``max_gather_ids=0`` to force the distributed verify.
+
+    NOTE: this operator is EAGER at call time even with ``eager=False``:
+    the candidate stage runs immediately (to count candidate ids and, on
+    the gather path, build the broadcast matrix). ``eager=True``
+    additionally checkpoints the final result and records the
+    dropped-bucket count as ``out._lsh_dropped_buckets``.
+
+    ``max_bucket_size`` is the same skew guard as minhash_lsh (a hot
+    bucket of m vectors otherwise costs m² candidates); set ``None`` to
+    disable.
     """
     from .dedup import _cap_buckets, _unpersist_on_gc  # noqa: PLC0415
 
@@ -254,50 +270,94 @@ def embedding_near_dup(
         .union(cand.select(F.col("id_b").alias("_cid")))
         .distinct()
     )
-    # semi-join → runtime filter into the scan: only CANDIDATE vectors are
-    # fetched — the id set is bounded by the (capped) LSH output, not the
-    # corpus. The verify then runs as a GATHER: one copy of the candidate
-    # vector matrix is broadcast per executor and a vectorized UDF indexes
-    # into it per (id_a, id_b) batch. Joining vectors onto the pairs
-    # instead would duplicate every vector per pair through the Arrow
-    # channel — measured 2 GB of transfer (6.4 s) vs 30 MB of id pairs
-    # (~1.5 s) on the gate's worst-case corpus. NOTE: building the matrix
-    # materializes the candidate stage at call time (the same
-    # driver-memory footprint the broadcast-join verify had).
+    # Size the verify BEFORE choosing a strategy: the count materializes
+    # the persisted candidate stage (one job — it was going to run
+    # anyway) and bounds the driver-gather below.
+    n_ids = ids.count()
+    # semi-join → runtime filter into the scan: only CANDIDATE vectors
+    # are fetched — the id set is bounded by the (capped) LSH output,
+    # not the corpus.
     cvec = df.join(
-        F.broadcast(ids), F.col(id_col) == F.col("_cid"), "left_semi"
+        F.broadcast(ids) if n_ids <= max(max_gather_ids, 1) else ids,
+        F.col(id_col) == F.col("_cid"),
+        "left_semi",
     ).select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
-    rows = cvec.collect()
-    idx = pd.Index([r["_vid"] for r in rows])
-    mat = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in rows]) if rows else np.zeros((0, 1))
-    nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-    bc = df.sparkSession.sparkContext.broadcast((idx, mat, nrm))
+    bc = None
+    if n_ids <= max_gather_ids:
+        # GATHER verify: one copy of the candidate vector matrix is
+        # broadcast per executor and a vectorized UDF indexes into it per
+        # (id_a, id_b) batch. Joining vectors onto the pairs instead
+        # would duplicate every vector per pair through the Arrow channel
+        # — measured 2 GB of transfer (6.4 s) vs 30 MB of id pairs
+        # (~1.5 s) on the gate's worst-case corpus.
+        rows = cvec.collect()
+        idx = pd.Index([r["_vid"] for r in rows])
+        mat = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in rows]) if rows else np.zeros((0, 1))
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        bc = df.sparkSession.sparkContext.broadcast((idx, mat, nrm))
 
-    @F.pandas_udf(T.DoubleType())
-    def _cos_gather(ia: pd.Series, ib: pd.Series) -> pd.Series:
-        gidx, gmat, gnrm = bc.value
-        a = gidx.get_indexer(ia)
-        b = gidx.get_indexer(ib)
-        num = np.einsum("ij,ij->i", gmat[a], gmat[b])
-        return pd.Series(num / (gnrm[a] * gnrm[b]))
+        @F.pandas_udf(T.DoubleType())
+        def _cos_gather(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            gidx, gmat, gnrm = bc.value
+            a = gidx.get_indexer(ia)
+            b = gidx.get_indexer(ib)
+            if len(a) and (a.min() < 0 or b.min() < 0):
+                raise ValueError(
+                    "embedding_near_dup gather verify: candidate id missing "
+                    "from the gathered vector matrix (corpus changed "
+                    "between candidate and verify stages?)"
+                )
+            num = np.einsum("ij,ij->i", gmat[a], gmat[b])
+            return pd.Series(num / (gnrm[a] * gnrm[b]))
 
-    # nondeterministic marking stops Catalyst pushing a second evaluation
-    # of the UDF into the threshold filter (it IS deterministic — this
-    # only pins one ArrowEvalPython node instead of two)
-    _cos_gather = _cos_gather.asNondeterministic()
-
-    out = (
-        cand.withColumn("cos", _cos_gather(F.col("id_a"), F.col("id_b")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
-    )
+        # nondeterministic marking stops Catalyst pushing a second
+        # evaluation of the UDF into the threshold filter (it IS
+        # deterministic — this only pins one ArrowEvalPython node
+        # instead of two)
+        _cos_gather = _cos_gather.asNondeterministic()
+        out = (
+            cand.withColumn("cos", _cos_gather(F.col("id_a"), F.col("id_b")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+    else:
+        # DISTRIBUTED verify: candidate vectors shuffle-joined onto the
+        # pairs on both sides — duplicates vectors per pair through
+        # Arrow (the documented ~2× cost) but driver memory stays O(1)
+        # regardless of how dup-heavy the corpus is.
+        va = cvec.select(
+            F.col("_vid").alias("id_a"), F.col("_vec").cast("array<double>").alias("_va")
+        )
+        vb = cvec.select(
+            F.col("_vid").alias("id_b"), F.col("_vec").cast("array<double>").alias("_vb")
+        )
+        out = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cos", _cosine_pandas(F.col("_va"), F.col("_vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
     if eager:
         res = out.localCheckpoint(eager=True)
         res._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
+        res._verify_strategy = "gather" if bc is not None else "distributed"
         cand.unpersist()
-        bc.unpersist()
+        if bc is not None:
+            bc.unpersist()
         return res
+    out._verify_strategy = "gather" if bc is not None else "distributed"
     _unpersist_on_gc(out, cand)
+    if bc is not None:
+        import weakref  # noqa: PLC0415
+
+        def _free_bc(b=bc):
+            try:
+                b.unpersist()
+            except Exception:  # session may already be stopped  # noqa: BLE001
+                pass
+
+        weakref.finalize(out, _free_bc)
     return out
 
 
@@ -359,9 +419,12 @@ def ivf_topk(
     """Approximate top-k over an IVF index: for each query pick the
     ``nprobe`` nearest cells (driver-side numpy over the tiny centroid
     table), equi-join queries onto ONLY those cells, exact cosine rerank
-    inside — the IVF probe; the corpus is never rescanned or reshuffled,
-    and with ``assigned`` written partitioned by ``_cell``, partition
-    pruning turns the probe into a √n-sized read."""
+    inside — the IVF probe; the corpus is never rescanned or reshuffled.
+    The probed cell set is known driver-side, so it is also pushed as a
+    STATIC ``_cell IN (...)`` filter — with ``assigned`` written
+    partitioned by ``_cell``, that filter becomes a parquet
+    PartitionFilter (no dynamic-pruning machinery needed) and the probe
+    is a √n-sized read (plan-asserted in test_plan_quality)."""
     import numpy as np  # noqa: PLC0415
 
     spark = assigned.sparkSession
@@ -379,7 +442,9 @@ def ivf_topk(
     probes = spark.createDataFrame(
         probe_rows, f"{query_id_col} long, _cell int, _qvec array<double>"
     )
-    cand = assigned.join(F.broadcast(probes), "_cell").withColumn(
+    probed_cells = sorted({c for _q, c, _v in probe_rows})
+    pruned = assigned.filter(F.col("_cell").isin(probed_cells))
+    cand = pruned.join(F.broadcast(probes), "_cell").withColumn(
         "cos", _cosine_pandas(F.col(vec_col).cast("array<double>"), F.col("_qvec"))
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))

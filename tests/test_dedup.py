@@ -95,7 +95,16 @@ def test_minhash_bucket_cap_defuses_hot_bucket(spark):
 
 
 def test_simhash_near_dup_matches_exact_jaccard(docs):
-    got = {(r.id_a, r.id_b) for r in D.simhash_near_dup(docs, threshold=0.5).collect()}
+    # This handcrafted fixture has J>=0.5 pairs whose token fingerprints
+    # sit at hamming 6-7 — outside the scale-safe default envelope
+    # (block_chunks=3 guarantees only hamming <= 5). The wide d=1 keying
+    # is the documented small-corpus opt-in that recovers them.
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_dup(
+            docs, threshold=0.5, block_chunks=1, prefilter_hamming=7
+        ).collect()
+    }
     exact = {
         (r.id_a, r.id_b)
         for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
@@ -161,10 +170,10 @@ def test_simhash_block_chunks_survive_corpus_scale(spark):
     assert len(planted & naive_pairs) <= 3
     assert naive._lsh_dropped_buckets >= 8 * 200  # ...audited as dropped
 
-    blocked = D.simhash_near_dup(
-        df, threshold=0.5, n_chunks=8, block_chunks=3,
-        prefilter_hamming=5, max_bucket_size=50, eager=True,
-    )
+    # DEFAULT arguments are the scale-safe keying (block_chunks=3,
+    # prefilter 5) — a user calling the operator naively on 50k docs
+    # must get full recall, not the d=1 saturation cliff.
+    blocked = D.simhash_near_dup(df, threshold=0.5, max_bucket_size=50, eager=True)
     got = {(r.id_a, r.id_b) for r in blocked.collect()}
     assert planted <= got                     # 100% recall on planted dups
     assert blocked._lsh_dropped_buckets == 0  # keyspace no longer saturates

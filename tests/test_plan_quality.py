@@ -152,6 +152,37 @@ def test_embedding_verify_never_joins_corpus_vectors(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_probe_prunes_cell_partitions(spark, tmp_path):
+    """IVF at rest: ``assigned`` written partitioned by ``_cell`` +
+    the probe's static ``_cell IN (...)`` filter = parquet partition
+    pruning — the probe reads only the nprobe cells' files (√n read),
+    never rescanning the corpus."""
+    from syslog_ng_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j) % 7) for j in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, centroids = ivf_index(emb, n_cells=6, seed=3)
+    path = str(tmp_path / "ivf_assigned")
+    assigned.write.partitionBy("_cell").parquet(path)
+    stored = spark.read.parquet(path)
+    queries = spark.createDataFrame(
+        [(1, [1.0] * 8)], "query_id long, embedding array<double>"
+    )
+    out = ivf_topk(stored, centroids, queries, k=3, nprobe=2)
+    plan = _plan(out)
+    # the parquet scan's PartitionFilters carry the probed-cell IN-list:
+    # static pruning, 2 of 6 cell directories read, not the whole corpus
+    import re
+
+    m = re.search(r"PartitionFilters: \[_cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 2  # exactly nprobe cells
+    # correctness: self-consistent top-k from the probed cells
+    assert out.count() <= 3
+
+
 def test_pdb_correlate_is_one_window_one_agg(spark):
     """Correlation contexts: one window (sessionize) + one aggregate —
     the grouping-by two-shuffle shape, no per-row Python beyond the

@@ -139,6 +139,24 @@ def test_embedding_hot_bucket_cap_and_accounting(spark):
     assert n == 20 * 19 / 2 + 1
 
 
+def test_embedding_near_dup_distributed_fallback(spark, emb):
+    """Driver-memory bound: when the candidate id set exceeds
+    max_gather_ids, the verify must switch to the distributed
+    shuffle-join path and still produce the identical pair set (same
+    cosines, same threshold survivors) as the gather path."""
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    gather = SIM.embedding_near_dup(e, threshold=0.45, n_planes=3, n_tables=24)
+    assert gather._verify_strategy == "gather"
+    fallback = SIM.embedding_near_dup(
+        e, threshold=0.45, n_planes=3, n_tables=24, max_gather_ids=0
+    )
+    assert fallback._verify_strategy == "distributed"
+    g = {(r.id_a, r.id_b, round(r.cos, 9)) for r in gather.collect()}
+    f = {(r.id_a, r.id_b, round(r.cos, 9)) for r in fallback.collect()}
+    assert f == g
+    assert len(g) > 0
+
+
 def test_ivf_topk_recall_and_pruning(spark, emb):
     """IVF ANN: √n k-means cells, nprobe nearest cells per query, exact
     rerank inside — self-hits always recovered (a vector's own cell is

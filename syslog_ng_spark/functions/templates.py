@@ -622,9 +622,19 @@ def _format_json(raw, cols):
             m = F.map_concat(m, _scope_map(sorted(cur_cols or []), sc))
     entries = []
     for name in bare:
-        entries += [F.lit(name), F.element_at(F.col(NV_COL), name).cast("string")
-                    if (cur_cols is None or NV_COL in cur_cols)
-                    else F.lit(None).cast("string")]
+        # bare value-pairs names resolve like ${...}: engine columns
+        # (host/program/...) and macros too, not only nv-map entries
+        # (value-pairs.c selects builtin values by name as well)
+        if (
+            cur_cols is not None
+            and name not in cur_cols
+            and NV_COL not in cur_cols
+            and not is_macro(name)
+        ):
+            val = F.lit(None).cast("string")  # no nv map to fall back to
+        else:
+            val = _resolve_name(name, cur_cols).cast("string")
+        entries += [F.lit(name), val]
     for name, col in pairs:
         entries += [F.lit(name), col.cast("string")]
     if entries:

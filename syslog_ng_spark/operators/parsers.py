@@ -681,6 +681,33 @@ def _flatten_json_udf(key_delimiter: str, prefix: str, extract_prefix: str | Non
 # ---------------------------------------------------------------------------
 
 
+def _has_toplevel_alternation(p: str) -> bool:
+    """True when ``p`` contains a '|' at group depth 0 (outside any
+    (...) group or [...] class) — such a pattern's anchors bind per
+    alternate and must not be stripped/extended by the packing wrapper."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(p):
+        c = p[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def regexp_parser(
     df: DataFrame,
     patterns: str | list[str],
@@ -728,21 +755,38 @@ def regexp_parser(
     # regex k times (measured: 4.7s vs 1.1s on the apache preset at
     # sf0.1) — while CollapseProject keeps a materialized non-cheap
     # column in its own projection, computed once.
-    _SEP = "\x1e"
+    # three control chars in sequence: a single \x1e in the INPUT would
+    # shift every packed group (real log payloads do carry stray control
+    # bytes); the guard below additionally nulls the extraction instead
+    # of returning shifted values if even this sequence appears
+    _SEP = "\x1e\x1d\x1f"
 
     def _packed_parts(creg: "_re.Pattern", praw: str):
         body = praw
+        # '^a|b' means (anchored a) OR (b anywhere): stripping the ^ (or
+        # pinning the tail) would re-anchor BOTH alternates inside the
+        # wrapper while the rlike match flag still uses the original
+        # pattern — the wrapper must keep top-level alternations intact
+        # ('^' inside (?:...) still means start-of-input in Java).
+        top_alt = _has_toplevel_alternation(body)
         head = "\\A"
-        if body.startswith("^"):
+        if body.startswith("^") and not top_alt:
             body = body[1:]
         else:
             head += "[\\s\\S]*?"
         # a literal trailing $ already pins the end — appending a tail
         # after it would make the wrapper unmatchable
-        tail = "" if (body.endswith("$") and not body.endswith("\\$")) else "[\\s\\S]*"
+        tail = (
+            ""
+            if (body.endswith("$") and not body.endswith("\\$") and not top_alt)
+            else "[\\s\\S]*"
+        )
         whole = f"{head}(?:{body}){tail}\\z"
+        if creg.groups == 1:
+            # no separator needed — immune to sentinel bytes in the input
+            return F.array(F.regexp_replace(src, whole, "$1"))
         repl = _SEP.join(f"${i}" for i in range(1, creg.groups + 1))
-        return F.split(F.regexp_replace(src, whole, repl), _SEP, -1)
+        return F.split(F.regexp_replace(src, whole, repl), _re.escape(_SEP), -1)
 
     tmp_parts = [f"_re_p{i}" for i in range(len(compiled))]
     tmp_match = [f"_re_m{i}" for i in range(len(compiled))]
@@ -756,7 +800,13 @@ def regexp_parser(
         expr = None
         for (creg, _praw), tp, tm in zip(compiled, tmp_parts, tmp_match):
             if name in creg.groupindex:
-                cand = F.element_at(F.col(tp), creg.groupindex[name])
+                # a sentinel sequence in the INPUT inflates the split —
+                # null the extraction (detectable) rather than silently
+                # shifting every group value
+                cand = F.when(
+                    F.size(F.col(tp)) == creg.groups,
+                    F.element_at(F.col(tp), creg.groupindex[name]),
+                )
                 expr = (
                     F.when(F.col(tm), cand)
                     if expr is None

@@ -598,9 +598,33 @@ def default_network_drivers(df: DataFrame, source: str = "text") -> DataFrame:
     (each preset parses as pruned columns; ``app`` names the winner)."""
     from .parsers import syslog_parser  # noqa: PLC0415
 
+    # The raw-topic presets set host (fortigate: devname) and program
+    # (websense: injected 'Websense'); every LATER syslog parse in the
+    # cascade re-derives those columns from its own view of the line and
+    # would clobber them (a FortiGate line has no syslog header → host
+    # NULL). Snapshot each preset's values immediately after it runs
+    # (before any later withColumn overwrites them — a lazily held
+    # Column would re-resolve against the new column) and re-apply at
+    # the end, mirroring the reference's per-channel parse.
     out = fortigate_parser(df, source=source)
+    out = out.withColumn(
+        "_dnd_host", F.when(F.col("fortigate_matched"), F.col("host"))
+    )
     out = websense_parser(out, source=source)
+    out = out.withColumn(
+        "_dnd_host",
+        F.coalesce(
+            F.col("_dnd_host"), F.when(F.col("websense_matched"), F.col("host"))
+        ),
+    ).withColumn(
+        "_dnd_program", F.when(F.col("websense_matched"), F.col("program"))
+    )
     out = syslog_parser(out, text_col=source, require_header=False)
+    out = (
+        out.withColumn("host", F.coalesce(F.col("_dnd_host"), F.col("host")))
+        .withColumn("program", F.coalesce(F.col("_dnd_program"), F.col("program")))
+        .drop("_dnd_host", "_dnd_program")
+    )
     out = ewmm_parser(out, source="msg")
     out = cee_parser(out, source="msg")
     out = iptables_parser(out, source="msg")

@@ -205,17 +205,27 @@ def stream_exact_dedup(
     Spark shape: dropDuplicates on the 64-bit xxhash key rides the state
     store (RocksDB/HDFS-backed on a cluster), so state is 8 bytes + key
     overhead per distinct document and partitioned by hash — no skew,
-    no driver state. With ``watermark_col`` set, state for hashes older
-    than the watermark is evicted (dedup-within-horizon, the bounded-
-    state production configuration); without it state grows with the
-    distinct corpus, exactly like the batch operator's groupBy.
+    no driver state. With ``watermark_col`` set, the operator uses
+    ``dropDuplicatesWithinWatermark``: a duplicate arriving within the
+    watermark horizon of the first sighting is dropped, each hash's state
+    is evicted once the watermark passes its first-seen event time
+    (bounded state, the production configuration), and a LATE first
+    sighting still passes through rather than being silently discarded —
+    dedup-within-horizon semantics. Without ``watermark_col`` the dedup
+    is corpus-wide forever and state grows with the distinct corpus,
+    exactly like the batch operator's groupBy.
     """
     h = F.xxhash64(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     ).alias("_h")
     out = stream_df.withColumn("_h", h)
     if watermark_col is not None:
-        return out.withWatermark(watermark_col, watermark).dropDuplicates(
-            ["_h", ]
-        ).drop("_h")
+        # dropDuplicates(['_h']) here would neither evict state (the
+        # event-time column wasn't part of the key) nor admit late rows —
+        # the within-watermark variant implements the documented contract
+        return (
+            out.withWatermark(watermark_col, watermark)
+            .dropDuplicatesWithinWatermark(["_h"])
+            .drop("_h")
+        )
     return out.dropDuplicates(["_h"]).drop("_h")

@@ -138,6 +138,30 @@ def test_regexp_parser_named_groups(spark):
     assert all(r.re_matched for r in out)
 
 
+def test_regexp_parser_toplevel_alternation(spark):
+    """'^a|b' anchors only the FIRST alternate: 'b' matches anywhere.
+    The match-once packing must not re-anchor both alternates (which
+    would leak the raw line as the group value while re_matched=True)."""
+    df = _df(spark, ["apple pie", "xx berry", "cherry"])
+    out = parsers.regexp_parser(df, r"^(?P<w>apple)|(?P<b>berry)").collect()
+    assert out[0].w == "apple" and out[0].re_matched
+    assert out[1].b == "berry" and out[1].re_matched  # matched mid-string
+    assert not out[2].re_matched and out[2].w is None and out[2].b is None
+
+
+def test_regexp_parser_sentinel_in_input(spark):
+    """Control bytes in the input must never SHIFT group values: a row
+    containing the packing sentinel sequence yields nulls (detectable),
+    every other row parses normally; single-group patterns are immune."""
+    sent = "\x1e\x1d\x1f"
+    df = _df(spark, [f"k=a{sent}b v=2", "k=x v=9"])
+    out = parsers.regexp_parser(df, r"k=(?P<k>\S+) v=(?P<v>\d+)").collect()
+    assert out[1].k == "x" and out[1].v == "9"
+    assert out[0].k is None and out[0].v is None  # nulled, not shifted
+    one = parsers.regexp_parser(df, r"v=(?P<v>\d+)").collect()
+    assert [r.v for r in one] == ["2", "9"]  # 1-group path: no sentinel at all
+
+
 def test_date_parser(spark):
     df = _df(spark, ["2026-02-11 10:30:00", "11/Feb/2026 10:30:00"])
     out = parsers.date_parser(

@@ -348,8 +348,31 @@ def test_default_network_drivers_dispatch(spark):
     ]
     out = default_network_drivers(
         spark.createDataFrame(rows, "text string")
-    ).select("app", "program").collect()
+    ).select("app", "program", "host").collect()
     assert [r.app for r in out] == ["fortigate", "cee", "iptables", "sudo", None]
+    # preset channel semantics: the generic syslog re-parse must NOT
+    # clobber the preset's host/program — a FortiGate line has no syslog
+    # header, so its host comes from devname, not the (failed) header
+    assert out[0]["host"] == "FGT60D"
+    assert out[2]["host"] == "gw"      # syslog-topic rows keep header host
+    assert out[4]["host"] == "web1"
+
+
+def test_default_network_drivers_websense_host(spark):
+    """Websense lines carry a TZ token the strict header regex rejects;
+    the preset strips it and injects program 'Websense'. The cascade must
+    surface the preset's host+program, not the raw-line re-parse's."""
+    from syslog_ng_spark.operators.scl import default_network_drivers
+
+    line = (
+        "<159>Mar  1 10:20:30 PST wsgateway vendor=Websense "
+        "product=Security action=permitted"
+    )
+    out = default_network_drivers(
+        spark.createDataFrame([(line,)], "text string")
+    ).collect()[0]
+    assert out["app"] == "websense"
+    assert out["program"] == "Websense"
 
 
 def test_junos_application(spark):

@@ -289,3 +289,62 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
     run()
     got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {1, 2, 5}
+
+
+def test_stream_exact_dedup_watermark_bounds_state(spark, tmp_path):
+    """Watermark mode = dedup-within-horizon with BOUNDED state
+    (dropDuplicatesWithinWatermark): a duplicate inside the horizon is
+    dropped, and once the watermark passes a hash's first sighting its
+    state is evicted — the same text arriving much later is emitted
+    again (a new horizon), instead of being suppressed forever by
+    unbounded state."""
+    import datetime
+    import os
+
+    from syslog_ng_spark.streaming.stream import stream_exact_dedup
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def ts(h, m=0):
+        return datetime.datetime(2026, 1, 1, h, m)
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            stream_exact_dedup(stream, watermark_col="ts", watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: duplicate inside the horizon → dropped
+    spark.createDataFrame(
+        [(1, "aaa", ts(10)), (2, "aaa", ts(10, 10)), (3, "bbb", ts(10, 20))],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} == {1, 3}
+
+    # batch 2: advance the watermark far past aaa's horizon
+    spark.createDataFrame(
+        [(4, "ccc", ts(14))], "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    # batch 3: aaa's state was evicted → re-emitted (new horizon)
+    spark.createDataFrame(
+        [(5, "aaa", ts(14, 30))], "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert 5 in got
+    assert got == {1, 3, 4, 5}

@@ -479,3 +479,7 @@ def test_format_json_c_cases(spark):
     assert got3 == {"_@name": "syslog-ng"}
     # bare unset nv names are omitted
     assert render("$(format-json x=1 .program.foo)") == {"x": "1"}
+    # bare names resolve builtin values like ${...} does (value-pairs
+    # selects engine columns by name, not only nv entries)
+    assert render("$(format-json host program plain)") == {
+        "host": "bzorp", "program": "syslog-ng", "plain": "v"}

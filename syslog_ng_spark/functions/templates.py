@@ -849,6 +849,23 @@ def register_template_func(name: str, fn) -> None:
     _TEMPLATE_FUNCS[name] = fn
 
 
+def _getent_fn(raw, cols):
+    """$(getent entity key [member]) — modules/getent/tfgetent.c: NSS
+    passwd/group/services/protocols lookups; the key argument may itself
+    be a template. Tables come from enrich.register_getent_table /
+    load_getent_from_os (per-row libc calls don't exist on executors)."""
+    if not 2 <= len(raw) <= 3:
+        raise ValueError("$(getent) needs: entity key [member]")
+    from ..operators.enrich import getent  # noqa: PLC0415
+
+    # cols[1] is the already-compiled key template (the _compile_call
+    # contract: fn(raw_args, compiled_args))
+    return getent(raw[0], cols[1], raw[2] if len(raw) == 3 else None)
+
+
+_TEMPLATE_FUNCS["getent"] = _getent_fn
+
+
 def template_func_names() -> list[str]:
     return sorted(_TEMPLATE_FUNCS)
 
@@ -889,6 +906,29 @@ def loggly_line(token: str, tag: str, template: str = "${MSG}") -> Column:
     return compile_template(
         "<${PRI}>1 ${ISODATE} ${HOST} ${PROGRAM} ${PID} ${MSGID} "
         f'[{token}@41058 tag="{tag}"] {template}'
+    )
+
+
+def collectd_putval_line(
+    plugin: str,
+    type_name: str,
+    plugin_instance: str = "",
+    type_instance: str = "",
+    interval: str | int = 60,
+    values: str = "U",
+    host_template: str = "${HOST}",
+) -> Column:
+    """scl/collectd/plugin.conf destination template: the PUTVAL line the
+    unix-stream socket would carry — 'PUTVAL host/plugin[-inst]/type
+    [-inst] [interval=N] <unixtime>:values'. The reference's $(if ...)
+    branches test config literals, so they collapse at build time here;
+    every argument may itself be a template string (backtick substitution
+    in the reference block)."""
+    ident = plugin + (f"-{plugin_instance}" if plugin_instance else "")
+    tid = type_name + (f"-{type_instance}" if type_instance else "")
+    opt = f" interval={interval}" if interval != "" else ""
+    return compile_template(
+        f"PUTVAL {host_template}/{ident}/{tid}{opt} ${{UNIXTIME}}:{values}"
     )
 
 

@@ -293,3 +293,138 @@ def load_hosts_file(spark, path: str = "/etc/hosts") -> DataFrame:
         )
         .filter(F.col("ip").isNotNull() & (F.col("ip") != "") & F.col("hostname").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# $(getent) (modules/getent/tfgetent.c) — NSS lookups as lookup tables
+# ---------------------------------------------------------------------------
+
+# entity -> list of entry dicts. The reference calls getpwnam_r & co per
+# message; a batch engine must not make NSS calls per row, so the tables
+# are registered once (from the OS files or any export) and compiled
+# into the plan as a literal map — the driver-side dict IS the broadcast.
+_GETENT_TABLES: dict = {}
+
+# (numeric-key default member, string-key default member) per entity —
+# getent-passwd.c/getent-group.c: "$(getent passwd 0)" yields the name,
+# "$(getent passwd root)" yields the uid
+_GETENT_DEFAULTS = {"passwd": ("name", "uid"), "group": ("name", "gid")}
+
+
+def register_getent_table(entity: str, entries: list[dict]) -> None:
+    """Register lookup entries for ``$(getent <entity> ...)``.
+
+    ``passwd`` entries: name/uid/gid/gecos/dir/shell; ``group``:
+    name/gid/members (list); ``services``/``protocols``: name/number
+    (+aliases list). Keys may be looked up by name or number, exactly
+    like the NSS by-name/by-id call pairs."""
+    _GETENT_TABLES[entity] = entries
+
+
+def load_getent_from_os(etc_dir: str = "/etc") -> None:
+    """Populate the getent tables from the standard /etc files (the same
+    data source NSS 'files' would consult). Missing files are skipped."""
+    import os
+
+    def lines(name):
+        p = os.path.join(etc_dir, name)
+        if not os.path.exists(p):
+            return []
+        with open(p, encoding="utf-8", errors="replace") as fh:
+            return [
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+
+    pw = []
+    for ln in lines("passwd"):
+        f = ln.split(":")
+        if len(f) >= 7:
+            pw.append({"name": f[0], "uid": f[2], "gid": f[3],
+                       "gecos": f[4], "dir": f[5], "shell": f[6]})
+    if pw:
+        register_getent_table("passwd", pw)
+    gr = []
+    for ln in lines("group"):
+        f = ln.split(":")
+        if len(f) >= 4:
+            gr.append({"name": f[0], "gid": f[2],
+                       "members": [m for m in f[3].split(",") if m]})
+    if gr:
+        register_getent_table("group", gr)
+    for fname, entity in (("services", "services"), ("protocols", "protocols")):
+        ent = []
+        for ln in lines(fname):
+            parts = ln.split("#")[0].split()
+            if len(parts) >= 2 and "/" in parts[1] or (entity == "protocols" and len(parts) >= 2):
+                num = parts[1].split("/")[0]
+                if num.isdigit():
+                    ent.append({"name": parts[0], "number": num})
+        if ent:
+            register_getent_table(entity, ent)
+
+
+def _getent_flat(entity: str) -> dict:
+    """Flatten an entity's entries to '<key>\\x1f<member>' -> value for
+    BOTH key spellings (name and numeric id), so the per-row branch is
+    only the default-member choice, not the lookup direction."""
+    entries = _GETENT_TABLES.get(entity)
+    if entries is None:
+        raise ValueError(
+            f"$(getent {entity}): no table registered — call "
+            "register_getent_table() or load_getent_from_os() first"
+        )
+    flat = {}
+    for e in entries:
+        if entity in ("services", "protocols"):
+            # services: numeric key -> name, name key -> number; the
+            # member argument is ignored (getent-services.c)
+            flat.setdefault(f"{e['number']}\x1f", e["name"])
+            flat.setdefault(f"{e['name']}\x1f", str(e["number"]))
+            continue
+        num_key = str(e.get("uid" if entity == "passwd" else "gid"))
+        for member, v in e.items():
+            val = ",".join(v) if isinstance(v, list) else str(v)
+            flat.setdefault(f"{e['name']}\x1f{member}", val)
+            flat.setdefault(f"{num_key}\x1f{member}", val)
+    return flat
+
+
+def getent(entity: str, key: Column | str, member: str | None = None) -> Column:
+    """$(getent entity key [member]) as a Column (modules/getent/
+    tfgetent.c): passwd/group lookups by name or numeric id with the
+    reference's member defaults (numeric key → 'name', name key → the
+    id field); group 'members' renders comma-joined; services/protocols
+    translate name↔number. Unknown keys yield NULL (the reference emits
+    nothing)."""
+    key_c = F.col(key) if isinstance(key, str) else key
+    key_c = key_c.cast("string")
+    flat = _getent_flat(entity)
+    lits = []
+    for k, v in flat.items():
+        lits += [F.lit(k), F.lit(v)]
+    m = F.create_map(*lits) if lits else F.create_map().cast("map<string,string>")
+    if entity in ("services", "protocols"):
+        lookup_member = F.lit("")
+    elif member is not None:
+        lookup_member = F.lit(member)
+    else:
+        num_d, str_d = _GETENT_DEFAULTS[entity]
+        lookup_member = F.when(
+            key_c.rlike("^[0-9]+$"), F.lit(num_d)
+        ).otherwise(F.lit(str_d))
+    return F.element_at(m, F.concat(key_c, F.lit("\x1f"), lookup_member))
+
+
+def getent_enrich(
+    df: DataFrame,
+    entity: str,
+    key_col: str,
+    member: str | None = None,
+    target: str = "getent",
+) -> DataFrame:
+    """Bulk enrichment column built on ``getent`` — the literal map rides
+    the plan (equivalent to a broadcast hash lookup; for tables too big
+    to inline, join ``spark.createDataFrame(entries)`` with
+    ``F.broadcast`` instead, the dns_resolve_ip shape above)."""
+    return df.withColumn(target, getent(entity, key_col, member))

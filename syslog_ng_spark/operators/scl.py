@@ -6,6 +6,8 @@ the same thing the reference's confgen blocks generate.
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -655,3 +657,241 @@ def junos_parser(df: DataFrame, source: str = "text") -> DataFrame:
         "junos_matched",
         F.coalesce(reason.isNotNull() & (reason != ""), F.lit(False)),
     )
+
+
+def cim_parser(df: DataFrame, source: str = "text", prefix: str = ".cim.") -> DataFrame:
+    """cim() application (scl/cim/adapter.conf): json-parser with
+    prefix('.cim.') marker('@cim:') — Splunk CIM-shaped events arriving
+    as '@cim:{...}' payloads."""
+    return json_parser(df, source=source, prefix=prefix, marker="@cim:", target="cim")
+
+
+def netskope_parser(df: DataFrame, source: str = "text", prefix: str = ".netskope.") -> DataFrame:
+    """netskope() application (scl/netskope/plugin.conf): strip the
+    leading <PRI>, json-parse the body under '.netskope.'. The app's
+    registration filter — message starts with '<134>{' AND contains
+    '_insertion_epoch_timestamp' — is the matched flag."""
+    src = F.col(source) if isinstance(source, str) else source
+    body = F.regexp_replace(src, r"^<[0-9]+>", "")
+    out = json_parser(df, source=body, prefix=prefix, target="netskope")
+    return out.withColumn(
+        "netskope_matched",
+        F.coalesce(
+            src.startswith("<134>{") & src.contains("_insertion_epoch_timestamp"),
+            F.lit(False),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# snmptrapd (modules/afsnmp/snmptrapd-header-parser.c +
+# varbindlist-scanner.c; cases from tests/test_snmptrapd_parser.c)
+# ---------------------------------------------------------------------------
+
+_VB_KEY = r"[A-Za-z0-9_.:\-]+"
+# unquoted varbind value: run until the exact '\t' pair separator
+# (optionally space-padded), the next 'key =' token, or trailing spaces
+# at end — the kv-scanner grammar with the afsnmp extended key charset
+_VB_HEAD = _re.compile(rf"({_VB_KEY})[ \t]*=")
+_VB_UNQ = _re.compile(rf"(?:(?![ ]*\t|[ ]+{_VB_KEY}[ \t]*=|[ ]+$).)*")
+_VB_QUOTED = _re.compile(r"\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'")
+# annotation: after '=', optional spaces/tabs, chars until the first of
+# ': \t' — an annotation only if that char is ':' (varbindlist-scanner.c
+# _extract_type)
+_VB_TYPE = _re.compile(r"[ \t]*([^ \t:]*):")
+_SNMP_TS = _re.compile(r"[ ]*(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})")
+_COLON_RUN = _re.compile(r":+")
+
+
+def _scan_varbinds(s: str) -> list[tuple[str, str]]:
+    """varbindlist-scanner: kv pairs with '=' value-sep, '\\t' pair-sep,
+    stop char '\\n', per-pair 'TYPE:' annotation consumed before the
+    value scan (so a quoted STRING value is detected AFTER its
+    annotation, not inside it)."""
+    nl = s.find("\n")
+    if nl != -1:
+        s = s[:nl]
+    pairs = []
+    pos = 0
+    while True:
+        m = _VB_HEAD.search(s, pos)
+        if not m:
+            break
+        key = m.group(1)
+        pos = m.end()
+        am = _VB_TYPE.match(s, pos)
+        if am:
+            pos = am.end()
+        while pos < len(s) and s[pos] == " ":
+            pos += 1
+        qm = _VB_QUOTED.match(s, pos)
+        if qm:
+            from .parsers import _kv_unescape  # noqa: PLC0415
+
+            val = _kv_unescape(qm.group(0)[1:-1])
+            pos = qm.end()
+        else:
+            um = _VB_UNQ.match(s, pos)
+            val = um.group(0).rstrip(" ")
+            pos = um.end()
+        pairs.append((key, val))
+    return pairs
+
+
+def _parse_trap_text(text: str | None):
+    """snmptrapd_header_parser_parse: timestamp, hostname,
+    [transport_info], ':', optional v1 block (enterprise_oid NL TAB
+    'Type (subtype)' 'Uptime:' uptime), NL-or-EOM, then the varbind
+    list. Returns (stamp, header_nvs, varbind_nvs) or None (dropped)."""
+    if text is None:
+        return None
+    s = text
+    m = _SNMP_TS.match(s)
+    if not m:
+        return None
+    stamp = "%s-%s-%s %s:%s:%s" % m.groups()
+    i = m.end()
+
+    def skip_sp(i):
+        while i < len(s) and s[i] == " ":
+            i += 1
+        return i
+
+    i = skip_sp(i)
+    j = i
+    while j < len(s) and not s[j].isspace():
+        j += 1
+    if j == i:
+        return None
+    hostname = s[i:j]
+    i = skip_sp(j)
+    if i >= len(s) or s[i] != "[":
+        return None
+    i = skip_sp(i + 1)
+    t_start = i
+    t_nl = s.find("\n", i)
+    t_end = t_nl if t_nl != -1 else len(s)
+    while t_end > t_start and s[t_end - 1] != "]":
+        t_end -= 1
+    if t_end == t_start:
+        return None
+    transport = s[t_start : t_end - 1]
+    i = skip_sp(t_end)
+    if i >= len(s) or s[i] != ":":
+        return None
+    i += 1
+    hdr = [("hostname", hostname), ("transport_info", transport)]
+    # v1 detection: a following newline whose next char is '\t' (or no
+    # newline at all) means the v1 info block follows the colon
+    i = skip_sp(i)
+    nl = s.find("\n", i)
+    if not (nl != -1 and (nl + 1 >= len(s) or s[nl + 1] != "\t")):
+        # enterprise oid (optional): run of non-whitespace
+        j = i
+        while j < len(s) and not s[j].isspace():
+            j += 1
+        if j > i:
+            hdr.append(("enterprise_oid", s[i:j]))
+        i = skip_sp(j)
+        if i >= len(s) or s[i] != "\n":
+            return None
+        i = skip_sp(i + 1)
+        if i >= len(s) or s[i] != "\t":
+            return None
+        i = skip_sp(i + 1)
+        # 'Trap Type (subtype)'
+        k = i
+        while k < len(s) and s[k] not in "(\n":
+            k += 1
+        if k >= len(s) or s[k] != "(":
+            return None
+        t_end2 = k
+        sub_start = k + 1
+        if s[t_end2 - 1] == " ":
+            t_end2 -= 1
+        hdr.append(("type", s[i:t_end2]))
+        k = sub_start
+        while k < len(s) and s[k] not in ")\n":
+            k += 1
+        if k >= len(s) or s[k] != ")":
+            return None
+        hdr.append(("subtype", s[sub_start:k]))
+        i = skip_sp(k + 1)
+        if not s.startswith("Uptime:", i):
+            return None
+        i = skip_sp(i + len("Uptime:"))
+        up_end = s.find("\n", i)
+        if up_end == -1:
+            hdr.append(("uptime", s[i:]))
+            i = len(s)
+        else:
+            hdr.append(("uptime", s[i:up_end]))
+            i = up_end
+    i = skip_sp(i)
+    if i < len(s):
+        if s[i] != "\n":
+            return None
+        i += 1
+    return stamp, hdr, _scan_varbinds(s[i:])
+
+
+def snmptrapd_parser(
+    df: DataFrame,
+    source: str = "text",
+    prefix: str = ".snmp.",
+    set_message_macro: bool = True,
+) -> DataFrame:
+    """snmptrapd-parser() (modules/afsnmp; the snmptrap() source block in
+    scl/snmptrap/snmptrapd-source.conf feeds it file lines re-assembled
+    with multi-line prefix '^\\d{4}-\\d{1,2}-\\d{1,2}[ T]..:..:..' — use
+    ``group_lines(mode='regexp', line_start_regex=...)`` for that half).
+
+    Adds: ``snmp`` map<string,string> with prefixed keys (header fields
+    hostname/transport_info/[enterprise_oid/type/subtype/uptime] + the
+    varbind list; ':'-runs in keys normalize to '_'), ``stamp``
+    timestamp, ``MESSAGE`` ("key='value', ..." with apostrophes escaped
+    — set-message-macro(yes)), and ``snmptrapd_matched`` (unparseable
+    trap text is dropped by the reference; here it is flagged false).
+    One vectorized Arrow batch per partition — the same engine choice as
+    kv_parser (the step machine + kv heuristics are regex-hostile)."""
+    src = F.col(source) if isinstance(source, str) else source
+
+    out_t = T.StructType(
+        [
+            T.StructField("stamp", T.StringType()),
+            T.StructField("nv", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("message", T.StringType()),
+            T.StructField("matched", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def scan(s: pd.Series) -> pd.DataFrame:
+        stamps, nvs, msgs, oks = [], [], [], []
+        for t in s:
+            r = _parse_trap_text(t)
+            if r is None:
+                stamps.append(None), nvs.append(None), msgs.append(None), oks.append(False)
+                continue
+            stamp, hdr, vbs = r
+            all_nv = hdr + vbs
+            nv = {
+                _COLON_RUN.sub("_", prefix + k): v for k, v in all_nv
+            }
+            msg = ", ".join(
+                "%s='%s'" % (k, v.replace("'", "\\'")) for k, v in all_nv
+            )
+            stamps.append(stamp), nvs.append(nv), msgs.append(msg), oks.append(True)
+        return pd.DataFrame(
+            {"stamp": stamps, "nv": nvs, "message": msgs, "matched": oks}
+        )
+
+    out = df.withColumn("_snmp_struct", scan(src))
+    out = (
+        out.withColumn("snmp", F.col("_snmp_struct.nv"))
+        .withColumn("stamp", F.to_timestamp(F.col("_snmp_struct.stamp")))
+        .withColumn("snmptrapd_matched", F.col("_snmp_struct.matched"))
+    )
+    if set_message_macro:
+        out = out.withColumn("MESSAGE", F.col("_snmp_struct.message"))
+    return out.drop("_snmp_struct")

@@ -158,3 +158,86 @@ def test_dns_resolve_ip_hosts_table(spark):
     # /etc/hosts parses into the same shape (localhost is always there)
     h = load_hosts_file(spark)
     assert ("127.0.0.1",) in {(r.ip,) for r in h.collect()}
+
+
+def test_getent_passwd_group_services(spark):
+    """modules/getent semantics: numeric key -> 'name' member default,
+    name key -> uid/gid default; explicit members; group members
+    comma-joined; services translate name<->port; unknown keys NULL."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.enrich import (
+        getent, getent_enrich, register_getent_table,
+    )
+
+    register_getent_table("passwd", [
+        {"name": "root", "uid": 0, "gid": 0, "gecos": "root",
+         "dir": "/root", "shell": "/bin/bash"},
+        {"name": "alice", "uid": 1000, "gid": 100, "gecos": "",
+         "dir": "/home/alice", "shell": "/bin/zsh"},
+    ])
+    register_getent_table("group", [
+        {"name": "wheel", "gid": 10, "members": ["root", "alice"]},
+        {"name": "empty", "gid": 99, "members": []},
+    ])
+    register_getent_table("services", [
+        {"name": "ssh", "number": 22}, {"name": "https", "number": 443},
+    ])
+
+    df = spark.createDataFrame(
+        [("0", "alice", "wheel", "443")], "uid string, user string, grp string, port string"
+    )
+    row = df.select(
+        getent("passwd", "uid").alias("a"),          # numeric -> name
+        getent("passwd", "user").alias("b"),         # name -> uid
+        getent("passwd", "user", "shell").alias("c"),
+        getent("group", "grp").alias("d"),           # name -> gid
+        getent("group", F.lit("10"), "members").alias("e"),
+        getent("services", "port").alias("f"),       # port -> name
+        getent("services", F.lit("ssh")).alias("g"), # name -> port
+        getent("passwd", F.lit("nosuch")).alias("h"),
+    ).collect()[0]
+    assert row["a"] == "root"
+    assert row["b"] == "1000"
+    assert row["c"] == "/bin/zsh"
+    assert row["d"] == "10"
+    assert row["e"] == "root,alice"
+    assert row["f"] == "https"
+    assert row["g"] == "22"
+    assert row["h"] is None
+
+    out = getent_enrich(df, "passwd", "uid", member="dir", target="home").collect()[0]
+    assert out["home"] == "/root"
+
+    # template-function surface
+    from syslog_ng_spark.functions.templates import compile_template
+
+    t = df.select(
+        compile_template("$(getent passwd ${uid} shell)", set(df.columns)).alias("t")
+    ).collect()[0]["t"]
+    assert t == "/bin/bash"
+
+
+def test_getent_loads_os_files(spark, tmp_path):
+    """load_getent_from_os parses the standard /etc file formats."""
+    from syslog_ng_spark.operators.enrich import getent, load_getent_from_os
+
+    (tmp_path / "passwd").write_text(
+        "root:x:0:0:root:/root:/bin/bash\ndaemon:x:1:1:d:/usr/sbin:/usr/sbin/nologin\n"
+    )
+    (tmp_path / "group").write_text("adm:x:4:syslog,ubuntu\n")
+    (tmp_path / "services").write_text(
+        "# comment\nssh\t22/tcp\nhttp\t80/tcp\twww  # alias\n"
+    )
+    load_getent_from_os(str(tmp_path))
+    df = spark.createDataFrame([("x",)], "x string")
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        getent("passwd", F.lit("1"), "shell").alias("a"),
+        getent("group", F.lit("adm"), "members").alias("b"),
+        getent("services", F.lit("80")).alias("c"),
+    ).collect()[0]
+    assert row["a"] == "/usr/sbin/nologin"
+    assert row["b"] == "syslog,ubuntu"
+    assert row["c"] == "http"

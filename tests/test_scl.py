@@ -388,3 +388,242 @@ def test_junos_application(spark):
     assert out[0]["junos_matched"] is True
     assert out[0]["sdata"][".SDATA.junos@2636.1.1.1.2.129.reason"] == "link down"
     assert out[1]["junos_matched"] is False
+
+
+# ---------------------------------------------------------------------------
+# snmptrapd (modules/afsnmp/tests/test_snmptrapd_parser.c ported cases)
+# ---------------------------------------------------------------------------
+
+
+def _snmp(spark, text, **kw):
+    from syslog_ng_spark.operators.scl import snmptrapd_parser
+
+    return snmptrapd_parser(
+        spark.createDataFrame([(text,)], "text string"), **kw
+    ).collect()[0]
+
+
+def test_snmptrapd_v2_message_with_oids(spark):
+    """test_snmptrapd_parser.c test_general_v2_message_with_oids."""
+    import datetime
+
+    r = _snmp(
+        spark,
+        "2017-05-10 12:46:14 web2-kukorica.syslog_ng.balabit "
+        "[UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+        "iso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67\t"
+        "iso.3.6.1.6.3.1.1.4.1.0 = OID: iso.3.6.1.4.1.8072.2.3.0.1       "
+        "iso.3.6.1.4.1.8072.2.3.2.1 = INTEGER: 60        \t "
+        'iso.3.6.1.4.1.8072.2.1.3 = ""',
+    )
+    assert r["snmptrapd_matched"]
+    m = r["snmp"]
+    assert m[".snmp.hostname"] == "web2-kukorica.syslog_ng.balabit"
+    assert m[".snmp.transport_info"] == "UDP: [127.0.0.1]:34257->[127.0.0.1]:162"
+    assert m[".snmp.iso.3.6.1.2.1.1.3.0"] == "(875496867) 101 days, 7:56:08.67"
+    assert m[".snmp.iso.3.6.1.6.3.1.1.4.1.0"] == "iso.3.6.1.4.1.8072.2.3.0.1"
+    assert m[".snmp.iso.3.6.1.4.1.8072.2.3.2.1"] == "60"
+    assert m[".snmp.iso.3.6.1.4.1.8072.2.1.3"] == ""
+    assert r["stamp"] == datetime.datetime(2017, 5, 10, 12, 46, 14)
+
+
+def test_snmptrapd_v1_message_with_oids(spark):
+    """test_general_v1_message_with_oids: enterprise oid + trap
+    type/subtype + uptime from the tab-indented v1 info line."""
+    r = _snmp(
+        spark,
+        "2017-11-10 13:23:16 localhost [UDP: [127.0.0.1]:53831->[127.0.0.1]:162]: "
+        "iso.3.6.1.4.1.8072.2.3.1\n"
+        "\t Enterprise Specific Trap (.17) Uptime: 18:41:07.83\n"
+        "iso.3.6.1.4.1.8072.2.1.1 = INTEGER: 123456",
+    )
+    m = r["snmp"]
+    assert m[".snmp.hostname"] == "localhost"
+    assert m[".snmp.enterprise_oid"] == "iso.3.6.1.4.1.8072.2.3.1"
+    assert m[".snmp.type"] == "Enterprise Specific Trap"
+    assert m[".snmp.subtype"] == ".17"
+    assert m[".snmp.uptime"] == "18:41:07.83"
+    assert m[".snmp.iso.3.6.1.4.1.8072.2.1.1"] == "123456"
+
+
+def test_snmptrapd_v2_symbolic_names_and_types(spark):
+    """test_v2_with_symbolic_names_and_various_types: per-type annotation
+    stripping, quoted strings, embedded spaces, NULL literal."""
+    r = _snmp(
+        spark,
+        "2017-05-13 12:17:32 localhost [UDP: [127.0.0.1]:52407->[127.0.0.1]:162]:  \n "
+        "mib-2.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67 \t"
+        "snmpModules.1.1.4.1.0 = OID: netSnmpExampleHeartbeatNotification "
+        "netSnmpExampleHeartbeatRate = INTEGER: 60\t"
+        "netSnmpExampleString = STRING: \"string innerkey='innervalue'\"\t"
+        "org.2.2 = Gauge32: 22\t"
+        "org.1.1 = Counter32: 11123123   "
+        "org.5.3 = Hex-STRING: A0 BB CC DD EF \t"
+        "org.8.8 = NULL\t"
+        "dod.7 = IpAddress: 192.168.1.0\t  "
+        'org.5.9 = STRING: "@"',
+    )
+    m = r["snmp"]
+    assert m[".snmp.snmpModules.1.1.4.1.0"] == "netSnmpExampleHeartbeatNotification"
+    assert m[".snmp.netSnmpExampleHeartbeatRate"] == "60"
+    assert m[".snmp.netSnmpExampleString"] == "string innerkey='innervalue'"
+    assert m[".snmp.org.2.2"] == "22"
+    assert m[".snmp.org.1.1"] == "11123123"
+    assert m[".snmp.org.5.3"] == "A0 BB CC DD EF"
+    assert m[".snmp.org.8.8"] == "NULL"
+    assert m[".snmp.dod.7"] == "192.168.1.0"
+    assert m[".snmp.org.5.9"] == "@"
+
+
+def test_snmptrapd_v1_symbolic_names(spark):
+    """test_v1_with_symbolic_names: flexible spacing around the header
+    colon and the v1 info fields."""
+    r = _snmp(
+        spark,
+        "2017-05-13 12:18:30  localhost  "
+        "[UDP: [127.0.0.1]:58143->[127.0.0.1]:162] : netSnmpExampleNotification \n"
+        "\t Warm Start Trap (1) Uptime:  27 days, 2:39:02.34\n "
+        "netSnmpExampleInteger = INTEGER: 123456 \t "
+        "netSnmpExampleString = STRING: random string",
+    )
+    m = r["snmp"]
+    assert m[".snmp.enterprise_oid"] == "netSnmpExampleNotification"
+    assert m[".snmp.type"] == "Warm Start Trap"
+    assert m[".snmp.subtype"] == "1"
+    assert m[".snmp.uptime"] == "27 days, 2:39:02.34"
+    assert m[".snmp.netSnmpExampleInteger"] == "123456"
+    assert m[".snmp.netSnmpExampleString"] == "random string"
+
+
+def test_snmptrapd_generated_message_escaped(spark):
+    """test_v2_with_generated_message(_escaped): set-message-macro builds
+    "key='value'" pairs with apostrophes backslash-escaped."""
+    r = _snmp(
+        spark,
+        "2017-05-17 13:26:04 localhost [UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+        "iso.3.6.1.4.1.18372.3.2.1.1.1.6 = STRING: \"test 'escaped'\"",
+    )
+    assert r["MESSAGE"] == (
+        "hostname='localhost', "
+        "transport_info='UDP: [127.0.0.1]:34257->[127.0.0.1]:162', "
+        "iso.3.6.1.4.1.18372.3.2.1.1.1.6='test \\'escaped\\''"
+    )
+
+
+def test_snmptrapd_without_prefix_and_key_normalization(spark):
+    """test_v2_without_prefix + test_v2_key_normalization: empty prefix;
+    runs of ':' in keys collapse to one '_'."""
+    r = _snmp(
+        spark,
+        "2017-05-17 13:26:04 localhost [UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+        "iso.3.6.1.4.1.18372.3.2.1.1.1.6 = test",
+        prefix="",
+    )
+    assert r["snmp"]["iso.3.6.1.4.1.18372.3.2.1.1.1.6"] == "test"
+    r2 = _snmp(
+        spark,
+        "2017-05-13 12:17:32 localhost [UDP: [127.0.0.1]:52407->[127.0.0.1]:162]:  \n "
+        "mib-2.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67 \t"
+        'NET-SNMP-EXAMPLES-MIB:netSnmpExampleString = STRING: "random fact" \t'
+        'NET-SNMP-EXAMPLES-MIB::netSnmpColons = STRING: "Colossus colons" \t'
+        'NET-SNMP-EXAMPLES-MIB::::::::::::::::::::::::::Trail = STRING: "Gary Indiana" \t'
+        ":NET-SNMP-EXAMPLES::::::::::::::::::::::::::::::MIB: = INTEGER: 1234 \t",
+    )
+    m = r2["snmp"]
+    assert m[".snmp.NET-SNMP-EXAMPLES-MIB_netSnmpExampleString"] == "random fact"
+    assert m[".snmp.NET-SNMP-EXAMPLES-MIB_netSnmpColons"] == "Colossus colons"
+    assert m[".snmp.NET-SNMP-EXAMPLES-MIB_Trail"] == "Gary Indiana"
+    assert m[".snmp._NET-SNMP-EXAMPLES_MIB_"] == "1234"
+
+
+def test_snmptrapd_v1_without_varbindlist_and_drops(spark):
+    """test_general_v1_message_without_varbindlist + the two dropped
+    shapes (debug output; varbind list starting with a tab)."""
+    r = _snmp(
+        spark,
+        "2017-05-10 13:23:16 localhost [UDP: [127.0.0.1]:53831->[127.0.0.1]:162]: "
+        "iso.3.6.1.4.1.8072.2.3.1\n"
+        "\t Enterprise Specific Trap (.17) Uptime: 18:41:07.83",
+    )
+    assert r["snmptrapd_matched"]
+    assert r["snmp"][".snmp.uptime"] == "18:41:07.83"
+
+    dropped1 = _snmp(
+        spark, "2017-05-19 10:00:00 NET-SNMP version 5.7.3 Stopped.\nStopping snmptrapd"
+    )
+    assert not dropped1["snmptrapd_matched"] and dropped1["snmp"] is None
+
+    dropped2 = _snmp(
+        spark,
+        "2017-05-19 13:37:00 localhost [UDP: [127.0.0.1]:36324->[127.0.0.1]:162]:\n"
+        "\tiso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67 \t"
+        "iso.3.6.1.6.3.1.1.4.1.0 = OID: iso.3.6.1.4.1.8072.2.3.0.1 \t"
+        "iso.3.6.1.4.1.8072.2.3.2.1 = INTEGER: 60",
+    )
+    assert not dropped2["snmptrapd_matched"]
+
+
+def test_snmptrapd_v2_message_with_garbage(spark):
+    """test_v2_message_with_garbage: the varbind scan stops at the first
+    newline (kv stop char) — trailing garbage lines are ignored."""
+    r = _snmp(
+        spark,
+        "2017-05-10 12:46:14 localhost [UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+        "iso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67\t"
+        "iso.3.6.1.6.3.1.1.4.1.0 = OID: iso.3.6.1.4.1.8072.2.3.0.1\n"
+        "garbage = stop here",
+    )
+    m = r["snmp"]
+    assert m[".snmp.iso.3.6.1.6.3.1.1.4.1.0"] == "iso.3.6.1.4.1.8072.2.3.0.1"
+    assert ".snmp.garbage" not in m
+
+
+def test_cim_application(spark):
+    """scl/cim/adapter.conf: json-parser prefix('.cim.') marker('@cim:')."""
+    from syslog_ng_spark.operators.scl import cim_parser
+
+    rows = [('@cim:{"action":"allowed","src_ip":"1.2.3.4"}',), ("not cim",)]
+    out = cim_parser(spark.createDataFrame(rows, "text string")).collect()
+    assert out[0]["cim"][".cim.action"] == "allowed"
+    assert out[0]["cim_matched"] and not out[1]["cim_matched"]
+
+
+def test_netskope_application(spark):
+    """scl/netskope/plugin.conf: strip <PRI>, json under '.netskope.';
+    app filter = starts with '<134>{' and contains the insertion epoch."""
+    from syslog_ng_spark.operators.scl import netskope_parser
+
+    line = (
+        '<134>{"count": 1, "severity_level": 2, "timestamp": 1547421943, '
+        '"_insertion_epoch_timestamp": 1547421943, "user": "user@domain.com", '
+        '"audit_log_event": "Login Successful", "type": "admin_audit_logs"}'
+    )
+    rows = [(line,), ('<13>{"other": 1}',)]
+    out = netskope_parser(spark.createDataFrame(rows, "text string")).collect()
+    assert out[0]["netskope_matched"]
+    assert out[0]["netskope"][".netskope.user"] == "user@domain.com"
+    assert out[0]["netskope"][".netskope.audit_log_event"] == "Login Successful"
+    assert not out[1]["netskope_matched"]
+
+
+def test_collectd_putval_line(spark):
+    """scl/collectd/plugin.conf destination template: PUTVAL identifier
+    with optional -instance parts + interval + unixtime:values."""
+    import datetime
+
+    from syslog_ng_spark.functions.templates import collectd_putval_line
+
+    df = spark.createDataFrame(
+        [("web1", datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc), "42")],
+        "host string, ts timestamp, metric string",
+    )
+    line = df.select(
+        collectd_putval_line(
+            "cpu", "gauge", plugin_instance="0", values="${metric}"
+        ).alias("l")
+    ).collect()[0]["l"]
+    assert line == "PUTVAL web1/cpu-0/gauge interval=60 1767225600:42"
+    bare = df.select(
+        collectd_putval_line("load", "load", interval="", values="U").alias("l")
+    ).collect()[0]["l"]
+    assert bare == "PUTVAL web1/load/load 1767225600:U"

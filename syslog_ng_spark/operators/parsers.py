@@ -644,12 +644,23 @@ def _flatten_json_udf(key_delimiter: str, prefix: str, extract_prefix: str | Non
                 obj = json.loads(txt)
             except (ValueError, TypeError):
                 return None
-            if not isinstance(obj, dict):
-                return None
             if extract_prefix:
-                obj = obj.get(extract_prefix)
+                # '[N]' selects the N-th element of a TOP-LEVEL ARRAY
+                # (json-parser extract-prefix, e.g. winston's
+                # '[meta, payload]' envelope in scl/nodejs); any other
+                # value is a top-level object key
+                m = _re.fullmatch(r"\[(\d+)\]", extract_prefix)
+                if m is not None and isinstance(obj, list):
+                    i = int(m.group(1))
+                    obj = obj[i] if i < len(obj) else None
+                elif isinstance(obj, dict):
+                    obj = obj.get(extract_prefix)
+                else:
+                    return None
                 if not isinstance(obj, dict):
                     return None
+            if not isinstance(obj, dict):
+                return None
             out = {}
             stack = [("", obj)]
             while stack:
@@ -894,19 +905,18 @@ def group_lines(
     if mode == "indented":
         is_start = ~t.rlike(r"^[ \t]")
     elif mode == "smart":
-        # heuristic port of smart-multi-line.fsm: a line CONTINUES the
-        # previous record when it looks like a stack-trace/continuation
-        # line of the common runtimes (Java/Python/C#/Go/Ruby)
-        continuation = (
-            r"^[ \t]"                       # any indentation
-            r"|^at\s"                       # Java/C# frames
-            r"|^Caused by:"                 # Java chained exceptions
-            r"|^\.\.\. \d+ more"            # Java elision
-            r"|^Traceback \(most recent"    # Python header (continues message)
-            r"|^File \""                    # Python frames (unindented variant)
-            r"|^goroutine \d+"              # Go dumps
+        # EXACT port of the trained FSM (smart-multi-line.fsm rules +
+        # smart-multi-line.c driver) — sequential per stream, so the
+        # flags come from one applyInPandas pass; assembly below stays
+        # distributed. Reference's own test corpus ported in
+        # tests/test_smart_multiline.py.
+        from .smart_multiline import smart_start_flags  # noqa: PLC0415
+
+        df = smart_start_flags(df, key, order_by, text_col)
+        out = _group_lines_assemble(
+            df, key, order_by, F.col("_smart_start"), separator, text_col
         )
-        is_start = ~t.rlike(continuation)
+        return out
     elif mode == "empty-line-separated":
         is_start = F.lag(t, 1).over(
             W.partitionBy(*key).orderBy(order_by)

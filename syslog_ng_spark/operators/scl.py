@@ -895,3 +895,138 @@ def snmptrapd_parser(
     if set_message_macro:
         out = out.withColumn("MESSAGE", F.col("_snmp_struct.message"))
     return out.drop("_snmp_struct")
+
+
+def nodejs_parser(df: DataFrame, source: str = "text", prefix: str = ".nodejs.winston.") -> DataFrame:
+    """nodejs() source block (scl/nodejs/plugin.conf): winston's network
+    transport ships '[meta, payload]' JSON arrays; json-parser
+    extract-prefix('[1]') takes the payload object, then MESSAGE is set
+    from `.nodejs.winston.message` and that key is unset."""
+    out = json_parser(
+        df, source=source, prefix=prefix, extract_prefix="[1]", target="nodejs"
+    )
+    msg_key = f"{prefix}message"
+    msg = F.element_at(F.col("nodejs"), msg_key)
+    return (
+        out.withColumn("MESSAGE", msg)
+        .withColumn(
+            "nodejs",
+            F.map_filter(F.col("nodejs"), lambda k, _v: k != msg_key),
+        )
+        .withColumn("nodejs_matched", F.col("nodejs_matched"))
+    )
+
+
+def mbox_lines(df: DataFrame, key: list[str], order_by: str = "turn_idx", text_col: str = "text") -> DataFrame:
+    """mbox() source (scl/mbox/mbox.conf): mail files re-assembled into
+    one record per message — records start at '^From ' separator lines
+    (multi-line-prefix('^From '))."""
+    from .parsers import group_lines  # noqa: PLC0415
+
+    return group_lines(
+        df, key=key, order_by=order_by, mode="regexp",
+        line_start_regex="^From ", text_col=text_col,
+    )
+
+
+_JELLYFIN = r"^\[(?P<jf_ts>[^\]]*)\] \[(?P<jf_level>[A-Z]{3})\] \[(?P<jf_tid>[0-9]+)\] (?P<MESSAGE>(?:.|\n)*)"
+_JELLYFIN_SEV = {"FTL": "crit", "ERR": "err", "WRN": "warning",
+                 "INF": "info", "DBG": "debug", "VRB": "debug"}
+
+
+def jellyfin_parser(df: DataFrame, source: str = "text") -> DataFrame:
+    """jellyfin() (scl/jellyfin/jellyfin.conf): '[ts] [LVL] [tid] msg'
+    lines → MESSAGE + stamp + PROGRAM='Jellyfin' + severity from the
+    3-letter level (the reference passes $2 to set-severity; the
+    Jellyfin level names are mapped onto syslog severities)."""
+    out = regexp_parser(df, _JELLYFIN, source=source, matched_col="jellyfin_matched")
+    out = date_parser(
+        out,
+        ["yyyy-MM-dd HH:mm:ss.SSSSSS XXX", "yyyy-MM-dd HH:mm:ss.SSS XXX",
+         "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss.SSS"],
+        source=F.col("jf_ts"),
+        target="stamp",
+    )
+    sev_map = F.create_map(
+        *[x for k, v in _JELLYFIN_SEV.items() for x in (F.lit(k), F.lit(v))]
+    )
+    out = out.withColumn(
+        "program",
+        F.when(F.col("jellyfin_matched"), "Jellyfin").otherwise(
+            F.col("program") if "program" in out.columns else F.lit(None).cast("string")
+        ),
+    ).withColumn("level", sev_map[F.col("jf_level")])
+    if "pri" in out.columns:
+        from .rewrite import set_severity  # noqa: PLC0415
+
+        out = set_severity(
+            out, F.col("level"),
+            condition=F.col("jellyfin_matched") & F.col("level").isNotNull(),
+        )
+    return out
+
+
+_QBT = r"^\((?P<qbt_level>.)\) (?P<qbt_ts>[^ ]+) - (?P<MESSAGE>.*)"
+_QBT_SEV = {"C": "crit", "W": "warning", "I": "info", "N": "notice"}
+
+
+def qbittorrent_parser(df: DataFrame, source: str = "text") -> DataFrame:
+    """qbittorrent() (scl/qbittorrent/qbittorrent.conf): '(L) ts - msg'
+    → MESSAGE + stamp + PROGRAM='qBittorrent' + severity via the
+    if/elif letter cascade (C/W/I/N)."""
+    out = regexp_parser(df, _QBT, source=source, matched_col="qbt_matched")
+    out = date_parser(
+        out, ["yyyy-MM-dd'T'HH:mm:ss"], source=F.col("qbt_ts"), target="stamp"
+    )
+    sev_map = F.create_map(
+        *[x for k, v in _QBT_SEV.items() for x in (F.lit(k), F.lit(v))]
+    )
+    out = out.withColumn(
+        "program",
+        F.when(F.col("qbt_matched"), "qBittorrent").otherwise(
+            F.col("program") if "program" in out.columns else F.lit(None).cast("string")
+        ),
+    ).withColumn("level", sev_map[F.col("qbt_level")])
+    if "pri" in out.columns:
+        from .rewrite import set_severity  # noqa: PLC0415
+
+        out = set_severity(
+            out, F.col("level"),
+            condition=F.col("qbt_matched") & F.col("level").isNotNull(),
+        )
+    return out
+
+
+_ARR = r"^(?P<arr_ts>[^|]*)\|(?P<arr_level>[^|]*)\|(?P<arr_module>[^|]*)\|(?P<MESSAGE>(?:.|\n)*)"
+
+
+def arr_parser(
+    df: DataFrame, program: str = "sonarr", prefix: str = ".sonarr.",
+    source: str = "text",
+) -> DataFrame:
+    """arr_internal() (scl/arr/arr.conf — sonarr/radarr/lidarr/prowlarr/
+    readarr/whisparr family): 'ts|LEVEL|Module|msg' → MESSAGE + stamp +
+    PROGRAM=<app> + severity($2) + <prefix>module=$3."""
+    out = regexp_parser(df, _ARR, source=source, matched_col="arr_matched")
+    out = date_parser(
+        out,
+        ["yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss.SSS",
+         "yyyy-MM-dd HH:mm:ss"],
+        source=F.col("arr_ts"),
+        target="stamp",
+    )
+    out = out.withColumn(
+        "program",
+        F.when(F.col("arr_matched"), program).otherwise(
+            F.col("program") if "program" in out.columns else F.lit(None).cast("string")
+        ),
+    ).withColumn(f"{prefix}module", F.when(F.col("arr_matched"), F.col("arr_module")))
+    if "pri" in out.columns:
+        from .rewrite import set_severity  # noqa: PLC0415
+
+        out = set_severity(
+            out, F.lower(F.col("arr_level")), condition=F.col("arr_matched")
+        )
+    else:
+        out = out.withColumn("level", F.lower(F.col("arr_level")))
+    return out

@@ -205,12 +205,14 @@ def test_syslog_parser_flags(spark):
 
 
 def test_group_lines_smart(spark):
+    # FSM semantics (smart-multi-line.fsm): java start needs
+    # 'Exception:' (colon), frames need leading whitespace before 'at '
     ts = datetime.datetime(2026, 1, 1)
     rows = [
-        ("c1", 0, "Exception in thread main java.lang.NullPointerException", ts),
-        ("c1", 1, "at com.example.Foo.run(Foo.java:10)", ts),
+        ("c1", 0, "java.lang.NullPointerException: boom", ts),
+        ("c1", 1, "\tat com.example.Foo.run(Foo.java:10)", ts),
         ("c1", 2, "Caused by: java.io.IOException", ts),
-        ("c1", 3, "... 3 more", ts),
+        ("c1", 3, "\t... 3 more", ts),
         ("c1", 4, "next log line", ts),
     ]
     df = spark.createDataFrame(

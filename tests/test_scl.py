@@ -627,3 +627,90 @@ def test_collectd_putval_line(spark):
         collectd_putval_line("load", "load", interval="", values="U").alias("l")
     ).collect()[0]["l"]
     assert bare == "PUTVAL web1/load/load 1767225600:U"
+
+
+def test_nodejs_winston(spark):
+    """scl/nodejs: winston '[meta, payload]' envelope — extract-prefix
+    [1], MESSAGE from .nodejs.winston.message which is then unset."""
+    from syslog_ng_spark.operators.scl import nodejs_parser
+
+    line = '[{"transport":"tcp"},{"level":"info","message":"user logged in","who":"alice"}]'
+    out = nodejs_parser(spark.createDataFrame([(line,), ("junk",)], "text string")).collect()
+    r = out[0]
+    assert r["nodejs_matched"]
+    assert r["MESSAGE"] == "user logged in"
+    assert r["nodejs"][".nodejs.winston.who"] == "alice"
+    assert ".nodejs.winston.message" not in r["nodejs"]
+    assert not out[1]["nodejs_matched"]
+
+
+def test_mbox_source(spark):
+    """scl/mbox: records start at '^From ' separator lines."""
+    import datetime
+
+    from syslog_ng_spark.operators.scl import mbox_lines
+
+    ts = datetime.datetime(2026, 1, 1)
+    lines = [
+        "From alice@example.com Mon Jan  1 10:00:00 2026",
+        "Subject: hi",
+        "",
+        "first body",
+        "From bob@example.com Mon Jan  1 11:00:00 2026",
+        "Subject: yo",
+        "second body",
+    ]
+    df = spark.createDataFrame(
+        [("m", i, t, ts) for i, t in enumerate(lines)],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    out = mbox_lines(df, key=["conv_id"]).orderBy("turn_idx").collect()
+    assert len(out) == 2
+    assert out[0].text.startswith("From alice@") and "first body" in out[0].text
+    assert out[1].text.startswith("From bob@") and out[1].n_lines == 3
+
+
+def test_jellyfin_parser(spark):
+    from syslog_ng_spark.operators.scl import jellyfin_parser
+
+    line = "[2026-03-01 10:20:30.123 +00:00] [ERR] [17] Main: something broke"
+    out = jellyfin_parser(spark.createDataFrame([(line,), ("noise",)], "text string")).collect()
+    r = out[0]
+    assert r["jellyfin_matched"]
+    assert r["MESSAGE"] == "Main: something broke"
+    assert r["program"] == "Jellyfin"
+    assert r["level"] == "err"
+    assert r["stamp"] is not None
+    assert not out[1]["jellyfin_matched"]
+
+
+def test_qbittorrent_parser(spark):
+    from syslog_ng_spark.operators.scl import qbittorrent_parser
+
+    out = qbittorrent_parser(
+        spark.createDataFrame(
+            [("(W) 2026-03-01T10:20:30 - disk is slow",)], "text string"
+        )
+    ).collect()[0]
+    assert out["qbt_matched"]
+    assert out["MESSAGE"] == "disk is slow"
+    assert out["program"] == "qBittorrent"
+    assert out["level"] == "warning"
+    import datetime
+
+    assert out["stamp"] == datetime.datetime(2026, 3, 1, 10, 20, 30)
+
+
+def test_arr_parser(spark):
+    from syslog_ng_spark.operators.scl import arr_parser
+
+    line = "2026-03-01 10:20:30.1|Warn|DownloadService|stalled download"
+    out = arr_parser(
+        spark.createDataFrame([(line,)], "text string"),
+        program="radarr", prefix=".radarr.",
+    ).collect()[0]
+    assert out["arr_matched"]
+    assert out["MESSAGE"] == "stalled download"
+    assert out["program"] == "radarr"
+    assert out[".radarr.module"] == "DownloadService"
+    assert out["level"] == "warn"

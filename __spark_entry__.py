@@ -1034,6 +1034,94 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_scl_snmptrapd(spark, sf_dir):
+    """SCL snmptrapd preset (modules/afsnmp snmptrapd-header-parser.c +
+    varbindlist-scanner.c), inverse-property gate: v2 trap text is
+    formatted from customer columns (header + two varbinds — one
+    INTEGER-annotated, one quoted STRING), parsed back with
+    snmptrapd_parser, and DuckDB recomputes every extracted field
+    straight from the source columns."""
+    from syslog_ng_spark.operators.scl import snmptrapd_parser
+
+    c = _t(spark, sf_dir, "customer")
+    trap = F.concat(
+        F.lit("2026-03-01 10:20:30 host"), F.col("c_custkey").cast("string"),
+        F.lit(" [UDP: [127.0.0.1]:1->[127.0.0.1]:162]:\n"),
+        F.lit("sys.bal."), F.col("c_custkey").cast("string"),
+        F.lit(" = INTEGER: "), F.col("c_acctbal").cast("string"),
+        F.lit("\tuser.seg = STRING: \""), F.col("c_mktsegment"), F.lit("\""),
+    )
+    parsed = snmptrapd_parser(c.withColumn("trap", trap), source="trap")
+    m = F.col("snmp")
+    return parsed.select(
+        "c_custkey",
+        F.element_at(m, ".snmp.hostname").alias("hostname"),
+        F.element_at(m, ".snmp.transport_info").alias("transport"),
+        F.element_at(
+            m, F.concat(F.lit(".snmp.sys.bal."), F.col("c_custkey").cast("string"))
+        ).alias("bal"),
+        F.element_at(m, ".snmp.user.seg").alias("seg"),
+        F.col("snmptrapd_matched").alias("matched"),
+    ).orderBy("c_custkey")
+
+
+_SCL_SNMPTRAPD_SQL = """
+SELECT c_custkey,
+       'host' || CAST(c_custkey AS VARCHAR) AS hostname,
+       'UDP: [127.0.0.1]:1->[127.0.0.1]:162' AS transport,
+       CAST(c_acctbal AS VARCHAR) AS bal,
+       c_mktsegment AS seg,
+       true AS matched
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_getent(spark, sf_dir):
+    """$(getent) (modules/getent): passwd/services lookups against a
+    registered table — numeric key defaults to the name member, explicit
+    member selection, services port→name; DuckDB oracle is the
+    equivalent CASE mapping."""
+    from syslog_ng_spark.operators.enrich import getent, register_getent_table
+
+    register_getent_table("passwd", [
+        {"name": "root", "uid": 0, "gid": 0, "gecos": "root", "dir": "/root", "shell": "/bin/bash"},
+        {"name": "daemon", "uid": 1, "gid": 1, "gecos": "d", "dir": "/usr/sbin", "shell": "/usr/sbin/nologin"},
+        {"name": "app", "uid": 2, "gid": 100, "gecos": "", "dir": "/srv/app", "shell": "/bin/sh"},
+        {"name": "batch", "uid": 3, "gid": 100, "gecos": "", "dir": "/srv/batch", "shell": "/bin/zsh"},
+    ])
+    register_getent_table("services", [
+        {"name": "ssh", "number": 22}, {"name": "http", "number": 80},
+        {"name": "https", "number": 443},
+    ])
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "uid", F.pmod("c_custkey", F.lit(4)).cast("string")
+    ).withColumn(
+        "port",
+        F.element_at(
+            F.array(F.lit("22"), F.lit("80"), F.lit("443")),
+            F.pmod("c_custkey", F.lit(3)).cast("int") + 1,
+        ),
+    )
+    return c.select(
+        "c_custkey",
+        getent("passwd", "uid").alias("user_name"),
+        getent("passwd", "uid", "shell").alias("shell"),
+        getent("services", "port").alias("service"),
+    ).orderBy("c_custkey")
+
+
+_GETENT_SQL = """
+SELECT c_custkey,
+       CASE c_custkey % 4 WHEN 0 THEN 'root' WHEN 1 THEN 'daemon'
+            WHEN 2 THEN 'app' ELSE 'batch' END AS user_name,
+       CASE c_custkey % 4 WHEN 0 THEN '/bin/bash' WHEN 1 THEN '/usr/sbin/nologin'
+            WHEN 2 THEN '/bin/sh' ELSE '/bin/zsh' END AS shell,
+       CASE c_custkey % 3 WHEN 0 THEN 'ssh' WHEN 1 THEN 'http'
+            ELSE 'https' END AS service
+FROM customer ORDER BY c_custkey
+"""
+
+
 def q_stats_aggregate(spark, sf_dir):
     """stats aggregators (§2.7): running average / maximum / EPS per key
     (stats-average.c, stats-maximum.c, stats-change-per-second.c)."""
@@ -1233,6 +1321,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scl_sudo": q_scl_sudo,
         "scl_apache": q_scl_apache,
         "scl_linux_audit": q_scl_linux_audit,
+        "scl_snmptrapd": q_scl_snmptrapd,
+        "getent": q_getent,
         "ivf_topk": q_ivf_topk,
     }
 
@@ -1276,6 +1366,8 @@ def oracle_sql() -> dict[str, str]:
         "scl_sudo": _SCL_SUDO_SQL,
         "scl_apache": _SCL_APACHE_SQL,
         "scl_linux_audit": _SCL_AUDIT_SQL,
+        "scl_snmptrapd": _SCL_SNMPTRAPD_SQL,
+        "getent": _GETENT_SQL,
         "ivf_topk": _SIM_SQL,
     }
 

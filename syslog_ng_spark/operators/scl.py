@@ -782,10 +782,11 @@ def _parse_trap_text(text: str | None):
     i += 1
     hdr = [("hostname", hostname), ("transport_info", transport)]
     # v1 detection: a following newline whose next char is '\t' (or no
-    # newline at all) means the v1 info block follows the colon
+    # newline at all, including a newline as the LAST char — C sees
+    # new_line[1] == '\0' != '\t') means the v1 info block follows
     i = skip_sp(i)
     nl = s.find("\n", i)
-    if not (nl != -1 and (nl + 1 >= len(s) or s[nl + 1] != "\t")):
+    if nl == -1 or (nl + 1 < len(s) and s[nl + 1] == "\t"):
         # enterprise oid (optional): run of non-whitespace
         j = i
         while j < len(s) and not s[j].isspace():

@@ -224,11 +224,13 @@ def embedding_near_dup(
     only (id_a, id_b) pairs — a measured 2× win over shipping vectors
     per pair through Arrow. When the id set exceeds the bound (dup-heavy
     corpora can make it corpus-proportional) the verify falls back to a
-    fully distributed shuffle-join: candidate vectors joined onto the
-    pairs on both sides, cosine via the vectorized pandas UDF — slower
-    per pair, but driver memory stays O(1). Driver memory is therefore
-    bounded by ``max_gather_ids × dim × 8`` bytes (~0.5 GB at the
-    defaults); set ``max_gather_ids=0`` to force the distributed verify.
+    fully distributed BUCKET-LOCAL pass: vectors join onto their capped
+    band rows (each vector ships ``n_tables`` times — bytes linear in
+    corpus size, never per candidate pair) and all pairs inside each
+    bucket are verified with one chunked numpy pass, thresholded pairs
+    deduped across tables. Driver memory is therefore bounded by
+    ``max_gather_ids × dim × 8`` bytes (~0.5 GB at the defaults); set
+    ``max_gather_ids=0`` to force the distributed verify.
 
     NOTE: this operator is EAGER at call time even with ``eager=False``:
     the candidate stage runs immediately (to count candidate ids and, on
@@ -321,22 +323,63 @@ def embedding_near_dup(
             .select("id_a", "id_b", "cos")
         )
     else:
-        # DISTRIBUTED verify: candidate vectors shuffle-joined onto the
-        # pairs on both sides — duplicates vectors per pair through
-        # Arrow (the documented ~2× cost) but driver memory stays O(1)
-        # regardless of how dup-heavy the corpus is.
-        va = cvec.select(
-            F.col("_vid").alias("id_a"), F.col("_vec").cast("array<double>").alias("_va")
+        # DISTRIBUTED verify, bucket-local: join each vector onto its
+        # (capped) band rows — every vector ships ``n_tables`` times,
+        # LINEAR in corpus size — then verify all pairs INSIDE each
+        # bucket with one numpy pass and dedup the thresholded pairs
+        # across tables. Joining vectors onto the candidate PAIRS
+        # instead would ship pair_count × dim × 8 bytes (measured: a
+        # dup-heavy 200k-vector corpus produced enough candidate pairs
+        # to fill local disk with shuffle spill); bucket-local bytes are
+        # corpus × tables regardless of how hot the buckets are.
+        # Driver memory stays O(1).
+        vside = df.select(
+            F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_vec")
         )
-        vb = cvec.select(
-            F.col("_vid").alias("id_b"), F.col("_vec").cast("array<double>").alias("_vb")
+        bucket_rows = banded.join(vside, banded["id"] == vside["_vid"]).select(
+            "tbl", "bk", "id", "_vec"
         )
+
+        def _bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids_arr = pdf["id"].to_numpy()
+            n = len(ids_arr)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+                )
+            A = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            An = A / np.maximum(
+                np.sqrt(np.einsum("ij,ij->i", A, A))[:, None], 1e-300
+            )
+            outs = []
+            # row-chunked upper triangle: a capped bucket (default 10⁴)
+            # would otherwise materialize an n×n cosine matrix (~0.8 GB)
+            # per task
+            chunk = 1024
+            for i0 in range(0, n, chunk):
+                i1 = min(i0 + chunk, n)
+                C = An[i0:i1] @ An.T  # (chunk, n)
+                for r in range(i1 - i0):
+                    row = C[r, i0 + r + 1 :]
+                    hits = np.nonzero(row >= threshold)[0]
+                    if len(hits):
+                        j = hits + i0 + r + 1
+                        a = np.minimum(ids_arr[i0 + r], ids_arr[j])
+                        b = np.maximum(ids_arr[i0 + r], ids_arr[j])
+                        outs.append(
+                            pd.DataFrame({"id_a": a, "id_b": b, "cos": row[hits]})
+                        )
+            if not outs:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+                )
+            return pd.concat(outs, ignore_index=True)
+
         out = (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            .withColumn("cos", _cosine_pandas(F.col("_va"), F.col("_vb")))
-            .filter(F.col("cos") >= threshold)
-            .select("id_a", "id_b", "cos")
+            bucket_rows.groupBy("tbl", "bk")
+            .applyInPandas(_bucket_verify, "id_a long, id_b long, cos double")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
     if eager:
         res = out.localCheckpoint(eager=True)

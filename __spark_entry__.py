@@ -818,6 +818,54 @@ ORDER BY id_a, id_b
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the minhash near-dup pairs
+    (§LLM-pipeline): transitive closure turns pairs into dedup clusters
+    (A~B, B~C ⇒ one cluster even when A~C never surfaced). Spark side:
+    min-label propagation + pointer jumping (exact fixpoint). Oracle:
+    DuckDB recursive CTE computing the same closure over the exact
+    all-pairs Jaccard ≥ 0.5 graph."""
+    from syslog_ng_spark.operators.dedup import connected_components, minhash_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
+_NEAR_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9_]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+              THEN list_distinct(list_transform(range(1, len(tk)-1),
+                                 i -> array_to_string(tk[i:i+2], ' ')))
+              ELSE [array_to_string(tk, ' ')] END AS sh
+  FROM toks
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (§LLM-pipeline): block-combination pigeonhole
     candidates (Manku et al. WWW'07 §3 — C(8,3)=56 tables keyed on
@@ -1311,6 +1359,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macro_format": q_macro_format,
         "pdb_correlate": q_pdb_correlate,
         "minhash_neardup": q_minhash_neardup,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         # every entry below also has a DuckDB oracle in oracle_sql()
@@ -1360,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "macro_format": _MACRO_SQL,
         "pdb_correlate": _PDB_CORRELATE_SQL,
         "minhash_neardup": _EXACT_JACCARD_SQL,
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
         "simhash_neardup": _EXACT_JACCARD_SQL,
         "embedding_neardup": _EMBED_NEARDUP_SQL,
         "transcript_pipeline": _TRANSCRIPT_SQL,

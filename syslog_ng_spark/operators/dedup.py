@@ -597,3 +597,102 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- connected components over near-dup pairs ----------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected pair list —
+    the clustering step that turns near-dup PAIRS into dedup CLUSTERS
+    (transitive closure: if A~B and B~C, all three are one group even
+    when A~C never surfaced as a candidate).
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every node takes the min label over itself, its neighbors, and its
+    current label's label (c(u) ← min(c(u), c(N(u)), c(c(u)))). The
+    neighbor step alone converges in O(diameter) rounds (near-dup
+    clusters are dense — typically ≤3); the pointer-jump step collapses
+    pathological chains in O(log n) like the alternating-star algorithms
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Each iteration is two joins on 16-byte rows + localCheckpoint (keeps
+    the plan from growing with iterations — the iterative-Spark lineage
+    trap); convergence is an exact fixpoint test, so the result is the
+    EXACT components, not an approximation.
+
+    Returns (id, component) for every id appearing in ``pairs`` —
+    component = the min id of the cluster. Ids with no pairs are their
+    own singletons and are simply absent (callers treat missing as
+    identity, see dedup_by_component)."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.persist()
+    comp = (
+        sym.select("u").distinct().withColumn("c", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    for _i in range(max_iter):
+        nbr = (
+            sym.join(
+                comp.select(F.col("u").alias("_v"), F.col("c").alias("_nc")),
+                sym["v"] == F.col("_v"),
+            )
+            .groupBy("u")
+            .agg(F.min("_nc").alias("_nmin"))
+        )
+        stepped = (
+            comp.join(nbr, "u", "left")
+            .select("u", F.least(F.col("c"), F.coalesce("_nmin", "c")).alias("c"))
+        )
+        roots = stepped.select(F.col("u").alias("_r"), F.col("c").alias("_rc"))
+        jumped = (
+            stepped.join(roots, stepped["c"] == F.col("_r"), "left")
+            .select("u", F.least(F.col("c"), F.coalesce("_rc", "c")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(comp.alias("o"), "u")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        comp = jumped
+        if changed == 0:
+            break
+    sym.unpersist()
+    return comp.select(F.col("u").alias("id"), F.col("c").alias("component"))
+
+
+def dedup_by_component(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    keep_component: bool = False,
+) -> DataFrame:
+    """Cluster-level near-dup removal: run ``connected_components`` on
+    the pair list and keep ONE representative per cluster (the min id) —
+    the transitively-correct version of pairwise loser-dropping
+    (``minhash_dedup`` keeps every locally-minimal doc; a chain A~B~C
+    without the A~C pair keeps A only here). Docs in no pair survive
+    untouched. With ``keep_component`` the surviving rows carry their
+    cluster id (for cluster-size stats / provenance)."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("id") != F.col("component"))
+    out = df.join(
+        losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    if keep_component:
+        reps = comp.select(
+            F.col("id").alias(id_col), F.col("component")
+        ).filter(F.col(id_col) == F.col("component"))
+        out = out.join(reps, id_col, "left").withColumn(
+            "component", F.coalesce("component", F.col(id_col))
+        )
+    return out

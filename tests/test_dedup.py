@@ -177,3 +177,43 @@ def test_simhash_block_chunks_survive_corpus_scale(spark):
     got = {(r.id_a, r.id_b) for r in blocked.collect()}
     assert planted <= got                     # 100% recall on planted dups
     assert blocked._lsh_dropped_buckets == 0  # keyspace no longer saturates
+
+
+def test_connected_components_exact(spark):
+    """Label-prop + pointer-jump CC: exact components on a graph with a
+    chain (pathological for pure neighbor propagation), a clique, and a
+    2-cycle; singletons absent from pairs are absent from output."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12} (all pairs), pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # 200-node path: pointer jumping must converge inside max_iter
+    # (plain neighbor-min would need ~200 rounds)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    comp = D.connected_components(pairs, max_iter=25).collect()
+    assert {r.component for r in comp} == {0}
+    assert len(comp) == 201
+
+
+def test_dedup_by_component_transitive(spark):
+    """A~B and B~C without the A~C pair: cluster dedup keeps only A
+    (pairwise loser-dropping also drops B,C here — but the component
+    id is what makes the mapping auditable)."""
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aab"), (3, "abb"), (9, "zzz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = D.dedup_by_component(docs, pairs, keep_component=True).collect()
+    assert {(r.doc_id, r.component) for r in out} == {(1, 1), (9, 9)}

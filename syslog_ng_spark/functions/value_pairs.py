@@ -56,8 +56,15 @@ def _scope_map(df_or_columns, scope: str) -> Column:
         return _cols_to_map(columns, _BUILTIN_COLS_5424)
     if scope == "sdata":
         if "sdata" in columns:
+            # syslog_parser emits reference-named keys (.SDATA.id.param)
+            # already; prefix only keys from other producers
             return F.coalesce(
-                F.transform_keys(F.col("sdata"), lambda k, _v: F.concat(F.lit(".SDATA."), k)),
+                F.transform_keys(
+                    F.col("sdata"),
+                    lambda k, _v: F.when(
+                        k.startswith(".SDATA."), k
+                    ).otherwise(F.concat(F.lit(".SDATA."), k)),
+                ),
                 F.create_map().cast("map<string,string>"),
             )
         return F.create_map().cast("map<string,string>")

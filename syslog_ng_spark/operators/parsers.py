@@ -55,14 +55,44 @@ from ..schema import (
 # - PID is any run up to ']'/' '/':' (the reference does not require
 #   digits — syslog-format.c:404); the typed pid column still casts to
 #   int, non-numeric pids null out.
+# The 3164 timestamp grammar accepted by the reference's scanner
+# (lib/timeutils/scan-timestamp.c, pinned via lib/tests/test_msgparse.c):
+# - BSD 'MMM d HH:MM:SS', optionally with a YEAR between day and time
+#   (Cisco/PIX 'Apr 15 2007 21:28:13'), FRACTIONAL seconds, a leading
+#   '*' or '.' (Cisco unsynced-clock markers), case-insensitive month;
+# - ISO 8601 in the 3164 position, with 'T' or a space, optional
+#   fraction and offset. A trailing ':' after the timestamp (PIX) is
+#   consumed outside the capture.
+_TS3164 = (
+    r"[*.]?[A-Za-z]{3}\s{1,2}\d{1,2}(?:\s\d{4})?\s\d{2}:\d{2}:\d{2}(?:\.\d*)?(?:\s\d{4})?"
+    r"|\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:[+-]\d{2}:?\d{2}|Z)?"
+)
+# Hostnames: the usual token charset OR an IPv6 literal (the charsets
+# overlap — IPv6 first so the full address wins; test_msgparse
+# test_ip_in_host).
+_HOST3164 = r"(?:[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4}){2,}|[\w.\-]+)"
 _RFC3164 = (
     r"^(?:<(\d{1,3})> ?)?"  # 1 pri (optional → TAG_MISSING_PRI)
-    r"(?:([A-Z][a-z]{2}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2})\s"  # 2 timestamp
-    r"(?:([\w.\-]+)\s)?)?"  # 3 hostname (only after a timestamp)
+    rf"(?:({_TS3164}):?(?:\s+"  # 2 timestamp (+ optional PIX colon)
+    rf"(?:({_HOST3164})\s+)?|$))?"  # 3 hostname (only after a timestamp)
     r"(?:([^\s:\[\]]+)"  # 4 program
     r"(?:\[([^\]\s:]*)\])?"  # 5 pid
-    r":\s?)?"
+    r"(?::\s?|\s|$))?"  # reference: program needs no ':' — a bare
+    #   token is still the program ('some message' → program='some')
     r"((?s:.*))$"  # 6 message
+)
+
+# LP_NO_HOSTNAME variant: no hostname slot at all — the first token
+# after the date is the program and the REST is the message (a shared
+# regex with an empty host group would still consume 'alma' as host in
+# '<13>Jan  1 14:40:51 alma korte: message' and mis-split the msg)
+_RFC3164_NOHOST = (
+    r"^(?:<(\d{1,3})> ?)?"  # 1 pri
+    rf"(?:({_TS3164}):?(?:\s+|$))?"  # 2 timestamp
+    r"(?:([^\s:\[\]]+)"  # 3 program
+    r"(?:\[([^\]\s:]*)\])?"  # 4 pid
+    r"(?::\s?|\s|$))?"
+    r"((?s:.*))$"  # 5 message
 )
 
 # Cisco-style leading sequence number after PRI: '<189>65536: ...' →
@@ -73,7 +103,7 @@ _CISCO_SEQ = r"^(<\d{1,3}>)(\d+): ?"
 _RFC5424 = (
     r"^<(\d{1,3})>(\d+)\s"  # 1 pri, 2 version
     r"(\S+)\s(\S+)\s(\S+)\s(\S+)\s(\S+)\s"  # 3 ts, 4 host, 5 app, 6 pid, 7 msgid
-    r"((?:\[[^\]]*\])+|-)"  # 8 sdata
+    r"((?:\[(?:[^\]\\]|\\.)*\])+|-)"  # 8 sdata (\] escapes stay inside)
     r"(?:\s((?s:.*)))?$"  # 9 message
 )
 
@@ -92,6 +122,7 @@ def syslog_parser(
     year_hint_col: str = "ts",
     require_header: bool = True,
     flags: frozenset | set = frozenset(),
+    bad_hostname: str | None = None,
 ) -> DataFrame:
     """Parse syslog headers out of ``text_col`` into typed columns.
 
@@ -119,6 +150,17 @@ def syslog_parser(
     token after the date is the program), ``no-parse-date``
     (LP_NO_PARSE_DATE — leave syslog_ts null).
 
+    ``bad_hostname``: regex (parse_options.bad_hostname) — a would-be
+    3164 hostname matching it is NOT a hostname: it becomes the program
+    and everything after it the message (test_msgparse hostname cases).
+
+    sdata keys follow the reference naming ``.SDATA.<sd-id>.<param>``;
+    values are unescaped (\\" \\\\ \\]). Timestamps accept the
+    reference's full 3164 grammar (BSD with optional year / fraction /
+    Cisco '*' marker / uppercase months, ISO with 'T' or space, overlong
+    fractions truncated to microseconds — lib/timeutils scan-timestamp
+    semantics, pinned by the ported test_msgparse table).
+
     Known limitation: a payload containing the 0x1E record-separator
     byte would corrupt group unpacking; the reference has no such byte
     in any test corpus.
@@ -142,6 +184,28 @@ def syslog_parser(
             .withColumn(p + "syslog_tags", F.array().cast("array<string>"))
             .withColumn(p + "syslog_matched", F.lit(True))
         )
+    if "no-header" in flags:
+        # LP_NO_HEADER (msg-format.h): the PRI is parsed, nothing else —
+        # everything after <PRI> is the message
+        pri0 = F.regexp_extract(t, r"^<(\d{1,3})>", 1)
+        return (
+            df.withColumn(
+                p + "pri",
+                F.when(_nullif_empty(pri0).isNotNull(), pri0.cast("int")).otherwise(
+                    F.lit(default_pri)
+                ),
+            )
+            .withColumn(p + "syslog_ts", F.lit(None).cast("timestamp"))
+            .withColumn(p + "host", F.lit(None).cast("string"))
+            .withColumn(p + "program", F.lit(None).cast("string"))
+            .withColumn(p + "pid", F.lit(None).cast("int"))
+            .withColumn(p + "msgid", F.lit(None).cast("string"))
+            .withColumn(p + "sdata", F.lit(None).cast("map<string,string>"))
+            .withColumn(p + "msg", F.regexp_replace(t, r"^<\d{1,3}>", ""))
+            .withColumn(p + "syslog_format", F.lit(None).cast("string"))
+            .withColumn(p + "syslog_tags", F.array().cast("array<string>"))
+            .withColumn(p + "syslog_matched", F.lit(True))
+        )
     # Cisco sequence id: '<PRI>NNN: rest' → strip the seq token before
     # the main parse, surface it as .SDATA.meta.sequenceId. Materialized
     # as columns so the CASE + replace run once, not per downstream regex.
@@ -152,25 +216,44 @@ def syslog_parser(
             F.col("_syslog_seq").isNotNull(), F.regexp_replace(t, _CISCO_SEQ, "$1")
         ).otherwise(t),
     )
+    # 'Message forwarded from HOST:' prefix (AIX syslogd relays;
+    # syslog-format.c handles it as the hostname) — normalize to a plain
+    # host token before the main parse
+    df = df.withColumn(
+        "_syslog_src",
+        F.regexp_replace(
+            F.col("_syslog_src"),
+            rf"^((?:<\d{{1,3}}> ?)?(?:{_TS3164}):?\s+)Message forwarded from ([\w.\-]+):\s+",
+            "$1$2 ",
+        ),
+    )
     raw_t = t
     t = F.col("_syslog_src")
     seq = F.col("_syslog_seq")
 
     is5424 = t.rlike(r"^<\d{1,3}>\d+\s")
 
-    repl3 = SEP.join(f"${i}" for i in range(1, 7))
+    nohost = "no-hostname" in flags
+    rx3 = _RFC3164_NOHOST if nohost else _RFC3164
+    repl3 = SEP.join(f"${i}" for i in range(1, 6 if nohost else 7))
     repl5 = SEP.join(f"${i}" for i in range(1, 10))
-    parts3 = F.split(F.regexp_replace(t, _RFC3164, repl3), SEP, -1)
+    parts3 = F.split(F.regexp_replace(t, rx3, repl3), SEP, -1)
     parts5 = F.split(F.regexp_replace(t, _RFC5424, repl5), SEP, -1)
-    # group i (1-based) — packed layout has exactly n_groups fields iff matched
-    g3 = [None] + [F.element_at(parts3, i) for i in range(1, 7)]
+    # group i (1-based) — packed layout has exactly n_groups fields iff
+    # matched; the NOHOST layout maps into the same slots with an empty
+    # host (slot 3), so every consumer below is layout-agnostic
+    if nohost:
+        e3 = [F.element_at(parts3, i) for i in range(1, 6)]
+        g3 = [None, e3[0], e3[1], F.lit(""), e3[2], e3[3], e3[4]]
+    else:
+        g3 = [None] + [F.element_at(parts3, i) for i in range(1, 7)]
     g5 = [None] + [F.element_at(parts5, i) for i in range(1, 10)]
     # match flags via rlike (boolean-only, no packed-string allocation):
     # a plan that touches only pri/syslog_matched — the routing hot path —
     # then never materializes the packed groups (Catalyst prunes them).
-    m3 = t.rlike(_RFC3164)
+    m3 = t.rlike(rx3)
     if require_header:
-        m3 = m3 & t.rlike(r"^<\d{1,3}>|^[A-Z][a-z]{2}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2}\s")
+        m3 = m3 & t.rlike(rf"^<\d{{1,3}}>|^(?:{_TS3164})")
     m5 = t.rlike(_RFC5424)
 
     matched = F.when(is5424, m5).otherwise(m3)
@@ -197,35 +280,54 @@ def syslog_parser(
         if year_hint_col in df.columns
         else F.year(F.current_date()).cast("string")
     )
-    ts3 = F.try_to_timestamp(
-        F.concat_ws(
-            " ", year, F.regexp_replace(g3[2], r"\s+", " ")
-        ),
-        F.lit("yyyy MMM d HH:mm:ss"),
+    # materialize the raw ts token ONCE — the fraction/format branches
+    # below reference it ~8×, and Spark does no CSE through the packed
+    # regexp_replace (each reference would re-run the full 3164 regex)
+    df = df.withColumn("_ts3_raw", F.element_at(parts3, 2))
+    traw = F.col("_ts3_raw")
+    # strip Cisco '*'/'.' marker, collapse runs of spaces, title-case the
+    # month (Java MMM is case-sensitive; devices ship 'NOV 22 ...')
+    base = F.regexp_replace(F.regexp_replace(traw, r"^[*.]", ""), r"\s+", " ")
+    frac = F.regexp_extract(base, r"\.(\d*)", 1)
+    micros = F.rpad(F.substring(frac, 1, 6), 6, "0").cast("int")
+    nofrac = F.regexp_replace(base, r"\.\d*", "")
+    bsd = F.concat(
+        F.upper(F.substring(nofrac, 1, 1)),
+        F.lower(F.substring(nofrac, 2, 2)),
+        F.substring(nofrac, 4, 1 << 30),
     )
+    iso = F.regexp_replace(nofrac, r"^(\d{4}-\d{2}-\d{2}) ", "$1T")
+    ts3_sec = F.coalesce(
+        F.try_to_timestamp(
+            F.concat_ws(" ", year, bsd), F.lit("yyyy MMM d HH:mm:ss")
+        ),
+        F.try_to_timestamp(bsd, F.lit("MMM d yyyy HH:mm:ss")),
+        F.try_to_timestamp(bsd, F.lit("MMM d HH:mm:ss yyyy")),  # linksys
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+    )
+    ts3 = F.when(
+        frac != "", F.timestamp_add("MICROSECOND", micros, ts3_sec)
+    ).otherwise(ts3_sec)
+    # overlong 5424 fractions truncate to microseconds (the reference
+    # keeps the first digits; test_timestamp's 60-digit fraction case)
+    t5 = F.regexp_replace(g5[3], r"(\.\d{6})\d+", "$1")
     ts5 = F.coalesce(
-        F.try_to_timestamp(g5[3], F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
-        F.try_to_timestamp(g5[3], F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
-        F.try_to_timestamp(g5[3], F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(t5, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(t5, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(t5, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
     )
     syslog_ts = F.when(matched, F.when(is5424, ts5).otherwise(ts3))
     if "no-parse-date" in flags:  # LP_NO_PARSE_DATE
         syslog_ts = F.lit(None).cast("timestamp")
 
-    if "no-hostname" in flags:
-        # LP_NO_HOSTNAME: the first 3164 token is the program, never a host
-        host = F.when(matched & is5424, F.nullif(g5[4], F.lit("-")))
-        program = F.when(
-            matched,
-            F.when(is5424, F.nullif(g5[5], F.lit("-"))).otherwise(
-                F.coalesce(_nullif_empty(g3[3]), _nullif_empty(g3[4]))
-            ),
-        )
-    else:
-        host = F.when(matched, _nullif_empty(F.when(is5424, F.nullif(g5[4], F.lit("-"))).otherwise(g3[3])))
-        program = F.when(
-            matched, _nullif_empty(F.when(is5424, F.nullif(g5[5], F.lit("-"))).otherwise(g3[4]))
-        )
+    # (the NOHOST layout keeps g3[3] empty, so one shared expression
+    # covers LP_NO_HOSTNAME: the first token lands in the program slot
+    # and the remainder — including any would-be 'host word' — in msg)
+    host = F.when(matched, _nullif_empty(F.when(is5424, F.nullif(g5[4], F.lit("-"))).otherwise(g3[3])))
+    program = F.when(
+        matched, _nullif_empty(F.when(is5424, F.nullif(g5[5], F.lit("-"))).otherwise(g3[4]))
+    )
     pid = F.when(
         matched,
         F.when(is5424, F.nullif(g5[6], F.lit("-"))).otherwise(_nullif_empty(g3[5])),
@@ -233,17 +335,62 @@ def syslog_parser(
     msgid = F.when(matched & is5424, F.nullif(g5[7], F.lit("-")))
 
     sd = F.when(matched & is5424, F.nullif(g5[8], F.lit("-")))
+    # reference SDATA naming: .SDATA.<sd-id>.<param> (logmsg.c
+    # log_msg_set_value_by_name under the SDATA prefix); values decode
+    # the RFC5424 escapes \" \\ \] — one map per [element], folded
+    # left with LAST_WIN dedup (session conf)
+    elements = F.regexp_extract_all(sd, F.lit(r"\[([^\]\\]*(?:\\.[^\]\\]*)*)\]"), 1)
     sdata = F.when(
         sd.isNotNull(),
-        F.map_from_arrays(
-            F.regexp_extract_all(sd, F.lit(_SD_PAIR), 1),
-            F.regexp_extract_all(sd, F.lit(_SD_PAIR), 2),
+        F.aggregate(
+            elements,
+            F.create_map().cast("map<string,string>"),
+            lambda acc, e: F.map_concat(
+                acc,
+                F.map_from_arrays(
+                    F.transform(
+                        F.regexp_extract_all(e, F.lit(_SD_PAIR), 1),
+                        lambda k: F.concat(
+                            F.lit(".SDATA."),
+                            F.regexp_extract(e, r"^(\S+)", 1),
+                            F.lit("."),
+                            k,
+                        ),
+                    ),
+                    F.transform(
+                        F.regexp_extract_all(e, F.lit(_SD_PAIR), 2),
+                        lambda v: F.regexp_replace(v, r'\\([\\"\]])', "$1"),
+                    ),
+                ),
+            ),
         ),
     )
     sdata = F.when(
         seq.isNotNull(), F.create_map(F.lit(".SDATA.meta.sequenceId"), seq)
     ).otherwise(sdata)
-    msg = F.when(matched, F.when(is5424, g5[9]).otherwise(g3[6]))
+    # a leading BOM on the 5424 MSG part marks it as UTF-8 and is
+    # stripped (RFC5424 §6.4, syslog-format.c)
+    msg = F.when(
+        matched,
+        F.when(is5424, F.regexp_replace(g5[9], "^\uFEFF", "")).otherwise(g3[6]),
+    )
+    if bad_hostname is not None:
+        # parse_options.bad_hostname: the token in hostname position
+        # matching this regex is NOT a hostname — it is the program and
+        # everything after it is the MSG
+        bad = F.coalesce(
+            matched & ~is5424 & host.isNotNull() & host.rlike(bad_hostname),
+            F.lit(False),
+        )
+        after_host = F.regexp_replace(
+            t,
+            rf"^(?:<\d{{1,3}}> ?)?(?:(?:{_TS3164}):?\s+)?(?:{_HOST3164}\s+)?((?s:.*))$",
+            "$1",
+        )
+        program = F.when(bad, host).otherwise(program)
+        pid = F.when(bad, F.lit(None).cast("int")).otherwise(pid)
+        msg = F.when(bad, after_host).otherwise(msg)
+        host = F.when(bad, F.lit(None).cast("string")).otherwise(host)
 
     # LP_CHECK_PROGRAM (msg-format.h:63, syslog-format.c:356-400): the
     # program must be [A-Za-z0-9._()/-]+ AND contain at least one alpha
@@ -295,7 +442,7 @@ def syslog_parser(
         .withColumn(p + "syslog_format", fmt)
         .withColumn(p + "syslog_tags", tags)
         .withColumn(p + "syslog_matched", F.coalesce(matched, F.lit(False)))
-        .drop("_syslog_seq", "_syslog_src")
+        .drop("_syslog_seq", "_syslog_src", "_ts3_raw")
     )
 
 

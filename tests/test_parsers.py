@@ -50,7 +50,8 @@ def test_syslog_rfc5424(spark):
     assert row.program == "app"
     assert row.pid == 1234
     assert row.msgid == "ID47"
-    assert row.sdata == {"k": "v", "n": "x"}
+    # reference naming: .SDATA.<sd-id>.<param>
+    assert row.sdata == {".SDATA.ex@32473.k": "v", ".SDATA.ex@32473.n": "x"}
     assert row.msg == "some msg"
     assert row.syslog_format == "rfc5424"
     # 12:00:00.003+02:00 == 10:00:00.003 UTC

@@ -53,26 +53,76 @@ def subst(
     value: str,
     global_: bool = False,
     condition=None,
+    matcher: str = "pcre",
+    flags: frozenset | set = frozenset(),
 ) -> DataFrame:
     """subst(regex, replacement) — rewrite-subst.c:50-99.
 
     The reference replaces only the FIRST occurrence unless flags(global);
     Spark's regexp_replace is global, so first-only is expressed by
     rewriting just the first match span using regexp_instr/substr.
+
+    ``matcher='string'`` selects the literal matcher (log-matcher.c
+    LogMatcherString, modes pinned by lib/tests/test_matcher.c):
+    default = whole-value equality, ``flags={'prefix'}`` replaces a
+    matching prefix, ``{'substring'}`` the first (or, with ``global_``,
+    every) literal occurrence; ``'icase'`` composes with each.
     """
     col = F.col(value)
+    flags = frozenset(flags)
+    if matcher == "string":
+        icase = "icase" in flags
+        hay = F.lower(col) if icase else col
+        needle = pattern.lower() if icase else pattern
+        plen = len(pattern)
+        if "prefix" in flags:
+            new = F.when(
+                hay.startswith(needle),
+                F.concat(F.lit(replacement), F.substring(col, plen + 1, 1 << 30)),
+            ).otherwise(col)
+        elif "substring" in flags:
+            if global_:
+                # literal-global: \Q...\E-quoted regex (+ (?i) for icase)
+                quoted = "\\Q" + pattern.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+                new = F.regexp_replace(
+                    col, ("(?i)" if icase else "") + quoted,
+                    replacement.replace("\\", "\\\\").replace("$", "\\$"),
+                )
+            else:
+                pos = F.instr(hay, needle)
+                new = F.when(
+                    pos > 0,
+                    F.concat(
+                        F.substring(col, 1, pos - 1),
+                        F.lit(replacement),
+                        F.substring(col, pos + plen, 1 << 30),
+                    ),
+                ).otherwise(col)
+        else:  # whole-value equality
+            new = F.when(hay == needle, F.lit(replacement)).otherwise(col)
+        return _guarded(df, value, new, condition)
     if global_:
         new = F.regexp_replace(col, pattern, replacement)
     else:
-        # first-only: split at the first match, replace inside the head.
-        pos = F.regexp_instr(col, F.lit(pattern))  # 1-based pos after? (start)
+        # first-only: find the first match span, re-apply the pattern
+        # ANCHORED to exactly that span (prefix/tail untouched). The
+        # anchored re-match keeps $N backrefs working and — unlike
+        # running a global replace over the head — cannot also replace
+        # a trailing zero-width match inside the span ('aa|b*' on 'aa'
+        # must yield one '@', not '@@'; test_matcher.c empty_global).
+        pos = F.regexp_instr(col, F.lit(pattern))  # 1-based match start
         first = F.regexp_extract(col, pattern, 0)
         head_end = pos - 1 + F.length(first)
-        head = F.substring(col, 1, head_end.cast("int"))
+        prefix_part = F.substring(col, 1, (pos - 1).cast("int"))
         tail = F.substring(
             col, (head_end + 1).cast("int"), (1 << 30)
         )
-        new = F.when(pos > 0, F.concat(F.regexp_replace(head, pattern, replacement), tail)).otherwise(col)
+        replaced_span = F.regexp_replace(
+            first, f"(?s)^(?:{pattern})$", replacement
+        )
+        new = F.when(
+            pos > 0, F.concat(prefix_part, replaced_span, tail)
+        ).otherwise(col)
     return _guarded(df, value, new, condition)
 
 

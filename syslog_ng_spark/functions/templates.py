@@ -349,6 +349,21 @@ _TEMPLATE_FUNCS: dict[str, object] = {
     "url-decode": lambda raw, cols: F.url_decode(cols[0]),
     # structured
     "format-json": lambda raw, cols: _format_json(raw, cols),
+    # $(format-cim) (scl/cim/template.conf): format-json with the fixed
+    # Splunk-CIM shape — @timestamp/@message pairs, .cim.* keys shifted
+    # 5 chars, remaining leading-dot prefixes rewritten to '_'
+    "format-cim": lambda raw, cols: _format_json(
+        [
+            "--auto-cast",
+            "--pair", "@timestamp=${R_ISODATE}",
+            "--pair", "@message=${MSG}",
+            "--key", ".cim.*", "--shift", "5",
+            "--key", "_*",
+            "--key", ".*", "--replace-prefix", ".=_",
+            "--key", "*.*",
+        ] + list(raw),
+        cols,
+    ),
     "format-welf": lambda raw, cols: _format_welf(raw, cols),
     "format-date": lambda raw, cols: _format_date(raw, cols),
     # crypto (modules/cryptofuncs)
@@ -585,10 +600,19 @@ def _format_json(raw, cols):
     inc: list[str] = []
     exc: list[str] = []
     leave_dot = False
-    shift = 0
-    add_prefix = ""
     pairs: list = []
     bare: list[str] = []
+    # value-pairs semantics: a transform (--shift/--shift-levels/
+    # --replace-prefix/--add-prefix) binds to the key-set of the MOST
+    # RECENT --key glob; with no --key yet it applies to every selected
+    # key (vp_cmdline_parse_rekey — transforms attach to the last key)
+    _GLOBAL = {"glob": None, "shift_levels": 0, "shift": 0,
+               "add_prefix": "", "replace": []}
+    key_specs: list[dict] = []
+
+    def _tf_target():
+        return key_specs[-1] if key_specs else _GLOBAL
+
     i = 0
     while i < len(raw):
         a = raw[i]
@@ -596,15 +620,30 @@ def _format_json(raw, cols):
             scopes += [x.strip() for x in raw[i + 1].split(",")]
             i += 2
         elif a == "--key":
-            inc.append(raw[i + 1]); i += 2
+            inc.append(raw[i + 1])
+            key_specs.append({"glob": raw[i + 1], "shift_levels": 0,
+                              "shift": 0, "add_prefix": "", "replace": []})
+            i += 2
         elif a == "--exclude":
             exc.append(raw[i + 1]); i += 2
         elif a == "--leave-initial-dot":
             leave_dot = True; i += 1
         elif a == "--shift-levels":
-            shift = int(raw[i + 1]); i += 2
+            _tf_target()["shift_levels"] = int(raw[i + 1]); i += 2
+        elif a == "--shift":
+            # strips N CHARACTERS from the key front (vs shift-levels'
+            # dotted segments)
+            _tf_target()["shift"] = int(raw[i + 1]); i += 2
         elif a == "--add-prefix":
-            add_prefix = raw[i + 1]; i += 2
+            _tf_target()["add_prefix"] = raw[i + 1]; i += 2
+        elif a == "--replace-prefix":
+            _tf_target()["replace"].append(tuple(raw[i + 1].split("=", 1)))
+            i += 2
+        elif a == "--pair":
+            # --pair k=v — same as a bare k=v argument (value-pairs.c)
+            k, v = raw[i + 1].split("=", 1)
+            pairs.append((k, compile_template(v, cur_cols)))
+            i += 2
         elif a in ("--auto-cast", "--omit-empty-values"):
             i += 1
         elif "=" in a:
@@ -620,6 +659,18 @@ def _format_json(raw, cols):
 
         for sc in scopes:
             m = F.map_concat(m, _scope_map(sorted(cur_cols or []), sc))
+    # --key/--exclude globs select from the SCOPE-sourced keys only;
+    # explicit pairs and bare selections are direct vp_pairs and bypass
+    # the glob filter (value-pairs.c) — filter before concatenating them
+    if inc or exc:
+        from .value_pairs import _glob_pred  # noqa: PLC0415
+
+        if inc:
+            preds = [_glob_pred(pg) for pg in inc]
+            m = F.map_filter(m, lambda k, _v: _fold_or([p(k) for p in preds]))
+        if exc:
+            preds = [_glob_pred(pg) for pg in exc]
+            m = F.map_filter(m, lambda k, _v: ~_fold_or([p(k) for p in preds]))
     entries = []
     for name in bare:
         # bare value-pairs names resolve like ${...}: engine columns
@@ -639,32 +690,33 @@ def _format_json(raw, cols):
         entries += [F.lit(name), col.cast("string")]
     if entries:
         m = F.map_concat(m, F.create_map(*entries))
-    if inc or exc:
-        from .value_pairs import _glob_pred  # noqa: PLC0415
-
-        if inc:
-            preds = [_glob_pred(p) for p in inc]
-            cond = preds[0]
-            m = F.map_filter(
-                m, lambda k, _v: _fold_or([p(k) for p in preds])
-            )
-        if exc:
-            preds = [_glob_pred(p) for p in exc]
-            m = F.map_filter(
-                m, lambda k, _v: ~_fold_or([p(k) for p in preds])
-            )
 
     def render(d):
         if d is None:
             return "{}"
+        import fnmatch as _fn  # noqa: PLC0415
+
         tree: dict = {}
         for k, v in d.items():
             if v is None:
                 continue
-            if shift:
+            # transforms from the first matching --key spec (or the
+            # global set when none was given)
+            spec = _GLOBAL
+            for ks in key_specs:
+                if _fn.fnmatchcase(k, ks["glob"]):
+                    spec = ks
+                    break
+            if spec["shift_levels"]:
                 segs0 = k.split(".")
-                k = ".".join(segs0[min(shift, len(segs0) - 1):])
-            k = add_prefix + k
+                k = ".".join(segs0[min(spec["shift_levels"], len(segs0) - 1):])
+            if spec["shift"]:
+                k = k[spec["shift"]:] or k
+            for old, new in spec["replace"]:
+                if k.startswith(old):
+                    k = new + k[len(old):]
+                    break
+            k = spec["add_prefix"] + k
             if k.startswith(".") and not leave_dot:
                 k = "_" + k[1:]
             segs = [sg for sg in k.split(".") if sg != ""] or [k]

@@ -483,3 +483,36 @@ def test_format_json_c_cases(spark):
     # selects engine columns by name, not only nv entries)
     assert render("$(format-json host program plain)") == {
         "host": "bzorp", "program": "syslog-ng", "plain": "v"}
+
+
+def test_format_cim(spark):
+    """scl/cim/template.conf $(format-cim): @timestamp/@message pairs +
+    .cim.* keys shifted to top level + leading-dot keys renamed '_',
+    with per-glob transform binding (the --shift applies ONLY to the
+    .cim.* selection, not to '_'/dotted keys selected by later globs)."""
+    import datetime
+    import json
+
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame(
+        [(
+            "auth failed",
+            datetime.datetime(2026, 3, 1, 12, 0, 0, tzinfo=datetime.timezone.utc),
+            {".cim.action": "failure", ".cim.src": "1.2.3.4",
+             "_private": "x", ".other.key": "y", "plain.dotted": "z"},
+        )],
+        "text string, ts timestamp, nv map<string,string>",
+    )
+    got = json.loads(
+        df.select(
+            compile_template("$(format-cim --scope dot-nv-pairs,nv-pairs)", set(df.columns)).alias("j")
+        ).collect()[0]["j"]
+    )
+    assert got["@message"] == "auth failed"
+    assert got["@timestamp"].startswith("2026-03-01T12:00:00")
+    assert got["action"] == "failure"       # .cim.* shifted 5 chars
+    assert got["src"] == "1.2.3.4"
+    assert got["_private"] == "x"           # _* kept as-is
+    assert got["_other"] == {"key": "y"}    # .* -> replace-prefix .=_
+    assert got["plain"] == {"dotted": "z"}  # *.* kept, nested

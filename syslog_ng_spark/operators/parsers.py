@@ -282,12 +282,14 @@ def syslog_parser(
     # The 3164 grammar is fully optional (…the reference accepts any
     # line), so rlike(rx3) is CONSTANT TRUE — running it would burn a
     # full regex scan per row for nothing. The require_header gate ("a
-    # PRI or a timestamp is present") reads the ALREADY-COMPUTED packed
-    # captures instead of a second timestamp regex pass: two regex scans
-    # per row saved on the routing hot path (measured 2× end-to-end).
+    # PRI or a timestamp is present") stays INDEPENDENT of the packed
+    # captures: an anchored timestamp rlike behind a short-circuiting
+    # PRI check, so a routing plan that touches only pri/syslog_matched
+    # prunes the packed regexp_replace away entirely (the codegen'd Or
+    # skips the rlike on every '<PRI>' line).
     m3 = F.lit(True)
     if require_header:
-        m3 = _nullif_empty(pri_raw).isNotNull() | (traw != "")
+        m3 = _nullif_empty(pri_raw).isNotNull() | t.rlike(rf"^(?:{_TS3164})")
     # 5424 match == the packed replace produced exactly 9 fields (the
     # regex is structural, unlike 3164) — no second full-regex scan
     m5 = F.coalesce(F.size(parts5) == 9, F.lit(False))

@@ -199,6 +199,38 @@ def is_macro(name: str) -> bool:
     return name in _MACROS
 
 
+# default-ctx column requirements per macro family — lets value-pairs
+# scopes ("everything", "all-macros") include exactly the macros a
+# frame can evaluate instead of failing analysis on a missing column
+_COL_REQ = {
+    "FACILITY": {"pri"}, "FACILITY_NUM": {"pri"}, "SEVERITY": {"pri"},
+    "SEVERITY_NUM": {"pri"}, "LEVEL": {"pri"}, "LEVEL_NUM": {"pri"},
+    "PRI": {"pri"}, "PRIORITY": {"pri"}, "TAG": {"pri"}, "BSDTAG": {"pri"},
+    "TAGS": {"tags"},
+    "HOST": {"host"}, "HOST_FROM": {"host"}, "HOSTID": {"host"},
+    "UNIQID": {"host"},
+    "PROGRAM": {"program"}, "PID": {"pid"}, "MSGHDR": {"program", "pid"},
+    "MESSAGE": {"text"}, "MSG": {"text"}, "RAWMSG_SIZE": {"text"},
+    "MSGID": {"msgid"},
+    "CONV_ID": {"conv_id"}, "TURN_IDX": {"turn_idx"},
+    "ROLE": {"role"}, "TOOL": {"tool"},
+}
+
+
+def macro_requires(name: str) -> set[str]:
+    """Column names the macro needs under the DEFAULT ctx (macros with a
+    ctx fallback literal — SOURCEIP, SEQNUM, … — need none; every time
+    macro resolves against the event-time column)."""
+    base = name
+    for p in ("R_", "S_", "C_", "P_"):
+        if name.startswith(p):
+            base = name[len(p):]
+            break
+    if base in _TIME_FAMILY:
+        return {"ts"}
+    return _COL_REQ.get(name, set())
+
+
 def macro(name: str, ctx: dict[str, Column] | None = None) -> Column:
     """Resolve a macro name to a Column. Unknown names raise KeyError."""
     return _MACROS[name](ctx or {})

@@ -18,9 +18,31 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# scope name → builder(df) -> map<string,string> Column
-_BUILTIN_COLS_3164 = ["host", "program", "pid", "text", "pri"]
-_BUILTIN_COLS_5424 = [*_BUILTIN_COLS_3164, "msgid"]
+# Scope key-sets use the REFERENCE'S value names (value-pairs.c:71-78 —
+# scopes emit the macro-style names: 'HOST', 'DATE', 'PRIORITY', …),
+# pinned by lib/value-pairs/tests/test_value_pairs.c.
+_VP_3164_NAMES = ["DATE", "FACILITY", "HOST", "MESSAGE", "PID", "PRIORITY", "PROGRAM"]
+_VP_SELECTED_NAMES = [*_VP_3164_NAMES, "SEQNUM", "SOURCEIP", "TAGS"]
+# builtins the reference stores as NV entries (part of the nv-pairs set)
+_VP_NV_BUILTINS = [
+    ("HOST", "host"), ("MESSAGE", "text"), ("MSGFORMAT", "syslog_format"),
+    ("MSGID", "msgid"), ("PID", "pid"), ("PROGRAM", "program"),
+]
+
+
+def _macro_map(columns, names: list[str]) -> Column:
+    """Map of macro-name → rendered value for every macro the frame can
+    evaluate (macro_requires ⊆ columns)."""
+    from .macros import macro, macro_requires  # noqa: PLC0415
+
+    cols = set(columns)
+    entries = []
+    for n in names:
+        if macro_requires(n) <= cols:
+            entries += [F.lit(n), macro(n).cast("string")]
+    if not entries:
+        return F.create_map().cast("map<string,string>")
+    return F.create_map(*entries)
 
 
 def _cols_to_map(columns, cols: list[str]) -> Column:
@@ -47,13 +69,35 @@ def _scope_map(df_or_columns, scope: str) -> Column:
     df = df_or_columns
     columns = list(df.columns) if isinstance(df, DataFrame) else list(df)
     if scope in ("nv-pairs", "nv_pairs"):
-        return F.map_filter(_nv(columns), lambda k, _v: ~k.startswith("."))
+        # non-dot NV entries + the builtins the reference stores as NV
+        # values (HOST/MESSAGE/MSGFORMAT/MSGID/PID/PROGRAM — the C test's
+        # nv-pairs key set)
+        builtins = [
+            x for name, col in _VP_NV_BUILTINS if col in columns
+            for x in (F.lit(name), F.col(col).cast("string"))
+        ]
+        b = F.create_map(*builtins) if builtins else F.create_map().cast("map<string,string>")
+        return F.map_concat(
+            F.map_filter(_nv(columns), lambda k, _v: ~k.startswith(".")), b
+        )
     if scope in ("dot-nv-pairs", "dot_nv_pairs"):
-        return F.map_filter(_nv(columns), lambda k, _v: k.startswith("."))
-    if scope == "rfc3164" or scope == "core":
-        return _cols_to_map(columns, _BUILTIN_COLS_3164)
+        # SDATA values ARE dot-named NV entries in the reference's data
+        # model; here they live in the sdata column — merge them in
+        return F.map_concat(
+            F.map_filter(_nv(columns), lambda k, _v: k.startswith(".")),
+            _scope_map(columns, "sdata"),
+        )
+    if scope in ("all-nv-pairs", "all_nv_pairs"):
+        return F.map_concat(
+            _scope_map(columns, "nv-pairs"), _scope_map(columns, "dot-nv-pairs")
+        )
+    if scope in ("rfc3164", "core", "base"):
+        return _macro_map(columns, _VP_3164_NAMES)
     if scope in ("rfc5424", "syslog-proto"):
-        return _cols_to_map(columns, _BUILTIN_COLS_5424)
+        return F.map_concat(
+            _macro_map(columns, [*_VP_3164_NAMES, "MSGID"]),
+            _scope_map(columns, "sdata"),
+        )
     if scope == "sdata":
         if "sdata" in columns:
             # syslog_parser emits reference-named keys (.SDATA.id.param)
@@ -68,23 +112,17 @@ def _scope_map(df_or_columns, scope: str) -> Column:
                 F.create_map().cast("map<string,string>"),
             )
         return F.create_map().cast("map<string,string>")
-    if scope in ("all-macros", "selected-macros"):
-        from .macros import macro  # noqa: PLC0415
+    if scope == "selected-macros":
+        return _macro_map(columns, _VP_SELECTED_NAMES)
+    if scope == "all-macros":
+        from .macros import macro_names  # noqa: PLC0415
 
-        names = ["FACILITY", "SEVERITY", "TAGS"] if scope == "selected-macros" else [
-            "FACILITY", "SEVERITY", "TAGS", "ISODATE", "YEAR", "MONTH", "DAY",
-        ]
-        entries = []
-        for n in names:
-            try:
-                entries += [F.lit(n), macro(n).cast("string")]
-            except Exception:  # noqa: BLE001 — macro needs absent column
-                continue
-        return F.create_map(*entries) if entries else F.create_map().cast("map<string,string>")
+        return _macro_map(columns, sorted(macro_names()))
     if scope == "everything":
+        # all NV pairs + every evaluable macro (the C test's key set,
+        # minus transport wire metadata SURVEY scopes out)
         return F.map_concat(
-            _cols_to_map(columns, [c for c in columns if c != "nv"]),
-            _nv(columns),
+            _scope_map(columns, "all-nv-pairs"), _scope_map(columns, "all-macros")
         )
     raise ValueError(f"unknown value-pairs scope {scope!r}")
 
@@ -113,14 +151,9 @@ def value_pairs(
     out = F.create_map().cast("map<string,string>")
     for s in scopes or []:
         out = F.map_concat(out, _scope_map(df, s))
-    if pairs:
-        from .templates import compile_template  # noqa: PLC0415
-
-        entries = []
-        for k, v in pairs.items():
-            col = compile_template(v, set(df.columns)) if isinstance(v, str) else v
-            entries += [F.lit(k), col.cast("string")]
-        out = F.map_concat(out, F.create_map(*entries))
+    # ±globs select from the SCOPE-sourced keys; explicit pairs are
+    # direct vp_pairs and bypass both filters (test_value_pairs.c: a
+    # pair stays in the set even when an exclude glob matches it)
     if include:
         preds = [_glob_pred(p) for p in include]
         out = F.map_filter(
@@ -133,6 +166,14 @@ def value_pairs(
             out,
             lambda k, _v: ~_any([p(k) for p in preds]),
         )
+    if pairs:
+        from .templates import compile_template  # noqa: PLC0415
+
+        entries = []
+        for k, v in pairs.items():
+            col = compile_template(v, set(df.columns)) if isinstance(v, str) else v
+            entries += [F.lit(k), col.cast("string")]
+        out = F.map_concat(out, F.create_map(*entries))
     if rekey is not None:
         out = rekey.apply(out)
     return df.withColumn(target, out)
@@ -146,10 +187,16 @@ def _any(conds: list[Column]) -> Column:
 
 
 class Rekey:
-    """Key transforms (lib/value-pairs/transforms.c), chainable."""
+    """Key transforms (lib/value-pairs/transforms.c), chainable.
 
-    def __init__(self):
+    ``key_glob`` restricts every transform in this set to keys matching
+    the glob (value_pairs_transform_set_new(glob) — the C transformer
+    tests scope a set to e.g. '.SDATA.meta.*'); default '*' = all keys.
+    """
+
+    def __init__(self, key_glob: str = "*"):
         self._steps: list = []
+        self._glob = key_glob
 
     def add_prefix(self, prefix: str) -> "Rekey":
         self._steps.append(lambda k: F.concat(F.lit(prefix), k))
@@ -175,14 +222,37 @@ class Rekey:
         )
         return self
 
-    def apply(self, m: Column) -> Column:
-        def mk(step):
-            # exactly-2-arg lambda (transform_keys inspects the signature)
-            return lambda k, _v: step(k)
+    def upper(self) -> "Rekey":
+        self._steps.append(F.upper)
+        return self
 
-        for step in self._steps:
-            m = F.transform_keys(m, mk(step))
-        return m
+    def lower(self) -> "Rekey":
+        self._steps.append(F.lower)
+        return self
+
+    def apply(self, m: Column) -> Column:
+        guard = None if self._glob in ("*", None) else _glob_pred(self._glob)
+        if guard is None:
+            def mk(step):
+                # exactly-2-arg lambda (transform_keys inspects the signature)
+                return lambda k, _v: step(k)
+
+            for step in self._steps:
+                m = F.transform_keys(m, mk(step))
+            return m
+        # glob-scoped set: the match is decided ONCE on the incoming key,
+        # then the whole chain applies (vp_transform_set semantics — a
+        # per-step re-match would drop later transforms as soon as an
+        # earlier one rewrote the key out of the glob)
+        steps = list(self._steps)
+
+        def chained(k, _v):
+            t = k
+            for step in steps:
+                t = step(t)
+            return F.when(guard(k), t).otherwise(k)
+
+        return F.transform_keys(m, chained)
 
 
 def map_value_pairs(

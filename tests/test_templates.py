@@ -467,11 +467,12 @@ def test_format_json_c_cases(spark):
         "@program": {"123": "syslog-ng"}}
     assert render("$(format-json .program.@name=${program})") == {
         "_program": {"@name": "syslog-ng"}}
-    # scope + key glob
+    # scope + key glob — scope keys use the reference's macro-style
+    # names (HOST/PROGRAM/..., test_value_pairs.c key sets)
     got = render("$(format-json --scope rfc3164)")
-    assert got["host"] == "bzorp" and got["program"] == "syslog-ng"
-    got2 = render("$(format-json --scope rfc3164 --key h*)")
-    assert set(got2) == {"host"}
+    assert got["HOST"] == "bzorp" and got["PROGRAM"] == "syslog-ng"
+    got2 = render("$(format-json --scope rfc3164 --key H*)")
+    assert set(got2) == {"HOST"}
     # shift-levels + add-prefix over an nv selection
     got3 = render(
         "$(format-json .program.@name=${program} --key .program.* "

@@ -700,23 +700,25 @@ def _format_json(raw, cols):
         for k, v in d.items():
             if v is None:
                 continue
-            # transforms from the first matching --key spec (or the
-            # global set when none was given)
-            spec = _GLOBAL
-            for ks in key_specs:
-                if _fn.fnmatchcase(k, ks["glob"]):
-                    spec = ks
-                    break
-            if spec["shift_levels"]:
-                segs0 = k.split(".")
-                k = ".".join(segs0[min(spec["shift_levels"], len(segs0) - 1):])
-            if spec["shift"]:
-                k = k[spec["shift"]:] or k
-            for old, new in spec["replace"]:
-                if k.startswith(old):
-                    k = new + k[len(old):]
-                    break
-            k = spec["add_prefix"] + k
+            # ALL transform sets apply sequentially, each re-testing its
+            # glob against the (possibly already rewritten) key —
+            # vp_transform_apply loops every set and
+            # value_pairs_transform_set_apply re-matches per set; with no
+            # --key spec the global set applies unconditionally
+            for spec in key_specs or [_GLOBAL]:
+                if spec["glob"] is not None and not _fn.fnmatchcase(k, spec["glob"]):
+                    continue
+                if spec["shift_levels"]:
+                    segs0 = k.split(".")
+                    k = ".".join(segs0[min(spec["shift_levels"], len(segs0) - 1):])
+                if spec["shift"]:
+                    # g_string_erase semantics: clamp, empty result allowed
+                    k = k[spec["shift"]:]
+                for old, new in spec["replace"]:
+                    if k.startswith(old):
+                        k = new + k[len(old):]
+                        break
+                k = spec["add_prefix"] + k
             if k.startswith(".") and not leave_dot:
                 k = "_" + k[1:]
             segs = [sg for sg in k.split(".") if sg != ""] or [k]

@@ -341,12 +341,21 @@ def embedding_near_dup(
         )
 
         def _bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+            # dtype-agnostic empty frame: id columns inherit the incoming
+            # id dtype so string/int32 ids survive the Arrow conversion
+            def _empty():
+                return pd.DataFrame(
+                    {
+                        "id_a": pdf["id"].iloc[:0],
+                        "id_b": pdf["id"].iloc[:0],
+                        "cos": pd.Series([], dtype="float64"),
+                    }
+                )
+
             ids_arr = pdf["id"].to_numpy()
             n = len(ids_arr)
             if n < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-                )
+                return _empty()
             A = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
             An = A / np.maximum(
                 np.sqrt(np.einsum("ij,ij->i", A, A))[:, None], 1e-300
@@ -370,14 +379,16 @@ def embedding_near_dup(
                             pd.DataFrame({"id_a": a, "id_b": b, "cos": row[hits]})
                         )
             if not outs:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-                )
+                return _empty()
             return pd.concat(outs, ignore_index=True)
 
+        # output id type mirrors the input id column — the gather path
+        # (and the id_col parameter) supports arbitrary id types, so the
+        # fallback must too
+        id_dt = df.schema[id_col].dataType.simpleString()
         out = (
             bucket_rows.groupBy("tbl", "bk")
-            .applyInPandas(_bucket_verify, "id_a long, id_b long, cos double")
+            .applyInPandas(_bucket_verify, f"id_a {id_dt}, id_b {id_dt}, cos double")
             .filter(F.col("id_a") != F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )

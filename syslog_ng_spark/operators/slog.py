@@ -20,9 +20,16 @@ divergences, both documented:
   (``key`` columns) for parallelism, like per-host key files.
 - The reference draws a random GCM nonce per entry (RAND_bytes,
   slog.c:330); a batch engine must be deterministic under replay, so
-  the IV is derived as PRF(encKey, IVPATTERN)[:12]. Each entry
-  encrypts under a fresh evolved key, so nonce uniqueness per key —
-  the GCM requirement — holds by construction.
+  the IV is derived as PRF(encKey, IVPATTERN)[:12]. Nonce uniqueness
+  per key — the GCM requirement — then rests on key uniqueness:
+  every chain starts from its own ``key0_chain = PRF(key0,
+  CMAC(key0, chain-id))`` (so no two chains ever share a (key, IV)
+  pair even at the same counter) and every entry within a chain
+  encrypts under a fresh evolved key. The remaining caveat is
+  inherent to determinism: re-running ``slog_encrypt`` with the SAME
+  key0 over MODIFIED plaintexts reuses (key, IV) pairs across runs —
+  key0 is single-use per encryption run; derive a fresh one (e.g.
+  from a run id) for each corpus version.
 """
 
 from __future__ import annotations
@@ -70,6 +77,24 @@ def _prf(key: bytes, pattern: bytes, outlen: int = KEY_LENGTH) -> bytes:
 
 def evolve_key(key: bytes) -> bytes:
     return _prf(key, GAMMA)
+
+
+def derive_chain_key(key0: bytes, chain_id: bytes) -> bytes:
+    """Per-chain initial key: no two chains may ever encrypt under the
+    same (key, IV) pair (deterministic IVs make that catastrophic GCM
+    nonce reuse), so each chain's key_0 is PRF(key0, CMAC(key0,
+    chain-id)) — CMAC compresses the variable-length chain id to the
+    16-byte pattern block _prf expects."""
+    return _prf(key0, _cmac(key0, b"slog-chain\x00" + chain_id))
+
+
+def _chain_id_bytes(pdf: pd.DataFrame, chain_key: list[str] | None) -> bytes:
+    if not chain_key:
+        return b""
+    first = pdf.iloc[0]
+    return b"\x1f".join(
+        b"" if first[c] is None else str(first[c]).encode("utf-8") for c in chain_key
+    )
 
 
 def derive_sub_keys(main_key: bytes) -> tuple[bytes, bytes]:
@@ -143,7 +168,7 @@ def slog_encrypt(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by).reset_index(drop=True)
-        key = key0
+        key = derive_chain_key(key0, _chain_id_bytes(pdf, chain_key))
         mac = None
         entries, ctrs, macs = [], [], []
         for i, text in enumerate(pdf[text_col]):
@@ -185,7 +210,7 @@ def slog_verify(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("slog_counter").reset_index(drop=True)
-        key = key0
+        key = derive_chain_key(key0, _chain_id_bytes(pdf, chain_key))
         mac = None
         texts, oks = [], []
         broken = False

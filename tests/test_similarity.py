@@ -180,3 +180,21 @@ def test_ivf_topk_recall_and_pruning(spark, emb):
     f = {(r.query_id, r.vec_id, r.rank) for r in full.collect()}
     ex = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
     assert f == ex
+
+
+def test_embedding_near_dup_fallback_string_ids(spark, emb):
+    """The distributed bucket-local verify must carry the id column's
+    actual type (ADVICE r4): string ids through the fallback path give
+    the same pair set as the gather path."""
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>")).withColumn(
+        "vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+    )
+    gather = SIM.embedding_near_dup(e, threshold=0.45, n_planes=3, n_tables=24)
+    fallback = SIM.embedding_near_dup(
+        e, threshold=0.45, n_planes=3, n_tables=24, max_gather_ids=0
+    )
+    assert fallback._verify_strategy == "distributed"
+    g = {(r.id_a, r.id_b, round(r.cos, 9)) for r in gather.collect()}
+    f = {(r.id_a, r.id_b, round(r.cos, 9)) for r in fallback.collect()}
+    assert f == g and len(g) > 0
+    assert all(isinstance(a, str) and a.startswith("doc-") for a, _, _ in f)

@@ -82,3 +82,31 @@ def test_slog_prf_primitives():
     enc, mac = S.derive_sub_keys(KEY0)
     assert enc != mac and len(enc) == len(mac) == 32
     assert S._prf(KEY0, S.GAMMA) == S._prf(KEY0, S.GAMMA)
+
+
+def test_slog_chains_never_share_key_iv(spark):
+    """Two chains encrypting the SAME plaintext at the SAME counter must
+    produce different payloads — each chain starts from its own
+    derive_chain_key(key0, chain-id), so no (key, IV) pair is ever
+    shared across chains (deterministic IVs make sharing catastrophic
+    GCM nonce reuse; reference avoids it with RAND_bytes, slog.c:330)."""
+    df = spark.createDataFrame(
+        [("h1", 0, "identical text"), ("h2", 0, "identical text")],
+        "host string, turn_idx int, text string",
+    )
+    enc = S.slog_encrypt(df, KEY0, chain_key=["host"]).collect()
+    payloads = {r["slog"].split(":", 1)[1] for r in enc}
+    assert len(payloads) == 2
+    # and each chain still verifies from key0
+    ver = S.slog_verify(
+        S.slog_encrypt(df, KEY0, chain_key=["host"]), KEY0, chain_key=["host"]
+    ).collect()
+    assert all(r["slog_ok"] for r in ver)
+    assert {r["slog_text"] for r in ver} == {"identical text"}
+
+
+def test_slog_chain_key_derivation_distinct():
+    a = S.derive_chain_key(KEY0, b"h1")
+    b = S.derive_chain_key(KEY0, b"h2")
+    g = S.derive_chain_key(KEY0, b"")
+    assert len({a, b, g, KEY0}) == 4

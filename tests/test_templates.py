@@ -517,3 +517,49 @@ def test_format_cim(spark):
     assert got["_private"] == "x"           # _* kept as-is
     assert got["_other"] == {"key": "y"}    # .* -> replace-prefix .=_
     assert got["plain"] == {"dotted": "z"}  # *.* kept, nested
+
+
+def test_format_json_sequential_transform_sets(spark):
+    """ADVICE r4: ALL --key transform sets apply sequentially, each
+    re-matching its glob against the (possibly rewritten) key —
+    vp_transform_apply loops every set, value_pairs_transform_set_apply
+    re-tests the glob. A key rewritten by set 1 into set 2's glob gets
+    set 2's transforms too."""
+    import json
+
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame([("syslog-ng",)], "program string")
+    colset = set(df.columns)
+
+    def render(tpl):
+        return json.loads(
+            df.select(compile_template(tpl, colset).alias("j")).collect()[0].j
+        )
+
+    got = render(
+        "$(format-json .program.name=${program} --key .program.* "
+        "--shift-levels 2 --key name* --add-prefix x.)"
+    )
+    assert got == {"x": {"name": "syslog-ng"}}
+    # a key matching BOTH sets gets both transforms (prefix applied twice)
+    got2 = render(
+        "$(format-json k=v --key k* --add-prefix a --key a* --add-prefix b)"
+    )
+    assert got2 == {"bak": "v"}
+
+
+def test_format_json_shift_consumes_whole_key(spark):
+    """--shift erases up to N chars like g_string_erase — consuming the
+    entire key yields an EMPTY key, not the original (ADVICE r4)."""
+    import json
+
+    from syslog_ng_spark.functions.templates import compile_template
+
+    df = spark.createDataFrame([("v",)], "c string")
+    got = json.loads(
+        df.select(
+            compile_template("$(format-json abc=zz --key abc --shift 3)", {"c"}).alias("j")
+        ).collect()[0].j
+    )
+    assert got == {"": "zz"}

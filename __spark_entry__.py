@@ -1373,6 +1373,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scl_snmptrapd": q_scl_snmptrapd,
         "getent": q_getent,
         "ivf_topk": q_ivf_topk,
+        "patternize": q_patternize,
     }
 
 
@@ -1419,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "scl_snmptrapd": _SCL_SNMPTRAPD_SQL,
         "getent": _GETENT_SQL,
         "ivf_topk": _SIM_SQL,
+        "patternize": _PATTERNIZE_SQL,
     }
 
 
@@ -1524,4 +1526,87 @@ SELECT CASE WHEN o2 < 64 THEN 'alpha'
             ELSE 'beta' END AS country,
        count(*) AS n
 FROM ip GROUP BY 1 ORDER BY country
+"""
+
+
+# patternize gate: the corpus is written to parquet so DuckDB mines the
+# SAME bytes with an independent SQL expression of SLCT
+_PATTERNIZE_GATE_PATH = "/tmp/syslog_ng_spark_gate/patternize_corpus.parquet"
+_PATTERNIZE_SUPPORT = 40
+# default delimiter set (pdbtool.c:1144) as a regex char class, escaped
+# for SQL string literals ('' = one quote)
+_PTZ_CC_SQL = "[ :&~?!\\[\\]=,;()''\"]"
+_PTZ_NCC_SQL = "[^ :&~?!\\[\\]=,;()''\"]"
+
+
+def q_patternize(spark, sf_dir):
+    """patternize / SLCT pattern mining (modules/correlation/
+    patternize.c): mine the frequent message templates out of the
+    deterministic transcript corpus and emit @ESTRING@ patterns with
+    their support counts. The corpus is materialized to parquet so the
+    DuckDB oracle (an independent SQL formulation of SLCT: per-position
+    word counts -> frequent set -> cluster key -> pattern render) scores
+    byte-identical input."""
+    from syslog_ng_spark.datagen import transcripts
+    from syslog_ng_spark.operators.patternize import patternize
+
+    df = transcripts(spark, n_convs=500, avg_turns=10)
+    df.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("rid"),
+        F.col("text").alias("msg"),
+    ).coalesce(1).write.mode("overwrite").parquet(_PATTERNIZE_GATE_PATH)
+    corpus = spark.read.parquet(_PATTERNIZE_GATE_PATH)
+    clusters = patternize(
+        corpus,
+        support=_PATTERNIZE_SUPPORT,
+        msg_col="msg",
+        num_samples=0,
+        id_col="rid",
+    )
+    return (
+        clusters.select("pattern", F.col("support").cast("long").alias("support"))
+        .orderBy("pattern", "support")
+    )
+
+
+_PATTERNIZE_SQL = f"""
+WITH src AS (
+  SELECT rid, msg FROM read_parquet('{_PATTERNIZE_GATE_PATH}/*.parquet')
+),
+tok0 AS (
+  SELECT rid,
+         CASE WHEN msg = '' THEN [] ELSE regexp_split_to_array(msg, '{_PTZ_CC_SQL}') END AS arr,
+         regexp_replace(msg, '{_PTZ_NCC_SQL}', '', 'g') AS delims
+  FROM src
+),
+toks AS (
+  SELECT rid, unnest(arr) AS word, unnest(generate_series(1, len(arr))) - 1 AS pos
+  FROM tok0
+),
+freq AS (
+  SELECT pos, word FROM toks GROUP BY pos, word
+  HAVING count(*) >= {_PATTERNIZE_SUPPORT}
+),
+flagged AS (
+  SELECT t.rid, t.pos, t.word, (f.word IS NOT NULL) AS fq
+  FROM toks t LEFT JOIN freq f ON t.pos = f.pos AND t.word = f.word
+),
+keyed AS (
+  SELECT g.rid,
+         bool_or(g.fq) AS cand,
+         string_agg(CASE WHEN g.fq THEN g.pos || ' ' || g.word
+                         ELSE g.pos || ' ' || chr(26) END, chr(30) ORDER BY g.pos)
+           || chr(30) || any_value(k.delims) || chr(30) AS ckey,
+         string_agg(CASE
+             WHEN g.fq THEN replace(g.word, '@', '@@') ||
+                  CASE WHEN g.pos < len(k.arr) - 1 THEN substr(k.delims, g.pos + 1, 1) ELSE '' END
+             WHEN g.pos < len(k.arr) - 1 THEN '@ESTRING::' || substr(k.delims, g.pos + 1, 1) || '@'
+             ELSE '' END, '' ORDER BY g.pos) AS pattern
+  FROM flagged g JOIN tok0 k USING (rid)
+  GROUP BY g.rid
+)
+SELECT pattern, CAST(count(*) AS BIGINT) AS support
+FROM keyed WHERE cand GROUP BY ckey, pattern
+HAVING count(*) >= {_PATTERNIZE_SUPPORT}
+ORDER BY pattern, support
 """

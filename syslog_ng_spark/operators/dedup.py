@@ -23,6 +23,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .lineage import truncate_lineage
 from pyspark.sql import types as T
 
 
@@ -186,6 +188,7 @@ def minhash_lsh(
     threshold: float = 0.7,
     max_bucket_size: int = 1000,
     eager: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate PAIRS (id_a < id_b, jaccard ≥ threshold).
 
@@ -258,7 +261,7 @@ def minhash_lsh(
     cand = cand.persist()
     verified = _exact_jaccard_on_pairs(cand, df, text_col, id_col, threshold)
     if eager:
-        out = verified.localCheckpoint(eager=True)
+        out = truncate_lineage(verified, reliable=reliable_checkpoint)
         # audit the cap while the banded cache is still hot (one cached
         # window pass, no recompute) — see _cap_buckets docstring
         out._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
@@ -523,6 +526,7 @@ def simhash_near_dup(
     prefilter_hamming: int = 5,
     block_chunks: int = 3,
     eager: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs: SimHash block buckets generate candidates, a cheap
     hamming prefilter (xor + bit_count on two longs, applied before any
@@ -554,7 +558,7 @@ def simhash_near_dup(
     pairs = cand.select("id_a", "id_b").persist()
     out = _exact_jaccard_on_pairs(pairs, df, text_col, id_col, threshold)
     if eager:
-        res = out.localCheckpoint(eager=True)
+        res = truncate_lineage(out, reliable=reliable_checkpoint)
         res._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
         pairs.unpersist()
         return res
@@ -607,6 +611,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Distributed connected components over an undirected pair list —
     the clustering step that turns near-dup PAIRS into dedup CLUSTERS
@@ -620,10 +625,13 @@ def connected_components(
     clusters are dense — typically ≤3); the pointer-jump step collapses
     pathological chains in O(log n) like the alternating-star algorithms
     (Kiveris et al., "Connected Components in MapReduce and Beyond").
-    Each iteration is two joins on 16-byte rows + localCheckpoint (keeps
+    Each iteration is two joins on 16-byte rows + a lineage cut (keeps
     the plan from growing with iterations — the iterative-Spark lineage
     trap); convergence is an exact fixpoint test, so the result is the
-    EXACT components, not an approximation.
+    EXACT components, not an approximation. The cut uses the RELIABLE
+    ``df.checkpoint()`` when a checkpoint dir is configured (multi-hour
+    100-TB runs survive executor loss), ``localCheckpoint`` otherwise —
+    see operators/lineage.py; ``reliable_checkpoint`` forces either.
 
     Returns (id, component) for every id appearing in ``pairs`` —
     component = the min id of the cluster. Ids with no pairs are their
@@ -632,9 +640,9 @@ def connected_components(
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.persist()
-    comp = (
-        sym.select("u").distinct().withColumn("c", F.col("u"))
-        .localCheckpoint(eager=True)
+    comp = truncate_lineage(
+        sym.select("u").distinct().withColumn("c", F.col("u")),
+        reliable=reliable_checkpoint,
     )
     for _i in range(max_iter):
         nbr = (
@@ -650,10 +658,10 @@ def connected_components(
             .select("u", F.least(F.col("c"), F.coalesce("_nmin", "c")).alias("c"))
         )
         roots = stepped.select(F.col("u").alias("_r"), F.col("c").alias("_rc"))
-        jumped = (
+        jumped = truncate_lineage(
             stepped.join(roots, stepped["c"] == F.col("_r"), "left")
-            .select("u", F.least(F.col("c"), F.coalesce("_rc", "c")).alias("c"))
-            .localCheckpoint(eager=True)
+            .select("u", F.least(F.col("c"), F.coalesce("_rc", "c")).alias("c")),
+            reliable=reliable_checkpoint,
         )
         changed = (
             jumped.alias("n")

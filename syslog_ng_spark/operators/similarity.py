@@ -19,6 +19,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+from .lineage import truncate_lineage
 from pyspark.sql import types as T
 
 
@@ -204,6 +206,7 @@ def embedding_near_dup(
     max_bucket_size: int = 10000,
     eager: bool = False,
     max_gather_ids: int = 1_000_000,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with exact cosine ≥ threshold; candidates come
     from ``n_tables`` independent random-hyperplane LSH tables of
@@ -393,7 +396,7 @@ def embedding_near_dup(
             .dropDuplicates(["id_a", "id_b"])
         )
     if eager:
-        res = out.localCheckpoint(eager=True)
+        res = truncate_lineage(out, reliable=reliable_checkpoint)
         res._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
         res._verify_strategy = "gather" if bc is not None else "distributed"
         cand.unpersist()

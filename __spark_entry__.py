@@ -1374,6 +1374,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getent": q_getent,
         "ivf_topk": q_ivf_topk,
         "patternize": q_patternize,
+        "stream_route_parity": q_stream_route_parity,
     }
 
 
@@ -1421,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "getent": _GETENT_SQL,
         "ivf_topk": _SIM_SQL,
         "patternize": _PATTERNIZE_SQL,
+        "stream_route_parity": _STREAM_PARITY_SQL,
     }
 
 
@@ -1609,4 +1611,91 @@ SELECT pattern, CAST(count(*) AS BIGINT) AS support
 FROM keyed WHERE cand GROUP BY ckey, pattern
 HAVING count(*) >= {_PATTERNIZE_SUPPORT}
 ORDER BY pattern, support
+"""
+
+
+# stream-route parity gate: the SAME parsed corpus routed twice — once
+# through the streaming daemon analogue (foreachBatch micro-batches,
+# several triggers via maxFilesPerTrigger), once through the batch
+# Pipeline — must land identical per-sink counts (the reference is ONE
+# daemon; batch and stream are two execution modes of the same plan,
+# lib/metrics-pipe.c:35-36 parity).
+_STREAM_GATE_BASE = "/tmp/syslog_ng_spark_gate/stream_route"
+
+
+def q_stream_route_parity(spark, sf_dir):
+    """Oracled batch-vs-stream parity (VERDICT r4 #3): route the
+    deterministic transcript corpus through stream_route (foreachBatch,
+    availableNow, maxFilesPerTrigger=2 → multiple micro-batches with a
+    real checkpoint) and through the batch Pipeline; assert per-sink
+    equality in-query and return the streaming sink counts. The corpus
+    parquet is what DuckDB scores."""
+    import shutil
+
+    from syslog_ng_spark.datagen import transcripts
+    from syslog_ng_spark.operators.parsers import kv_parser, syslog_parser
+    from syslog_ng_spark.plans import LogPath, Pipeline
+    from syslog_ng_spark.streaming.stream import read_stream_source, stream_route
+
+    base = _STREAM_GATE_BASE
+    shutil.rmtree(base, ignore_errors=True)
+    corpus_path = f"{base}/corpus.parquet"
+
+    df = transcripts(spark, n_convs=500, avg_turns=10)
+    kv_parser(syslog_parser(df), source="msg").select(
+        "conv_id", "turn_idx", "pri", "syslog_matched", "tool"
+    ).repartition(8).write.mode("overwrite").parquet(corpus_path)
+    parsed = spark.read.parquet(corpus_path)
+
+    def mk_pipe():
+        return Pipeline(
+            [
+                LogPath(
+                    "security",
+                    F.coalesce(
+                        F.pmod(F.col("pri"), F.lit(8)).isin([0, 1, 2, 3])
+                        & F.col("syslog_matched"),
+                        F.lit(False),
+                    ),
+                    frozenset(["final"]),
+                ),
+                LogPath("bash", F.col("tool") == "bash"),
+                LogPath("other", None, frozenset(["fallback"])),
+            ]
+        )
+
+    stream = read_stream_source(spark, corpus_path, parsed.schema, max_files_per_trigger=2)
+    q = stream_route(stream, mk_pipe(), f"{base}/sinks", f"{base}/ckpt").start()
+    q.awaitTermination(300)
+
+    batch = (
+        mk_pipe()
+        .route(parsed, persist=True)
+        .metrics()
+        .select("path", "route_egress_total")
+    )
+    batch_counts = {r.path: r.route_egress_total for r in batch.collect()}
+    stream_counts = {
+        p: spark.read.parquet(f"{base}/sinks/{p}").count()
+        for p in ("security", "bash", "other")
+    }
+    assert stream_counts == batch_counts, (
+        f"batch-vs-stream routing parity broken: {stream_counts} vs {batch_counts}"
+    )
+    rows = [(p, stream_counts[p]) for p in sorted(stream_counts)]
+    return spark.createDataFrame(rows, "path string, sink_rows long").orderBy("path")
+
+
+_STREAM_PARITY_SQL = f"""
+WITH p AS (
+  SELECT CASE
+           WHEN coalesce(syslog_matched AND pri % 8 IN (0, 1, 2, 3), false)
+             THEN 'security'
+           WHEN tool = 'bash' THEN 'bash'
+           ELSE 'other'
+         END AS path
+  FROM read_parquet('{_STREAM_GATE_BASE}/corpus.parquet/*.parquet')
+)
+SELECT path, CAST(count(*) AS BIGINT) AS sink_rows
+FROM p GROUP BY path ORDER BY path
 """

@@ -348,3 +348,21 @@ def test_stream_exact_dedup_watermark_bounds_state(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert 5 in got
     assert got == {1, 3, 4, 5}
+
+
+def test_stream_route_parity_gate(spark):
+    """Batch-vs-stream routing parity (VERDICT r4 #3): the gate query
+    asserts per-sink foreachBatch counts == batch Pipeline counts on the
+    same corpus and raises on divergence — run it from CI too."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        entry = importlib.import_module("__spark_entry__")
+    finally:
+        sys.path.pop(0)
+    out = entry.q_stream_route_parity(spark, None)
+    rows = {r.path: r.sink_rows for r in out.collect()}
+    assert set(rows) == {"security", "bash", "other"}
+    assert all(v > 0 for v in rows.values())

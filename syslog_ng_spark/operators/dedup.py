@@ -397,6 +397,62 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _auto_block_chunks(
+    df: DataFrame,
+    text_col: str,
+    features: str,
+    n_chunks: int,
+    max_bucket_size: int | None,
+    prefilter_hamming: int | None,
+    sample_size: int = 4096,
+) -> int:
+    """Pick ``block_chunks`` from a cheap sampled fingerprint-dispersion
+    measurement (TODO r4: token-feature and shingle-feature corpora have
+    very different chunk-value dispersion — fixed defaults force the
+    user to know that).
+
+    Method: fingerprint up to ``sample_size`` docs (one early-stopping
+    job), count the hottest chunk-combination key share per candidate
+    table in the sample, project it to the full corpus size, and return
+    the SMALLEST d (fewest tables = cheapest shuffle: C(n_chunks, d)
+    rows/doc) whose projected hottest bucket fits ``max_bucket_size``.
+    d is bounded above by n_chunks − prefilter_hamming (the pigeonhole
+    recall guarantee) and by 3 (C(8,4)=70 tables is past the
+    cost/recall knee). A sampled estimate can miss a rare hot key — the
+    skew-cap audit (``_lsh_dropped_buckets``) remains the non-silent
+    backstop, exactly as with explicit keying."""
+    import collections  # noqa: PLC0415
+    import itertools  # noqa: PLC0415
+
+    d_max = n_chunks - (prefilter_hamming or 0)
+    d_max = max(1, min(d_max, 3))
+    if max_bucket_size is None:
+        return 1  # no cap to defend — cheapest keying wins
+    fps = [
+        r[0]
+        for r in df.select(simhash(F.col(text_col), features=features).alias("fp"))
+        .limit(sample_size)
+        .collect()
+    ]
+    s = len(fps)
+    if s == 0:
+        return d_max
+    n_total = df.count()
+    w = 64 // n_chunks
+    mask = (1 << w) - 1
+    for d in range(1, d_max + 1):
+        worst = 0
+        for combo in itertools.combinations(range(n_chunks), d):
+            cnt = collections.Counter(
+                tuple((fp >> (i * w)) & mask for i in combo) for fp in fps
+            )
+            worst = max(worst, max(cnt.values()))
+        projected = worst / s * n_total
+        if projected <= max_bucket_size or d == d_max:
+            return d
+    return d_max
+
+
 def _simhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -524,7 +580,7 @@ def simhash_near_dup(
     max_bucket_size: int = 1000,
     features: str = "tokens",
     prefilter_hamming: int = 5,
-    block_chunks: int = 3,
+    block_chunks: int | str = "auto",
     eager: bool = False,
     reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
@@ -535,21 +591,32 @@ def simhash_near_dup(
     end.
 
     Recall envelope = 'fingerprints within hamming n_chunks−block_chunks'
-    (and ``prefilter_hamming`` should not exceed that bound). Defaults
-    (8 chunks, block_chunks=3, prefilter 5) are the SCALE-SAFE keying:
-    C(8,3)=56 tables keyed on 24 bits — occupancy ~n/2²⁴, safe to
-    billions of docs; token-feature fingerprints of J ≥ 0.9 pairs
-    measure hamming ≤ 5 on the synthetic corpus, so the envelope keeps
-    them (shingle features spread true pairs to ~10, needing more chunks
-    — pick features + n_chunks together). ``block_chunks=1,
-    prefilter_hamming=7`` widens the envelope to hamming ≤ 7 but each
-    table then has only 256 possible buckets, so beyond ~10⁵ docs the
-    skew cap silently drops every bucket — an explicit SMALL-CORPUS
-    opt-in only. minhash_lsh (64-bit band keys from the start) is the
-    other scale-safe candidate generator for the same Jaccard predicate.
+    (and ``prefilter_hamming`` should not exceed that bound).
+
+    ``block_chunks="auto"`` (default) derives the keying from a sampled
+    fingerprint-dispersion measurement (see ``_auto_block_chunks``):
+    the cheapest d whose projected hottest bucket fits the skew cap —
+    token-feature and shingle-feature corpora land on a working envelope
+    without tuning, and the chosen value is recorded on the result as
+    ``out._block_chunks``. Explicit values retain the semantics below:
+    d=3 is the deep-scale keying (C(8,3)=56 tables on 24 bits —
+    occupancy ~n/2²⁴, safe to billions of docs); token-feature
+    fingerprints of J ≥ 0.9 pairs measure hamming ≤ 5 on the synthetic
+    corpus, so the envelope keeps them (shingle features spread true
+    pairs to ~10, needing more chunks — pick features + n_chunks
+    together). ``block_chunks=1, prefilter_hamming=7`` widens the
+    envelope to hamming ≤ 7 but each table then has only 256 possible
+    buckets, so beyond ~10⁵ docs the skew cap drops every bucket — an
+    explicit SMALL-CORPUS opt-in only. minhash_lsh (64-bit band keys
+    from the start) is the other scale-safe candidate generator for the
+    same Jaccard predicate.
 
     When ``eager``, the verified pair set is materialized and the number
     of skew-capped buckets is recorded as ``out._lsh_dropped_buckets``."""
+    if block_chunks == "auto":
+        block_chunks = _auto_block_chunks(
+            df, text_col, features, n_chunks, max_bucket_size, prefilter_hamming
+        )
     cand, dropped = _simhash_candidates(
         df, text_col, id_col, n_chunks, max_bucket_size,
         features=features, prefilter_hamming=prefilter_hamming,
@@ -560,9 +627,11 @@ def simhash_near_dup(
     if eager:
         res = truncate_lineage(out, reliable=reliable_checkpoint)
         res._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
+        res._block_chunks = block_chunks
         pairs.unpersist()
         return res
     _unpersist_on_gc(out, pairs)
+    out._block_chunks = block_chunks
     return out
 
 

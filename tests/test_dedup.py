@@ -170,9 +170,10 @@ def test_simhash_block_chunks_survive_corpus_scale(spark):
     assert len(planted & naive_pairs) <= 3
     assert naive._lsh_dropped_buckets >= 8 * 200  # ...audited as dropped
 
-    # DEFAULT arguments are the scale-safe keying (block_chunks=3,
-    # prefilter 5) — a user calling the operator naively on 50k docs
-    # must get full recall, not the d=1 saturation cliff.
+    # DEFAULT arguments (block_chunks='auto') must measure the
+    # dispersion, land on the deep keying (d=3 at this cap) and give
+    # full recall — a user calling the operator naively on 50k docs
+    # must not hit the d=1 saturation cliff.
     blocked = D.simhash_near_dup(df, threshold=0.5, max_bucket_size=50, eager=True)
     got = {(r.id_a, r.id_b) for r in blocked.collect()}
     assert planted <= got                     # 100% recall on planted dups
@@ -266,3 +267,37 @@ def test_reliable_checkpoint_requires_dir(spark):
             truncate_lineage(df, reliable=True)
     # localCheckpoint path always works
     assert truncate_lineage(df, reliable=False).count() == 3
+
+
+def test_simhash_auto_keying(spark):
+    """block_chunks='auto' (TODO r4): small corpora get the cheapest
+    keying (d=1, 8 tables), large biased corpora the deep keying —
+    derived from sampled fingerprint dispersion, no user tuning, chosen
+    value recorded on the result."""
+    small = _synthetic_corpus(spark, 200, 10)
+    out = D.simhash_near_dup(small, threshold=0.5, max_bucket_size=50, eager=True)
+    assert out._block_chunks == 1  # 200 docs: projected buckets tiny
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(j, 200 + j) for j in range(10)} <= got
+    # no cap: cheapest keying unconditionally
+    out2 = D.simhash_near_dup(small, threshold=0.5, max_bucket_size=None, eager=True)
+    assert out2._block_chunks == 1
+
+
+def test_simhash_auto_keying_shingle_features(spark):
+    """Auto keying with shingle features: exact dups (identical text →
+    hamming 0, shingle-Jaccard 1.0) are fully recovered without any
+    manual n_chunks/block_chunks choice."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{v}" for v in range(2000)]
+    base = [(i, " ".join(rng.choice(vocab) for _ in range(15))) for i in range(3000)]
+    dups = [(3000 + j, base[j][1]) for j in range(20)]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    out = D.simhash_near_dup(
+        df, threshold=0.9, features="shingles", max_bucket_size=100, eager=True
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(j, 3000 + j) for j in range(20)} <= got
+    assert out._block_chunks in (1, 2, 3)

@@ -645,32 +645,29 @@ def q_ivf_topk(spark, sf_dir):
 
 def ivf_bench_phases(spark, sf_dir):
     """Bench-only split of q_ivf_topk: returns ``(build, probe)`` thunks
-    so bench.py reports index CONSTRUCTION (k-means fit + assignment —
-    one-time at 100 TB, amortized over every subsequent query) separately
-    from the PROBE (the recurring per-query cost). ``build`` materializes
-    the assigned corpus; ``probe`` rebuilds its plan on every call (no
-    AQE/cache reuse between timed runs)."""
-    from syslog_ng_spark.operators.similarity import ivf_index, ivf_topk
+    so bench.py reports index CONSTRUCTION (k-means fit + assignment +
+    the cell-partitioned WRITE — one-time at 100 TB, amortized over
+    every subsequent query) separately from the PROBE (the recurring
+    per-query cost, reading the PERSISTED partition-pruned layout — the
+    real write-once/probe-many usage, VERDICT r4 #6). ``probe`` rebuilds
+    its plan on every call (no AQE/cache reuse between timed runs)."""
+    from syslog_ng_spark.operators.similarity import ivf_index, ivf_topk, ivf_write
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    state: dict = {}
+    ivf_path = "/tmp/syslog_ng_spark_gate/ivf_bench_index"
 
     def build():
         assigned, centroids = ivf_index(emb, n_cells=8, seed=42)
-        assigned = assigned.persist()
-        assigned.count()
-        state["assigned"], state["centroids"] = assigned, centroids
+        ivf_write(assigned, centroids, ivf_path)
 
     def probe():
         queries = (
             emb.orderBy("vec_id").limit(5)
             .select(F.col("vec_id").alias("query_id"), "embedding")
         )
-        ivf_topk(
-            state["assigned"], state["centroids"], queries, k=5, nprobe=8
-        ).collect()
+        ivf_topk(ivf_path, None, queries, k=5, nprobe=8).collect()
 
     return build, probe
 

@@ -463,8 +463,42 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_write(assigned: DataFrame, centroids, path: str, fmt: str = "parquet") -> str:
+    """Persist the IVF index — the write-once half of the
+    write-once/probe-many lifecycle: the assigned corpus lands
+    PARTITIONED BY ``_cell`` (the storage layout that turns the probe's
+    static ``_cell IN (...)`` filter into parquet partition pruning) and
+    the tiny centroid table lands beside it. Re-open with
+    :func:`ivf_read` or pass the path directly to :func:`ivf_topk`."""
+    assigned.write.partitionBy("_cell").mode("overwrite").format(fmt).save(f"{path}/cells")
+    spark = assigned.sparkSession
+    rows = [(int(i), [float(x) for x in c]) for i, c in centroids]
+    (
+        spark.createDataFrame(rows, "cell int, center array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(f"{path}/centroids")
+    )
+    return path
+
+
+def ivf_read(spark, path: str, fmt: str = "parquet"):
+    """Open a persisted IVF index: ``(assigned, centroids)`` exactly as
+    :func:`ivf_index` returned them, with ``assigned`` backed by the
+    cell-partitioned files (probes prune to the nprobe cell dirs)."""
+    import numpy as np  # noqa: PLC0415
+
+    assigned = spark.read.format(fmt).load(f"{path}/cells")
+    centroids = [
+        (int(r.cell), np.asarray(r.center, dtype=np.float64))
+        for r in spark.read.format(fmt).load(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    return assigned, centroids
+
+
 def ivf_topk(
-    assigned: DataFrame,
+    assigned: DataFrame | str,
     centroids,
     queries: DataFrame,
     k: int = 10,
@@ -481,9 +515,15 @@ def ivf_topk(
     STATIC ``_cell IN (...)`` filter — with ``assigned`` written
     partitioned by ``_cell``, that filter becomes a parquet
     PartitionFilter (no dynamic-pruning machinery needed) and the probe
-    is a √n-sized read (plan-asserted in test_plan_quality)."""
+    is a √n-sized read (plan-asserted in test_plan_quality).
+
+    ``assigned`` may be a PATH to an :func:`ivf_write` layout — the
+    probe-many half of the lifecycle (``centroids`` is then ignored and
+    loaded from the same layout)."""
     import numpy as np  # noqa: PLC0415
 
+    if isinstance(assigned, str):
+        assigned, centroids = ivf_read(queries.sparkSession, assigned)
     spark = assigned.sparkSession
     C = np.stack([c for _i, c in centroids]).astype(np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)

@@ -157,20 +157,20 @@ def test_ivf_probe_prunes_cell_partitions(spark, tmp_path):
     the probe's static ``_cell IN (...)`` filter = parquet partition
     pruning — the probe reads only the nprobe cells' files (√n read),
     never rescanning the corpus."""
-    from syslog_ng_spark.operators.similarity import ivf_index, ivf_topk
+    from syslog_ng_spark.operators.similarity import ivf_index, ivf_topk, ivf_write
 
     emb = spark.createDataFrame(
         [(i, [float((i * 13 + j) % 7) for j in range(8)]) for i in range(200)],
         "vec_id long, embedding array<double>",
     )
     assigned, centroids = ivf_index(emb, n_cells=6, seed=3)
-    path = str(tmp_path / "ivf_assigned")
-    assigned.write.partitionBy("_cell").parquet(path)
-    stored = spark.read.parquet(path)
+    path = str(tmp_path / "ivf_index")
+    ivf_write(assigned, centroids, path)
     queries = spark.createDataFrame(
         [(1, [1.0] * 8)], "query_id long, embedding array<double>"
     )
-    out = ivf_topk(stored, centroids, queries, k=3, nprobe=2)
+    # probe straight from the persisted layout (write-once/probe-many)
+    out = ivf_topk(path, None, queries, k=3, nprobe=2)
     plan = _plan(out)
     # the parquet scan's PartitionFilters carry the probed-cell IN-list:
     # static pruning, 2 of 6 cell directories read, not the whole corpus

@@ -198,3 +198,23 @@ def test_embedding_near_dup_fallback_string_ids(spark, emb):
     f = {(r.id_a, r.id_b, round(r.cos, 9)) for r in fallback.collect()}
     assert f == g and len(g) > 0
     assert all(isinstance(a, str) and a.startswith("doc-") for a, _, _ in f)
+
+
+def test_ivf_write_read_roundtrip(spark, emb, tmp_path):
+    """ivf_write/ivf_read lifecycle: the persisted index reproduces the
+    in-memory probe exactly, and the path form of ivf_topk loads both
+    halves itself."""
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    assigned, centroids = SIM.ivf_index(e, n_cells=6, seed=42)
+    path = str(tmp_path / "ivf")
+    SIM.ivf_write(assigned, centroids, path)
+    ra, rc = SIM.ivf_read(spark, path)
+    assert {r._cell for r in ra.select("_cell").distinct().collect()} <= set(
+        i for i, _ in centroids
+    )
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = {(r.query_id, r.vec_id, r.rank) for r in SIM.ivf_topk(assigned, centroids, queries, k=4, nprobe=6).collect()}
+    disk = {(r.query_id, r.vec_id, r.rank) for r in SIM.ivf_topk(path, None, queries, k=4, nprobe=6).collect()}
+    assert mem == disk and len(disk) > 0

@@ -299,3 +299,55 @@ def test_correlation_scope_matrix(spark):
     assert run("host") == [1, 3]           # h1 (3 rows) + h2 (1)
     assert run("program") == [1, 1, 2]     # (h1,p1)x2, (h1,p2), (h2,p1)
     assert run("process") == [1, 1, 1, 1]  # pid splits the h1/p1 pair
+
+
+def test_light_db_parser_corpus(spark):
+    """Port of tests/light/functional_tests/parsers/db_parser/
+    test_db_parser.py: the light suite generates a v5 patterndb XML with
+    a ruleset-level <pattern>program_name</pattern> program scope and
+    one rule 'some number: @NUMBER:foo@' (class=patterndb), feeds one
+    message from a generator source with PROGRAM=program_name, and
+    expects the file destination to render 'foo=5 class=patterndb'.
+    Here: same XML through load_patterndb_xml -> classify -> the same
+    line rendered from the extracted value + class columns."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.patterndb import load_patterndb_xml, patterndb
+
+    # byte-shape of DBParserConfig.write_to (db_parser.py:17-34)
+    xml = (
+        "<patterndb version=\"5\">"
+        "<ruleset name=\"some_name\" id=\"1234\">"
+        "<pattern>program_name</pattern>"
+        "<rules>"
+        "<rule id=\"0\" class=\"patterndb\">"
+        "<patterns><pattern>some number: @NUMBER:foo@</pattern></patterns>"
+        "</rule>"
+        "</rules>"
+        "</ruleset>"
+        "</patterndb>"
+    )
+    rules, actions = load_patterndb_xml(xml)
+    assert len(rules) == 1 and actions == []
+    assert rules[0].program == "program_name"
+
+    df = spark.createDataFrame(
+        [("program_name", "some number: 5"), ("other_prog", "some number: 5")],
+        "program string, msg string",
+    )
+    out = patterndb(df, rules, program_col="program", text_col="msg")
+    rendered = out.withColumn(
+        "line",
+        F.concat(
+            F.lit("foo="),
+            F.coalesce(F.col("pdb.values")["foo"], F.lit("")),
+            F.lit(" class="),
+            F.coalesce(F.col("pdb_class"), F.lit("")),
+        ),
+    )
+    got = {r.program: r.line for r in rendered.collect()}
+    # the generator-source message through the db-parser and the file
+    # template (test_db_parser.py:39)
+    assert got["program_name"] == "foo=5 class=patterndb"
+    # ruleset program scope: a different program never matches the rule
+    assert got["other_prog"] == "foo= class="

@@ -1372,6 +1372,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "patternize": q_patternize,
         "stream_route_parity": q_stream_route_parity,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1420,6 +1422,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SIM_SQL,
         "patternize": _PATTERNIZE_SQL,
         "stream_route_parity": _STREAM_PARITY_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "repetition_stats": _REPETITION_SQL,
     }
 
 
@@ -1695,4 +1699,161 @@ WITH p AS (
 )
 SELECT path, CAST(count(*) AS BIGINT) AS sink_rows
 FROM p GROUP BY path ORDER BY path
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (§LLM-pipeline): 5-gram overlap of every
+    document against a broadcast 'benchmark' set (every 20th document).
+    The corpus side shuffles only (doc_id, 8-byte gram hash); the
+    benchmark gram set is broadcast — map-side probe, no corpus-side
+    join shuffle (operators/decontaminate.py)."""
+    from syslog_ng_spark.operators.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    out = decontaminate(docs, bench, n=5)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 3),
+                i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+  FROM toks WHERE len(tk) >= 5
+), dg AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), bench AS (
+  SELECT DISTINCT g FROM dg WHERE doc_id % 20 = 0
+), ov AS (
+  SELECT dg.doc_id, count(*) AS n_overlap
+  FROM dg JOIN bench USING (g) GROUP BY dg.doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0) AS n_grams,
+       coalesce(o.n_overlap, 0) AS n_overlap,
+       coalesce(o.n_overlap, 0) >= 1 AS contaminated
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN ov o USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition signals (§LLM-pipeline): duplicate-line and
+    repeated-n-gram fractions per document (Rae et al. 2021 table A1
+    family). Documents have no newlines and little self-repetition, so
+    the query first plants boilerplate (the doc's first 60 chars appended
+    twice) and breaks the text into 5-word lines — the planted repetition
+    must then show up in the line AND n-gram signals
+    (operators/repetition.py)."""
+    from syslog_ng_spark.operators.repetition import repetition_stats
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "text",
+            F.concat_ws(
+                "\n",
+                "text",
+                F.substring("text", 1, 60),
+                F.substring("text", 1, 60),
+            ),
+        )
+        .withColumn(
+            "text",
+            F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1\n"),
+        )
+    )
+    out = repetition_stats(docs, top_ns=(2,), dup_ns=(5,))
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_frac"),
+        F.round("dup_5gram_char_frac", 6).alias("dup_5gram_frac"),
+    ).orderBy("doc_id")
+
+
+_REPETITION_SQL = """
+WITH doc AS (
+  SELECT doc_id,
+         regexp_replace(
+           concat_ws(chr(10), text,
+                     substring(text, 1, 60), substring(text, 1, 60)),
+           '(\\w+ \\w+ \\w+ \\w+ \\w+) ',
+           '\\1' || chr(10), 'g') AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)),
+                            l -> trim(l) <> '')) AS line
+  FROM doc
+), lc AS (
+  SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
+), lstats AS (
+  SELECT doc_id,
+         coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE
+           / sum(c) AS dup_line_frac,
+         coalesce(sum(c * length(line)) FILTER (WHERE c > 1), 0)::DOUBLE
+           / sum(c * length(line)) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM doc
+), g2c AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+                  i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS g
+    FROM toks WHERE len(tk) >= 2
+  ) GROUP BY doc_id, g
+), g2top AS (
+  SELECT doc_id, c * length(g) AS top_chars,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, length(g) DESC) AS rn
+  FROM g2c
+), g5c AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) - 3),
+                  i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+    FROM toks WHERE len(tk) >= 5
+  ) GROUP BY doc_id, g
+), g5d AS (
+  SELECT doc_id,
+         coalesce(sum(c * length(g)) FILTER (WHERE c > 1), 0) AS dup_chars,
+         sum(c * length(g)) AS tot_chars
+  FROM g5c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(ls.dup_line_frac, 0), 6) AS dup_line_frac,
+       round(coalesce(ls.dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+       round(CASE WHEN length(d.text) > 0 AND t2.top_chars IS NOT NULL
+                  THEN least(1.0, t2.top_chars::DOUBLE / length(d.text))
+                  ELSE 0 END, 6) AS top_2gram_frac,
+       round(CASE WHEN g5.tot_chars > 0
+                  THEN g5.dup_chars::DOUBLE / g5.tot_chars
+                  ELSE 0 END, 6) AS dup_5gram_frac
+FROM doc d
+LEFT JOIN lstats ls USING (doc_id)
+LEFT JOIN (SELECT doc_id, top_chars FROM g2top WHERE rn = 1) t2 USING (doc_id)
+LEFT JOIN g5d g5 USING (doc_id)  -- join miss => tot_chars NULL => 0.0
+ORDER BY d.doc_id
 """

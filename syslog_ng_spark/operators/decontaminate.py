@@ -1,0 +1,126 @@
+"""Benchmark decontamination: flag/drop training documents that share
+word n-grams with a benchmark/eval set.
+
+The standard LLM training-data hygiene pass (13-gram overlap in GPT-3's
+appendix; exact-substring variants elsewhere): any document whose text
+contains an n-gram that also appears in the benchmark set is
+"contaminated" and must be dropped (or have the overlap reported) before
+training.
+
+Spark shape (100-TB-ready):
+- The CORPUS side never materializes gram strings into a shuffle: each
+  document's distinct grams are hashed to 64-bit (`xxhash64`) inside the
+  scan's codegen, so the per-doc distinct + overlap join move 16-byte
+  rows (doc_id, gram_hash), not ~80-byte shingle strings.
+- The BENCHMARK side is small by nature (eval sets are MBs, not TBs):
+  its distinct gram hashes are broadcast, so the corpus-side join is a
+  map-side hash probe — zero corpus shuffle for the join itself. The
+  only shuffle is the per-doc distinct/count on (doc_id, hash), which is
+  what any exact-overlap semantics requires.
+- 64-bit hashing admits collisions at ~n²/2⁶⁵; at 10¹² corpus grams the
+  expected number of *cross* collisions against a ~10⁷-gram benchmark is
+  ≪ 1 — and a collision only ever ADDS a false overlap, never hides a
+  real one. Callers who need exactness can pass ``hash_grams=False``.
+
+Reference framing: this is the same job as syslog-ng's in-list() filter
+(modules/add-contextual-data, filter-in-list.c) — membership of a
+derived key in a broadcast list — lifted from one key per row to a bag
+of n-gram keys per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_tokens(c: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (mirrors the
+    DuckDB-oracle tokenizer: string_split_regex(lower(text), '\\s+'))."""
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """Space-joined word n-grams of the text column as array<string>;
+    empty array when the document has fewer than n tokens."""
+    tk = word_tokens(c)
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    min_overlap: int = 1,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Annotate ``df`` with benchmark n-gram overlap.
+
+    Returns ``df`` plus:
+      - ``n_grams``: number of DISTINCT word n-grams in the document
+      - ``n_overlap``: how many of those also occur in ``benchmark``
+      - ``contaminated``: ``n_overlap >= min_overlap``
+
+    ``benchmark`` is broadcast (eval sets are small); the corpus side
+    shuffles only (id, 8-byte hash) pairs for the per-doc distinct.
+    """
+    bcol = bench_text_col or text_col
+    gram = word_ngrams(F.col(text_col), n)
+    key = (lambda g: F.xxhash64(g)) if hash_grams else (lambda g: g)
+
+    doc_grams = (
+        df.select(id_col, F.explode(gram).alias("_g"))
+        .select(id_col, key(F.col("_g")).alias("_gk"))
+        .distinct()
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(bcol), n)).alias("_g"))
+        .select(key(F.col("_g")).alias("_gk"))
+        .distinct()
+    )
+    per_doc = doc_grams.join(
+        F.broadcast(bench_grams), "_gk", "left_semi"
+    ).groupBy(id_col).agg(F.count("*").alias("n_overlap"))
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+
+    return (
+        df.join(totals, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") >= F.lit(min_overlap))
+    )
+
+
+def decontaminate_filter(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    min_overlap: int = 1,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Drop contaminated documents; same signature as ``decontaminate``.
+
+    Implemented as a left-ANTI join against the contaminated-id set
+    (ids only — 8-byte keys; AQE turns it into a broadcast probe when
+    the contaminated set is small, the common case).
+    """
+    flagged = decontaminate(
+        df, benchmark, n=n, text_col=text_col, id_col=id_col,
+        bench_text_col=bench_text_col, min_overlap=min_overlap,
+        hash_grams=hash_grams,
+    )
+    bad_ids = flagged.filter("contaminated").select(id_col)
+    return df.join(bad_ids, id_col, "left_anti")

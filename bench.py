@@ -171,6 +171,14 @@ def main() -> None:
         return round(sorted(times)[1], 3)
 
     for name, fn in entrymod.queries().items():
+        if name == "stream_route_parity":
+            # correctness gate, not a throughput query: its wall time is
+            # streaming-checkpoint machinery (availableNow trigger +
+            # commit log) over a fixed tiny corpus — timing it 3× would
+            # burn ~1 min of the bench budget measuring the state store.
+            # The routed-throughput headline below times the same
+            # pipeline properly.
+            continue
         if name == "ivf_topk" and hasattr(entrymod, "ivf_bench_phases"):
             # index construction is one-time/amortized at 100 TB — report
             # build and probe as separate numbers (VERDICT r3 item 4)

@@ -1374,6 +1374,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_route_parity": q_stream_route_parity,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "normalize_text": q_normalize_text,
+        "pack_chunked": q_pack_chunked,
     }
 
 
@@ -1424,6 +1427,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_route_parity": _STREAM_PARITY_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "pii_scrub": _PII_SQL,
+        "normalize_text": _NORMALIZE_SQL,
+        "pack_chunked": _PACK_SQL,
     }
 
 
@@ -1856,4 +1862,141 @@ LEFT JOIN lstats ls USING (doc_id)
 LEFT JOIN (SELECT doc_id, top_chars FROM g2top WHERE rn = 1) t2 USING (doc_id)
 LEFT JOIN g5d g5 USING (doc_id)  -- join miss => tot_chars NULL => 0.0
 ORDER BY d.doc_id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (SS-LLM-pipeline): plant deterministic PII
+    (email/SSN/IPv4 built from doc_id) into every document, scrub it
+    with the fixed-order regexp chain, and report the scrubbed text +
+    per-kind pre-scrub counts. Pure Column regexp_replace -- the
+    generalized credit-card-mask (operators/pii.py)."""
+    from syslog_ng_spark.operators.pii import pii_counts, pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.format_string(
+                " mail u%d@example.com ssn %03d-%02d-%04d ip 10.%d.%d.%d end",
+                F.col("doc_id"),
+                F.pmod("doc_id", F.lit(1000)),
+                F.pmod("doc_id", F.lit(100)),
+                F.pmod("doc_id", F.lit(10000)),
+                F.pmod("doc_id", F.lit(256)),
+                F.pmod(F.col("doc_id") + 7, F.lit(256)),
+                F.pmod(F.col("doc_id") + 13, F.lit(254)) + 1,
+            ),
+        ),
+    )
+    counted = pii_counts(docs, kinds=("email", "ssn", "ipv4"))
+    out = pii_scrub(counted, kinds=("email", "ssn", "ipv4"), target="scrubbed")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "scrubbed"
+    ).orderBy("doc_id")
+
+
+_PII_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         substring(text, 1, 40) || printf(
+           ' mail u%d@example.com ssn %03d-%02d-%04d ip 10.%d.%d.%d end',
+           doc_id, doc_id % 1000, doc_id % 100, doc_id % 10000,
+           doc_id % 256, (doc_id + 7) % 256, (doc_id + 13) % 254 + 1
+         ) AS text
+  FROM documents
+), c1 AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t1
+  FROM planted
+), c2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+         regexp_replace(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t2
+  FROM c1
+), c3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         len(regexp_extract_all(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+         regexp_replace(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS scrubbed
+  FROM c2
+)
+SELECT doc_id, n_email, n_ssn, n_ipv4, scrubbed
+FROM c3 ORDER BY doc_id
+"""
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization (SS-LLM-pipeline): plant decomposed
+    accents (combining U+0301/U+0308) + a C0 control char, run the
+    Arrow NFC UDF + control-strip + ASCII-whitespace collapse, and
+    compare against DuckDB's native nfc_normalize
+    (operators/normalize.py)."""
+    from syslog_ng_spark.operators.normalize import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.substring("text", 1, 30),
+            F.lit("  cafe\u0301   nai\u0308ve \u0007ctl  "),
+        ),
+    )
+    out = normalize_text(docs, form="NFC", target="norm")
+    return out.select("doc_id", "norm").orderBy("doc_id")
+
+
+_NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(
+         nfc_normalize(regexp_replace(
+           substring(text, 1, 30)
+             || '  cafe' || chr(769) || '   nai' || chr(776) || 've '
+             || chr(7) || 'ctl  ',
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')),
+         '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS norm
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_pack_chunked(spark, sf_dir):
+    """Sequence packing (SS-LLM-pipeline): GPT-style concat-then-chunk
+    over documents ordered by doc_id with an 8192-token budget --
+    global offsets via the two-phase scan (range repartition +
+    per-partition cumsum + broadcast prefix table), no single-partition
+    stage (operators/packing.py)."""
+    from syslog_ng_spark.operators.packing import pack_chunked
+    from syslog_ng_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    out = pack_chunked(docs, budget=8192)
+    return out.select(
+        "doc_id", "n_tokens", "start_off", "pack_first", "pack_last", "n_spans"
+    ).orderBy("doc_id")
+
+
+_PACK_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM sized
+)
+SELECT doc_id, n_tokens, start_off,
+       CAST(floor(start_off / 8192.0) AS BIGINT) AS pack_first,
+       CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 8192.0) AS BIGINT)
+         AS pack_last,
+       CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 8192.0)
+            - floor(start_off / 8192.0) + 1 AS BIGINT) AS n_spans
+FROM offs ORDER BY doc_id
 """

@@ -1,0 +1,69 @@
+"""Unicode text normalization for corpus curation: NFC/NFKC/NFD/NFKD
+canonicalization, control-character stripping, whitespace collapsing.
+
+Dedup and fingerprinting (operators/dedup.py, textstats.fingerprint)
+treat byte-distinct strings as distinct — decomposed 'cafe' + combining
+accent vs precomposed 'café' would defeat exact dedup. This pass
+canonicalizes first, the standard first stage of a pre-training text
+pipeline.
+
+Execution: Spark has no built-in Unicode-normalization expression, so
+this is the documented Arrow path — a vectorized pandas UDF
+(``unicodedata.normalize`` over Arrow batches, no per-row Python).
+Everything else (control strip, whitespace collapse, trim, lowercase)
+stays in pure-Column regexp_replace and composes with the UDF in one
+projection; there is no shuffle anywhere.
+
+Parity notes for the gate oracle (DuckDB ``nfc_normalize``):
+- whitespace collapse uses the explicit ASCII class ``[ \\t\\n\\r\\f\\v]+``
+  in BOTH engines (Python ``\\s`` is Unicode-aware, RE2 ``\\s`` is
+  ASCII — the explicit class removes the divergence; U+00A0 etc. are
+  deliberately preserved under NFC);
+- control strip removes C0 controls except tab/newline/CR, plus DEL.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_RE = r"[ \t\n\r\f\v]+"
+
+
+def _norm_udf(form: str):
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return norm
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_control: bool = True,
+    collapse_ws: bool = True,
+    lowercase: bool = False,
+    target: str | None = None,
+) -> DataFrame:
+    """Canonicalize ``text_col``: strip control chars → Unicode
+    ``form`` → collapse ASCII whitespace runs to one space + trim →
+    optional lowercase. ``target`` writes to a new column."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    c: Column = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(c, _CONTROL_RE, "")
+    c = _norm_udf(form)(c)
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, _WS_RE, " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(target or text_col, c)

@@ -1,0 +1,144 @@
+"""Sequence packing for LLM training batches: assign documents to
+fixed-token-budget packs.
+
+Two semantics, both deterministic given a total order over documents:
+
+- ``pack_chunked`` — GPT-style concat-then-chunk: documents are laid
+  end-to-end in order and the token stream is cut every ``budget``
+  tokens; a document can span chunks (``pack_first``..``pack_last``).
+  This is the high-throughput pre-training layout.
+- ``pack_greedy`` — exact sequential first-fit: a document never
+  splits; when it doesn't fit in the open pack, the pack closes. This
+  is the instruction-tuning layout (loss masking needs whole docs).
+
+Scale shape: ``pack_chunked`` needs a GLOBAL running sum — a naive
+``Window.orderBy(...)`` collapses to one partition. Instead it uses the
+classic two-phase scan: range-repartition by the order column,
+per-partition window cumsum, then a per-partition-totals prefix table
+(numPartitions rows — tiny) broadcast back. Cost: one range shuffle +
+one broadcast join; no single-partition stage anywhere.
+
+``pack_greedy`` is inherently a serial scan (each decision depends on
+the previous pack's fill); it runs per ``shard_col`` group through
+applyInPandas — the same documented serial-per-key exact pattern as the
+token bucket in operators/suppress.py. Shard by date/source for
+parallelism; pack ids are (shard, local) pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _global_cumsum(
+    df: DataFrame, size_col: str, order_col: str, out_col: str
+) -> DataFrame:
+    """Exclusive global running sum of ``size_col`` in ``order_col``
+    order, without a single-partition window."""
+    part = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = part.withColumn(
+        "_local_cum", F.sum(size_col).over(w) - F.col(size_col)
+    )
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.sum(size_col).alias("_tot"))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_prefix")
+    )
+    # totals has numPartitions rows — broadcast join, then the tiny
+    # single-partition window above only ever sees that tiny frame.
+    return (
+        local.join(F.broadcast(totals), "_pid")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_prefix"))
+        .drop("_pid", "_local_cum")
+    )
+
+
+def pack_chunked(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk assignment. Adds ``start_off`` (global token
+    offset), ``pack_first``/``pack_last`` (chunk ids this document's
+    tokens land in) and ``n_spans``. ``order_col`` must be unique."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    out = _global_cumsum(df, size_col, order_col, "start_off")
+    end_off = F.col("start_off") + F.greatest(F.col(size_col), F.lit(1)) - 1
+    return (
+        out.withColumn(
+            "pack_first", F.floor(F.col("start_off") / budget)
+        )
+        .withColumn("pack_last", F.floor(end_off / budget))
+        .withColumn("n_spans", F.col("pack_last") - F.col("pack_first") + 1)
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Exact first-fit packing: adds ``pack_id`` (string ``shard/idx``).
+    Documents larger than ``budget`` get a pack of their own. Serial
+    per shard; pass ``shard_col`` to parallelize across shards."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = shard_col or "_one"
+    src = df if shard_col else df.withColumn("_one", F.lit("all"))
+    # copy — StructType.add mutates, and src.schema is src's LIVE schema
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField("pack_id", T.StringType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        key = str(pdf[shard].iloc[0])
+        ids, fill, idx = [], 0, 0
+        for size in pdf[size_col]:
+            size = int(size)
+            if fill > 0 and fill + size > budget:
+                idx += 1
+                fill = 0
+            fill += size
+            ids.append(f"{key}/{idx}")
+            if size >= budget:  # oversized doc closes its own pack
+                idx += 1
+                fill = 0
+        pdf["pack_id"] = ids
+        return pdf
+
+    out = src.groupBy(shard).applyInPandas(pack, schema=schema)
+    return out.drop("_one") if not shard_col else out
+
+
+def pack_stats(packed: DataFrame, size_col: str = "n_tokens") -> DataFrame:
+    """Per-pack occupancy summary for ``pack_greedy`` output."""
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).alias("n_tokens"),
+    )

@@ -187,6 +187,18 @@ def _apply_rewrite(df: DataFrame, spec: dict, named: dict) -> DataFrame:
         return RW.credit_card_mask(df, kw["source"], kw.get("target"))
     if kind == "guess_timezone":
         return RW.guess_timezone(df, **kw)
+    if kind == "pii_scrub":  # generalized cc_mask (operators/pii.py)
+        from ..operators.pii import pii_scrub  # noqa: PLC0415
+
+        return pii_scrub(
+            df, kw.get("value", "message"),
+            kinds=tuple(kw["kinds"]) if "kinds" in kw else None,
+            target=kw.get("target"),
+        )
+    if kind == "normalize":  # unicode canonicalize (operators/normalize.py)
+        from ..operators.normalize import normalize_text  # noqa: PLC0415
+
+        return normalize_text(df, kw.pop("value", "message"), **kw)
     raise ValueError(f"unknown rewrite type {kind!r}")
 
 

@@ -191,3 +191,25 @@ def test_config_round3_scl_kinds_compile(spark):
              "rewrites": [], "paths": [{"name": "all"}]}
         )
         assert cc2.route(df, persist=False).sink("all").count() == 3
+
+
+def test_config_curation_rewrite_kinds(spark):
+    # round 5: pii_scrub / normalize lower into the rewrite chain like
+    # cc_mask does.
+    spec = {
+        "filters": {},
+        "parsers": [],
+        "rewrites": [
+            {"type": "normalize", "value": "text"},
+            {"type": "pii_scrub", "value": "text",
+             "kinds": ["email", "ipv4"], "target": "clean"},
+        ],
+        "paths": [{"name": "all"}],
+    }
+    cc = compile_config(spec)
+    df = spark.createDataFrame(
+        [("  mail   a@b.co from 1.2.3.4 \x07 café  ",)], "text string"
+    )
+    row = cc.route(df, persist=False).sink("all").head()
+    assert row["text"] == "mail a@b.co from 1.2.3.4 café"
+    assert row["clean"] == "mail <EMAIL> from <IP> café"

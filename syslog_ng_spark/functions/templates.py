@@ -97,6 +97,81 @@ def compile_template(
         _COLUMNS_CTX.pop()
 
 
+# type_hint_parse's full hint set (lib/logmsg/tests/test_type_hints.c:64)
+_HINT_RE = re.compile(
+    r"^(string|literal|json|boolean|bool|int|int32|int64|float|double"
+    r"|datetime|list|null|bytes|protobuf)\((.*)\)$",
+    re.S,
+)
+
+
+def _type_cast_boolean(c: Column) -> Column:
+    """type_cast_to_boolean (lib/logmsg/type-hinting.c:69): decide by
+    the FIRST character — T/t/1 → true, F/f/0 → false, else cast error
+    (NULL here; 'totaly true' is true, 'fatally false' is false)."""
+    first = F.substring(c, 1, 1)
+    return F.when(first.isin("T", "t", "1"), F.lit(True)).when(
+        first.isin("F", "f", "0"), F.lit(False)
+    )
+
+
+def _type_cast_int(c: Column) -> Column:
+    """type_cast_to_int64 (type-hinting.c:125): 0x-prefixed parses hex,
+    everything else strict base-10 (leading zeros are DECIMAL: '0111'
+    → 111); trailing garbage or empty → cast error (NULL)."""
+    stripped = F.regexp_replace(c, r"^[+-]", "")
+    neg = c.startswith("-")
+    hex_mag = F.regexp_extract(stripped, r"^0[xX]([0-9a-fA-F]+)$", 1)
+    dec_ok = stripped.rlike(r"^[0-9]+$")
+    mag = F.when(hex_mag != "", F.conv(hex_mag, 16, 10).cast("long")).when(
+        dec_ok, stripped.cast("long")
+    )
+    return F.when(neg, -mag).otherwise(mag)
+
+
+def _apply_type_hint(hint: str, col: Column) -> Column:
+    if hint in ("bool", "boolean"):
+        return _type_cast_boolean(col)
+    if hint in ("int", "int32", "int64"):
+        out = _type_cast_int(col)
+        return out.cast("int") if hint == "int32" else out
+    if hint in ("float", "double"):
+        # strtod-lax: non-numeric → NULL (Spark non-ANSI cast)
+        return col.cast("double")
+    if hint == "datetime":
+        # type_cast_to_datetime_unixtime: fractional epoch seconds
+        return F.timestamp_seconds(col.cast("double"))
+    if hint == "null":
+        return F.lit(None)
+    # string/literal/json/list/bytes/protobuf stay textual in the NV
+    # model; format-json additionally renders json()/literal()/list()
+    # hints as raw tokens (see _format_json)
+    return col
+
+
+def compile_typed_template(
+    template: str, columns: set[str] | None = None
+) -> Column:
+    """syslog-ng 4 typed templates (lib/template/templates.c type-hint
+    syntax): ``int(...)``/``float(...)``/``boolean(...)``/... wrap a
+    template and type its result with the REFERENCE cast semantics
+    (type-hinting.c: hex ints, first-char booleans, error→NULL); a bare
+    numeric literal types itself (the light suite's ``set(10)`` → JSON
+    ``10``). Everything else compiles as a plain (string) template.
+    $(format-json) renders the resulting Spark column type natively —
+    the engine's analogue of LM_VT_* value types."""
+    s = template.strip()
+    m = _HINT_RE.match(s)
+    if m:
+        hint, inner = m.groups()
+        return _apply_type_hint(hint, compile_template(inner, columns))
+    if re.fullmatch(r"-?\d+", s):
+        return F.lit(int(s))
+    if re.fullmatch(r"-?(?:\d+\.\d*|\.\d+)", s):
+        return F.lit(float(s))
+    return compile_template(template, columns)
+
+
 def _compile_template_inner(
     template: str, columns: set[str] | None = None
 ) -> Column:
@@ -299,9 +374,13 @@ _TEMPLATE_FUNCS: dict[str, object] = {
     "values": lambda raw, cols: F.array_join(
         F.map_values(F.col(raw[0])), ","
     ),
-    # $(template name) — invoke a named template (tf-template.c); names
-    # are registered via register_named_template()
-    "template": lambda raw, cols: _NAMED_TEMPLATES[raw[0]](),
+    # $(template name fallback...) — invoke a named template
+    # (tf-template.c): static binding when the name resolves at compile
+    # time; dynamic when it contains '$' (per-row lookup across the
+    # registered names, remaining args joined by ' ' as the fallback,
+    # tf_template_call); unknown static names are a compile error
+    # (tf_template_prepare). Names register via register_named_template().
+    "template": lambda raw, cols: _tf_template(raw, cols),
     # lists (list-funcs.c over lib/scanner/list-scanner): a syslog-ng
     # list is comma-separated with optional double-quoted elements
     # (commas/escapes inside survive); every arg is itself a list, args
@@ -578,6 +657,44 @@ def _substr_fn(raw, cols):
 _TEMPLATE_FUNCS["substr"] = _substr_fn
 
 
+_JSON_RAW_TAG = "\x02J"  # prefix marking a pre-rendered JSON token
+
+
+def _typed_json_value(col: Column) -> Column:
+    """Render a column as its native JSON token (number/bool/string/
+    array/object), decided by the ACTUAL Spark type at analysis time —
+    the engine's analogue of syslog-ng 4's LM_VT_* typed values. The
+    token is extracted from to_json(struct(v)) = '{"v":' + token + '}'
+    and tagged so the tree serializer inserts it raw; NULL gives '{}'
+    → a NULL result, which the renderer omits like any unset value."""
+    j = F.to_json(F.struct(col.alias("v")))
+    token = j.substr(F.lit(6), F.length(j) - F.lit(6))
+    return F.when(j == "{}", F.lit(None)).otherwise(
+        F.concat(F.lit(_JSON_RAW_TAG), token)
+    )
+
+
+def _json_pair_value(tmpl: str, cur_cols) -> Column:
+    """format-json pair values honor template type hints (format-json.c
+    type-cast default in syslog-ng 4): json()/literal() insert the
+    rendered text as a RAW JSON token, list() renders the syslog-ng
+    list as a JSON string array, numeric/boolean hints emit bare
+    tokens. Un-hinted values stay strings (the nv model)."""
+    m = _HINT_RE.match(tmpl.strip())
+    if not m:
+        return compile_template(tmpl, cur_cols).cast("string")
+    hint, inner = m.groups()
+    if hint in ("json", "literal"):
+        return F.concat(F.lit(_JSON_RAW_TAG), compile_template(inner, cur_cols))
+    if hint == "list":
+        arr = _list_arr([compile_template(inner, cur_cols)])
+        return F.concat(F.lit(_JSON_RAW_TAG), F.to_json(arr))
+    typed = _apply_type_hint(hint, compile_template(inner, cur_cols))
+    if hint in ("string", "bytes", "protobuf"):
+        return typed.cast("string")
+    return _typed_json_value(typed)
+
+
 def _format_json(raw, cols):
     """$(format-json ...) — modules/json/format-json.c shape
     (expectations from tests/test_format_json.c):
@@ -642,13 +759,13 @@ def _format_json(raw, cols):
         elif a == "--pair":
             # --pair k=v — same as a bare k=v argument (value-pairs.c)
             k, v = raw[i + 1].split("=", 1)
-            pairs.append((k, compile_template(v, cur_cols)))
+            pairs.append((k, _json_pair_value(v, cur_cols)))
             i += 2
         elif a in ("--auto-cast", "--omit-empty-values"):
             i += 1
         elif "=" in a:
             k, v = a.split("=", 1)
-            pairs.append((k, compile_template(v, cur_cols)))
+            pairs.append((k, _json_pair_value(v, cur_cols)))
             i += 1
         else:
             bare.append(a); i += 1
@@ -673,6 +790,24 @@ def _format_json(raw, cols):
             m = F.map_filter(m, lambda k, _v: ~_fold_or([p(k) for p in preds]))
     entries = []
     for name in bare:
+        if any(g in name for g in "*?["):
+            # a bare glob is a value-pairs key selector
+            # (vp_cmdline_parse_pair: non-option args without '='
+            # select keys): expand against the compile-time column set
+            # (typed) and filter the nv map (strings) at runtime
+            import fnmatch as _fn  # noqa: PLC0415
+
+            for col_name in sorted(cur_cols or []):
+                if col_name != NV_COL and _fn.fnmatchcase(col_name, name):
+                    entries += [F.lit(col_name), _typed_json_value(F.col(col_name))]
+            if cur_cols is None or NV_COL in cur_cols:
+                from .value_pairs import _glob_pred  # noqa: PLC0415
+
+                pred = _glob_pred(name)
+                m = F.map_concat(
+                    m, F.map_filter(F.col(NV_COL), lambda k, _v: pred(k))
+                )
+            continue
         # bare value-pairs names resolve like ${...}: engine columns
         # (host/program/...) and macros too, not only nv-map entries
         # (value-pairs.c selects builtin values by name as well)
@@ -683,6 +818,11 @@ def _format_json(raw, cols):
             and not is_macro(name)
         ):
             val = F.lit(None).cast("string")  # no nv map to fall back to
+        elif cur_cols is not None and name in cur_cols:
+            # a real engine column: render its Spark type natively
+            # (syslog-ng 4 typed values — int/double/bool emit bare
+            # JSON tokens, format-json.c type-cast default)
+            val = _typed_json_value(F.col(name))
         else:
             val = _resolve_name(name, cur_cols).cast("string")
         entries += [F.lit(name), val]
@@ -734,7 +874,18 @@ def _format_json(raw, cols):
                     node[sg] = nxt
                 node = nxt
             node[segs[-1]] = v
-        return _json.dumps(tree, ensure_ascii=False, separators=(",", ":"))
+
+        def dump(node):
+            if isinstance(node, dict):
+                return "{" + ",".join(
+                    _json.dumps(k, ensure_ascii=False) + ":" + dump(v)
+                    for k, v in node.items()
+                ) + "}"
+            if isinstance(node, str) and node.startswith(_JSON_RAW_TAG):
+                return node[len(_JSON_RAW_TAG):]  # pre-rendered token
+            return _json.dumps(node, ensure_ascii=False)
+
+        return dump(tree)
 
     @F.pandas_udf(T.StringType())
     def _render_udf(col: pd.Series) -> pd.Series:
@@ -852,13 +1003,37 @@ _TEMPLATE_FUNCS["format-cef-extension"] = _format_cef_extension
 
 
 def _format_welf(raw, cols):
-    """$(format-welf k=v ...) — 'k=v k2=v2' (modules/kvformat/format-welf.c)."""
-    pairs = []
+    """$(format-welf k=v ...) — 'k=v k2=v2' (modules/kvformat/
+    format-welf.c). A bare arg is a value-pairs key-selector glob
+    (matching engine columns + nv-map keys, key-sorted within the
+    glob, mirroring value-pairs' sorted iteration)."""
+    import fnmatch as _fn  # noqa: PLC0415
+
+    cur_cols = _COLUMNS_CTX[-1] if _COLUMNS_CTX else None
+    parts = []
     for a in raw:
         if "=" in a:
             k, v = a.split("=", 1)
-            pairs.append(F.concat(F.lit(k + "="), compile_template(v)))
-    return F.concat_ws(" ", *pairs)
+            parts.append(F.concat(F.lit(k + "="), compile_template(v)))
+            continue
+        for col_name in sorted(cur_cols or []):
+            if col_name != NV_COL and _fn.fnmatchcase(col_name, a):
+                parts.append(
+                    F.concat(F.lit(col_name + "="), F.col(col_name).cast("string"))
+                )
+        if cur_cols is None or NV_COL in cur_cols:
+            from .value_pairs import _glob_pred  # noqa: PLC0415
+
+            pred = _glob_pred(a)
+            ent = F.array_sort(
+                F.map_entries(F.map_filter(F.col(NV_COL), lambda k, _v: pred(k)))
+            )
+            joined = F.array_join(
+                F.transform(ent, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+                " ",
+            )
+            parts.append(F.nullif(joined, F.lit("")))
+    return F.concat_ws(" ", *parts)
 
 
 def _strptime_to_java(fmt: str) -> str:
@@ -896,6 +1071,24 @@ def register_named_template(name: str, template: str, columns=None) -> None:
     """template { t_name("..."); } analogue: $(template t_name) expands
     to the named template's compiled Column (tf-template.c)."""
     _NAMED_TEMPLATES[name] = lambda: compile_template(template, columns)
+
+
+def _tf_template(raw, cols):
+    name = raw[0]
+    if name in _NAMED_TEMPLATES:  # static binding
+        return _NAMED_TEMPLATES[name]()
+    if "$" not in name:
+        raise KeyError(
+            f'$(template) Unknown template function or template "{name}"'
+        )
+    # dynamic binding: the name is itself a template, resolved per row
+    # against the (config-time-fixed) registry; unmatched rows render
+    # the fallback args joined by ' '.
+    fallback = F.concat_ws(" ", *cols[1:]) if len(cols) > 1 else F.lit("")
+    expr = fallback
+    for known, thunk in _NAMED_TEMPLATES.items():
+        expr = F.when(cols[0] == F.lit(known), thunk()).otherwise(expr)
+    return expr
 
 
 def register_template_func(name: str, fn) -> None:

@@ -29,7 +29,9 @@ def _cond(condition) -> Column | None:
 def _guarded(df: DataFrame, name: str, new: Column, condition) -> DataFrame:
     c = _cond(condition)
     if c is not None:
-        old = F.col(name) if name in df.columns else F.lit(None).cast("string")
+        # untyped NULL: coerces to new's type (typed set() must not
+        # silently stringify through the when/otherwise common type)
+        old = F.col(name) if name in df.columns else F.lit(None)
         new = F.when(c, new).otherwise(old)
     return df.withColumn(name, new)
 
@@ -38,11 +40,13 @@ def set_value(
     df: DataFrame, name: str, value: Column | str, condition=None
 ) -> DataFrame:
     """set(template value(name)) — rewrite-set.c:49-61. ``value`` may be a
-    Column or a template string (compiled via the template compiler)."""
+    Column or a template string (compiled via the template compiler;
+    syslog-ng 4 type hints like ``int(10)`` and bare numeric literals
+    produce a TYPED column — pass ``string(...)`` to force text)."""
     if isinstance(value, str):
-        from ..functions.templates import compile_template  # noqa: PLC0415
+        from ..functions.templates import compile_typed_template  # noqa: PLC0415
 
-        value = compile_template(value, set(df.columns))
+        value = compile_typed_template(value, set(df.columns))
     return _guarded(df, name, value, condition)
 
 

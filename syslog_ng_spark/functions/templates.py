@@ -445,11 +445,16 @@ _TEMPLATE_FUNCS: dict[str, object] = {
     ),
     "format-welf": lambda raw, cols: _format_welf(raw, cols),
     "format-date": lambda raw, cols: _format_date(raw, cols),
-    # crypto (modules/cryptofuncs)
-    "sha1": lambda raw, cols: F.sha1(cols[0]),
-    "sha256": lambda raw, cols: F.sha2(cols[0], 256),
-    "md5": lambda raw, cols: F.md5(cols[0]),
-    "hash": lambda raw, cols: F.sha256(cols[0].cast("binary")),
+    # crypto (modules/cryptofuncs/cryptofuncs.c): args CONCATENATE
+    # before hashing, --length/-l truncates the hex (clamped to the
+    # digest length), no args is a compile error; $(hash) is sha256.
+    # md4 is intentionally absent (no JVM digest; cryptofuncs.c guards
+    # it behind an OpenSSL version check too).
+    "sha1": lambda raw, cols: _hash_fn("sha1", raw, cols),
+    "sha256": lambda raw, cols: _hash_fn("sha256", raw, cols),
+    "sha512": lambda raw, cols: _hash_fn("sha512", raw, cols),
+    "md5": lambda raw, cols: _hash_fn("md5", raw, cols),
+    "hash": lambda raw, cols: _hash_fn("sha256", raw, cols),
     "uuid": lambda raw, cols: F.uuid(),
     # misc
     "env": lambda raw, cols: F.lit(__import__("os").environ.get(raw[0], "")),
@@ -983,23 +988,123 @@ def _fn_iterate(raw, cols):
 _TEMPLATE_FUNCS["iterate"] = _fn_iterate
 
 
+def _cef_escape(c: Column) -> Column:
+    """CEF extension value escaping (modules/cef/format-cef-extension.c
+    test expectations): backslash doubles, '=' escapes, newline/CR →
+    \\n/\\r, TAB → \\u0009, NUL → \\x00; '|' is NOT escaped in the
+    extension part. (The \\xNN invalid-UTF-8 byte case cannot arise
+    here: parquet/Spark strings are valid UTF-8 by construction.)"""
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, "=", r"\\=")
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    c = F.regexp_replace(c, "\t", r"\\u0009")
+    c = F.regexp_replace(c, "\x00", r"\\x00")
+    return c
+
+
+# a CEF extension KEY must be printable ASCII without = | \ or spaces
+_CEF_BAD_KEY_RX = r"[=|\\\n\r\t ]|[^\x20-\x7e]"
+
+
 def _format_cef_extension(raw, cols):
-    """$(format-cef-extension k=v ...) — CEF escaping of = \\ and newlines
-    (modules/cef analogue)."""
+    """$(format-cef-extension [--subkeys PREFIX] [--on-error MODE]
+    k=v ...) — modules/cef/format-cef-extension.c: --subkeys selects
+    nv keys by prefix (stripped, key-sorted); invalid keys drop the
+    whole result (on-error drop-message, the reference default) or
+    just the property (drop-property)."""
+    subkeys = None
+    on_error = "drop-message"
     pairs = []
-    for a in raw:
-        if "=" in a:
-            k, v = a.split("=", 1)
-            val = compile_template(v)
-            esc = F.regexp_replace(
-                F.regexp_replace(val, r"\\", r"\\\\"), "=", r"\\="
-            )
-            esc = F.regexp_replace(esc, "\n", r"\\n")
-            pairs.append(F.concat(F.lit(k + "="), esc))
-    return F.concat_ws(" ", *pairs)
+    i = 0
+    while i < len(raw):
+        a = raw[i]
+        if a == "--subkeys":
+            if i + 1 >= len(raw):
+                raise ValueError("Missing argument for --subkeys")
+            if raw[i + 1] == "":
+                raise ValueError(
+                    "Error parsing value-pairs: --subkeys requires a "
+                    "non-empty argument"
+                )
+            subkeys = raw[i + 1]
+            i += 2
+        elif a == "--on-error":
+            on_error = raw[i + 1]
+            i += 2
+        elif "=" in a:
+            pairs.append(a.split("=", 1))
+            i += 1
+        else:
+            i += 1
+    parts = []
+    for k, v in pairs:
+        # inline pairs are value-pairs too: --subkeys strips their
+        # prefix as well (test_inline: '.cef.k=v' renders 'k=v')
+        if subkeys is not None and k.startswith(subkeys):
+            k = k[len(subkeys):]
+        if re.search(_CEF_BAD_KEY_RX, k):
+            raise ValueError(f"invalid CEF extension key {k!r}")
+        parts.append(F.concat(F.lit(k + "="), _cef_escape(compile_template(v))))
+    invalid_any = F.lit(False)
+    cur_cols = _COLUMNS_CTX[-1] if _COLUMNS_CTX else None
+    if subkeys is not None and (cur_cols is None or NV_COL in cur_cols):
+        sel = F.map_filter(
+            F.col(NV_COL), lambda k, _v: k.startswith(subkeys)
+        )
+        ent = F.array_sort(F.map_entries(sel))
+        strip = len(subkeys)
+
+        def skey(e):
+            return F.substring(e["key"], strip + 1, 1 << 30)
+
+        invalid_any = F.exists(ent, lambda e: skey(e).rlike(_CEF_BAD_KEY_RX))
+        good = F.filter(ent, lambda e: ~skey(e).rlike(_CEF_BAD_KEY_RX))
+        rendered = F.array_join(
+            F.transform(
+                good,
+                lambda e: F.concat(skey(e), F.lit("="), _cef_escape(e["value"])),
+            ),
+            " ",
+        )
+        parts.append(F.nullif(rendered, F.lit("")))
+    out = F.concat_ws(" ", *parts) if parts else F.lit("")
+    if on_error == "drop-property":
+        return out
+    return F.when(invalid_any, F.lit("")).otherwise(out)
 
 
 _TEMPLATE_FUNCS["format-cef-extension"] = _format_cef_extension
+
+
+def _hash_fn(algo: str, raw, cols) -> Column:
+    """modules/cryptofuncs/cryptofuncs.c tf_hash: concatenated-args
+    digest with optional --length/-l hex truncation."""
+    length = None
+    data_cols = []
+    i = 0
+    while i < len(raw):
+        if raw[i] in ("--length", "-l"):
+            if i + 1 >= len(raw) or not re.fullmatch(r"\d+", raw[i + 1]):
+                raise ValueError(
+                    "$(hash) parsing failed, invalid length specification"
+                )
+            length = int(raw[i + 1])
+            i += 2
+            continue
+        data_cols.append(cols[i])
+        i += 1
+    if not data_cols:
+        raise ValueError("$(hash) parsing failed, invalid number of arguments")
+    data = F.concat_ws("", *data_cols).cast("binary")
+    h = {
+        "sha1": lambda: F.sha1(data),
+        "md5": lambda: F.md5(data),
+        "sha256": lambda: F.sha2(data, 256),
+        "sha512": lambda: F.sha2(data, 512),
+    }[algo]()
+    # substring clamps past-the-end lengths, matching the reference
+    return F.substring(h, 1, length) if length else h
 
 
 def _format_welf(raw, cols):

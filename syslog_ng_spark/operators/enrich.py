@@ -68,6 +68,42 @@ def add_contextual_data(
     return joined.withColumnRenamed("_ctx_map", target).drop("_sel")
 
 
+def glob_selector(selector: Column | str, globs: list[str]) -> Column:
+    """add-contextual-data glob selector
+    (modules/add-contextual-data/add-contextual-data-glob-selector.c):
+    render the selector template/column and return the FIRST glob from
+    the context database's selector set that matches it — the glob
+    string itself is the selector value (so context rows keyed
+    'local*' match hosts 'localhost', 'localdomain', ...); NULL when
+    nothing matches. Compose with add_contextual_data(df, ctx,
+    selector=glob_selector("host", ctx_globs))."""
+    import fnmatch  # noqa: PLC0415
+
+    col = F.col(selector) if isinstance(selector, str) else selector
+    out = None
+    for g in globs:
+        cond = col.rlike(fnmatch.translate(g))
+        out = F.when(cond, F.lit(g)) if out is None else out.when(cond, F.lit(g))
+    if out is None:
+        return F.lit(None).cast("string")
+    return out.otherwise(F.lit(None).cast("string"))
+
+
+def filter_selector(ordered_filters: list[tuple[str, "Column | object"]]) -> Column:
+    """add-contextual-data filter selector
+    (add-contextual-data-filter-selector.c): the selector value is the
+    NAME of the first filter (in ordered-filters order) whose
+    expression matches the row; NULL when none do. Accepts (name,
+    Column) or (name, FilterExpr) pairs."""
+    out = None
+    for name, cond in ordered_filters:
+        c = cond.to_column() if hasattr(cond, "to_column") else cond
+        out = F.when(c, F.lit(name)) if out is None else out.when(c, F.lit(name))
+    if out is None:
+        return F.lit(None).cast("string")
+    return out.otherwise(F.lit(None).cast("string"))
+
+
 def ctx_get(target: str, key: str) -> Column:
     return F.element_at(F.col(target), key)
 

@@ -241,3 +241,71 @@ def test_getent_loads_os_files(spark, tmp_path):
     assert row["a"] == "/usr/sbin/nologin"
     assert row["b"] == "syslog,ubuntu"
     assert row["c"] == "http"
+
+
+def test_glob_selector_port(spark):
+    """Port of modules/add-contextual-data/tests/test_glob_selector.c."""
+    from syslog_ng_spark.operators.enrich import glob_selector
+
+    df = spark.createDataFrame(
+        [("localhost", "p"), ("lacalhost", "p"), ("otherhost", "goodprog"),
+         ("otherhost", "goodish"), ("otherhost", "unrelated")],
+        "host string, program string",
+    )
+    # first expr that matches the expanded template wins
+    sel = glob_selector("host", ["local*", "loc*", "lac*"])
+    got = [r[0] for r in df.select(sel).collect()]
+    assert got[:2] == ["local*", "lac*"]
+    # later position in the list still resolves
+    sel2 = glob_selector("program", ["unmatch1", "unmatch2", "good*"])
+    got2 = [r[0] for r in df.select(sel2).collect()]
+    assert got2[2] == "good*" and got2[3] == "good*"
+    # NULL when no pattern matches
+    assert got2[4] is None
+    assert got[4] is None
+
+
+def test_filter_selector_port(spark):
+    """Port of tests/test_filter_selector.c: first matching filter's
+    NAME becomes the selector."""
+    from syslog_ng_spark.operators.enrich import filter_selector
+    from syslog_ng_spark.functions import filters as FL
+
+    df = spark.createDataFrame(
+        [("testmsg", "localhost"), ("other", "localhost"),
+         ("other", "remote")],
+        "text string, host string",  # MESSAGE lives in the text column
+    )
+    sel = filter_selector([
+        ("f_msg", FL.message("testmsg")),
+        ("f_localhost", FL.host("localhost")),
+    ])
+    got = [r[0] for r in df.select(sel).collect()]
+    # msg filter ordered first wins on the first row; host filter
+    # catches the second; nothing matches the third
+    assert got == ["f_msg", "f_localhost", None]
+
+
+def test_glob_selector_with_add_contextual_data(spark):
+    """Selectors compose with the broadcast enrich join: context rows
+    keyed by glob, messages resolved through glob_selector."""
+    from syslog_ng_spark.operators.enrich import (
+        add_contextual_data,
+        glob_selector,
+    )
+
+    ctx = spark.createDataFrame(
+        [("local*", "zone", "dc1"), ("prod-*", "zone", "dc2")],
+        "selector string, name string, value string",
+    )
+    df = spark.createDataFrame(
+        [("localhost",), ("prod-web3",), ("stray",)], "host string"
+    )
+    out = add_contextual_data(
+        df, ctx, selector=glob_selector("host", ["local*", "prod-*"])
+    )
+    from syslog_ng_spark.operators.enrich import ctx_get  # noqa: F401
+    rows = {r["host"]: r["ctx"] for r in out.collect()}
+    assert rows["localhost"]["zone"] == "dc1"
+    assert rows["prod-web3"]["zone"] == "dc2"
+    assert rows["stray"] is None

@@ -563,3 +563,41 @@ def test_format_json_shift_consumes_whole_key(spark):
         ).collect()[0].j
     )
     assert got == {"": "zz"}
+
+
+def test_cryptofuncs_port(spark):
+    """Port of modules/cryptofuncs/tests/test_cryptofuncs.c test_hash
+    (md4 excluded: no JVM digest; the reference itself gates it behind
+    an OpenSSL check). The ${missingbrace} compile-failure case is a
+    lexer-level assertion with no analogue in this compiler."""
+    import pytest as _pytest
+
+    cases = {
+        "$(sha1 foo)": "0beec7b5ea3f0fdbc95d0dd47f3c5bc275da8a33",
+        "$(sha1 bar)": "62cdb7020ff920e5aa642c3d4066950dd1f01f4d",
+        "$(md5 foo)": "acbd18db4cc2f85cedef654fccc4a4d8",
+        "$(hash foo)":
+            "2c26b46b68ffc68ff99b453c1d30413413422d706483bfa0f98a5e886266e7ae",
+        "$(sha256 foo)":
+            "2c26b46b68ffc68ff99b453c1d30413413422d706483bfa0f98a5e886266e7ae",
+        "$(sha512 foo)":
+            "f7fbba6e0636f890e56fbbf3283e524c6fa3204ae298382d624741d0dc66383"
+            "26e282c41be5e4254d8820772c5518a2c5a8c0c7f7eda19594a7eb539453e1ed7",
+        "$(sha1 --length 5 foo)": "0beec",
+        "$(sha1 -l 5 foo)": "0beec",
+        "$(sha1 --length 99999 foo)":
+            "0beec7b5ea3f0fdbc95d0dd47f3c5bc275da8a33",
+        "$(sha1 foo bar)": "8843d7f92416211de9ebb963ff4ce28125932878",
+        '$(sha1 "foo bar")': "3773dea65156909838fa6c22825cafe090ff8030",
+        "$(md5 $(sha1 foo) bar)": "196894290a831b2d2755c8de22619a97",
+    }
+    df = spark.createDataFrame([(1,)], "id long")
+    exprs = [compile_template(t, {"id"}).alias(f"c{i}")
+             for i, t in enumerate(cases)]
+    row = df.select(*exprs).head()
+    for i, (tmpl, exp) in enumerate(cases.items()):
+        assert row[f"c{i}"] == exp, tmpl
+    for bad in ("$(sha1)", "$(sha1 --length 5)",
+                "$(sha1 --length invalid_length_specification foo)"):
+        with _pytest.raises(ValueError):
+            compile_template(bad, {"id"})

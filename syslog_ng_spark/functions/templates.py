@@ -1107,38 +1107,102 @@ def _hash_fn(algo: str, raw, cols) -> Column:
     return F.substring(h, 1, length) if length else h
 
 
+def _welf_value(v: Column) -> Column:
+    """WELF value rendering (format-welf.c tf_format_welf_foreach):
+    bare unless it contains a space — then double-quoted with \\ and "
+    escaped (AUTF8_UNSAFE_QUOTE)."""
+    quoted = F.concat(
+        F.lit('"'),
+        F.regexp_replace(
+            F.regexp_replace(v, r"\\", r"\\\\"), '"', r'\\"'
+        ),
+        F.lit('"'),
+    )
+    return F.when(v.contains(" "), quoted).otherwise(v)
+
+
 def _format_welf(raw, cols):
-    """$(format-welf k=v ...) — 'k=v k2=v2' (modules/kvformat/
-    format-welf.c). A bare arg is a value-pairs key-selector glob
-    (matching engine columns + nv-map keys, key-sorted within the
-    glob, mirroring value-pairs' sorted iteration)."""
+    """$(format-welf ...) — modules/kvformat/format-welf.c: a full
+    value-pairs command line (--scope / --key globs / --exclude globs
+    — comma lists and repeats —, explicit k=v pairs, bare selector
+    globs/names), merged into one key set and rendered SORTED with the
+    'id' key first (tf_format_welf_strcmp); space-containing values are
+    quoted."""
     import fnmatch as _fn  # noqa: PLC0415
 
     cur_cols = _COLUMNS_CTX[-1] if _COLUMNS_CTX else None
-    parts = []
-    for a in raw:
-        if "=" in a:
+    scopes: list[str] = []
+    inc: list[str] = []
+    exc: list[str] = []
+    entries: list = []
+    i = 0
+    while i < len(raw):
+        a = raw[i]
+        if a == "--scope":
+            scopes += [x.strip() for x in raw[i + 1].split(",")]
+            i += 2
+        elif a == "--key":
+            inc += raw[i + 1].split(",")
+            i += 2
+        elif a == "--exclude":
+            exc += raw[i + 1].split(",")
+            i += 2
+        elif "=" in a:
             k, v = a.split("=", 1)
-            parts.append(F.concat(F.lit(k + "="), compile_template(v)))
-            continue
-        for col_name in sorted(cur_cols or []):
-            if col_name != NV_COL and _fn.fnmatchcase(col_name, a):
-                parts.append(
-                    F.concat(F.lit(col_name + "="), F.col(col_name).cast("string"))
-                )
-        if cur_cols is None or NV_COL in cur_cols:
-            from .value_pairs import _glob_pred  # noqa: PLC0415
+            entries += [F.lit(k), compile_template(v, cur_cols)]
+            i += 1
+        else:
+            inc.append(a)
+            i += 1
 
-            pred = _glob_pred(a)
-            ent = F.array_sort(
-                F.map_entries(F.map_filter(F.col(NV_COL), lambda k, _v: pred(k)))
+    m = F.create_map().cast("map<string,string>")
+    if scopes:
+        from .value_pairs import _scope_map  # noqa: PLC0415
+
+        for sc in scopes:
+            m = F.map_concat(m, _scope_map(sorted(cur_cols or []), sc))
+    if inc:
+        from .value_pairs import _glob_pred  # noqa: PLC0415
+
+        # selection globs pull from engine columns and the nv map
+        for col_name in sorted(cur_cols or []):
+            if col_name != NV_COL and any(
+                _fn.fnmatchcase(col_name, g) for g in inc
+            ):
+                entries += [F.lit(col_name), F.col(col_name).cast("string")]
+        if cur_cols is None or NV_COL in cur_cols:
+            preds = [_glob_pred(g) for g in inc]
+            m = F.map_concat(
+                m,
+                F.map_filter(
+                    F.col(NV_COL), lambda k, _v: _fold_or([p(k) for p in preds])
+                ),
             )
-            joined = F.array_join(
-                F.transform(ent, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
-                " ",
-            )
-            parts.append(F.nullif(joined, F.lit("")))
-    return F.concat_ws(" ", *parts)
+    if entries:
+        m = F.map_concat(m, F.create_map(*entries))
+    if exc:
+        from .value_pairs import _glob_pred  # noqa: PLC0415
+
+        preds = [_glob_pred(g) for g in exc]
+        m = F.map_filter(m, lambda k, _v: ~_fold_or([p(k) for p in preds]))
+    m = F.map_filter(m, lambda _k, v: v.isNotNull())
+    # sorted iteration with 'id' first (tf_format_welf_strcmp)
+    ent = F.array_sort(
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(
+                (e["key"] != "id").alias("notid"),
+                e["key"].alias("key"),
+                e["value"].alias("value"),
+            ),
+        )
+    )
+    return F.array_join(
+        F.transform(
+            ent, lambda e: F.concat(e["key"], F.lit("="), _welf_value(e["value"]))
+        ),
+        " ",
+    )
 
 
 def _strptime_to_java(fmt: str) -> str:
@@ -1175,24 +1239,56 @@ _NAMED_TEMPLATES: dict = {}
 def register_named_template(name: str, template: str, columns=None) -> None:
     """template { t_name("..."); } analogue: $(template t_name) expands
     to the named template's compiled Column (tf-template.c)."""
-    _NAMED_TEMPLATES[name] = lambda: compile_template(template, columns)
+    _NAMED_TEMPLATES[name] = (template, columns)
+
+
+def _template_renderable(template: str, columns) -> bool:
+    """Can ``template`` resolve against the ``columns`` context? Plain
+    $name references must be macros, match slots, nv-reachable, or
+    present columns — otherwise compiling it into a dynamic-dispatch
+    CASE would fail ANALYSIS for every row, even ones that never pick
+    this template."""
+    if columns is None:
+        return True
+    for m in _TOKEN.finditer(template):
+        tok = m.group(0)
+        if tok in ("$$", "$("):
+            continue
+        name = tok[2:-1] if tok.startswith("${") else tok[1:]
+        name = name.split(":-", 1)[0]
+        if name.isdigit() or is_macro(name) or name in columns:
+            continue
+        if NV_COL in columns:  # unknown names fall back to the nv map
+            continue
+        return False
+    return True
 
 
 def _tf_template(raw, cols):
     name = raw[0]
+    cur_cols = _COLUMNS_CTX[-1] if _COLUMNS_CTX else None
     if name in _NAMED_TEMPLATES:  # static binding
-        return _NAMED_TEMPLATES[name]()
+        tmpl, reg_cols = _NAMED_TEMPLATES[name]
+        # the INVOKING frame's columns win: the template renders against
+        # the message it's applied to, not the registration-time schema
+        return compile_template(tmpl, cur_cols if cur_cols is not None else reg_cols)
     if "$" not in name:
         raise KeyError(
             f'$(template) Unknown template function or template "{name}"'
         )
     # dynamic binding: the name is itself a template, resolved per row
     # against the (config-time-fixed) registry; unmatched rows render
-    # the fallback args joined by ' '.
+    # the fallback args joined by ' '. Registered templates that cannot
+    # resolve in THIS frame are treated as lookup misses (the reference
+    # renders unset nv values as ''; a missing Spark column has no
+    # analogous empty — it simply cannot bind here).
     fallback = F.concat_ws(" ", *cols[1:]) if len(cols) > 1 else F.lit("")
     expr = fallback
-    for known, thunk in _NAMED_TEMPLATES.items():
-        expr = F.when(cols[0] == F.lit(known), thunk()).otherwise(expr)
+    for known, (tmpl, reg_cols) in _NAMED_TEMPLATES.items():
+        ctx = cur_cols if cur_cols is not None else reg_cols
+        if not _template_renderable(tmpl, ctx):
+            continue
+        expr = F.when(cols[0] == F.lit(known), compile_template(tmpl, ctx)).otherwise(expr)
     return expr
 
 

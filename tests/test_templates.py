@@ -601,3 +601,81 @@ def test_cryptofuncs_port(spark):
                 "$(sha1 --length invalid_length_specification foo)"):
         with _pytest.raises(ValueError):
             compile_template(bad, {"id"})
+
+
+def test_format_welf_port(spark):
+    """Port of modules/kvformat/tests/test_format_welf.c (the binary /
+    invalid-UTF-8 escape cases cannot arise in Spark strings and are
+    not ported)."""
+    df = spark.createDataFrame(
+        [("árvíztűrőtükörfúrógép", 'binary stuff follows " rest')],
+        "text string, escaping string",
+    )
+    cols = {"text", "escaping"}
+
+    def ev(t):
+        return df.withColumn("o", compile_template(t, cols)).head()["o"]
+
+    assert ev("$(format-welf MSG=$MSG)") == "MSG=árvíztűrőtükörfúrógép"
+    assert (
+        ev("xxx$(format-welf MSG=$MSG)yyy")
+        == "xxxMSG=árvíztűrőtükörfúrógépyyy"
+    )
+    # space → quoted, inner quotes escaped
+    assert (
+        ev("$(format-welf MSG=$escaping)")
+        == 'MSG="binary stuff follows \\" rest"'
+    )
+
+
+def test_format_welf_space_quoting(spark):
+    df = spark.createDataFrame([(1,)], "id2 long").withColumn(
+        "nv", F.create_map(F.lit("with_space"), F.lit("with space"))
+    )
+    out = df.withColumn(
+        "o", compile_template("$(format-welf --key with_space)", {"nv", "id2"})
+    ).head()["o"]
+    assert out == 'with_space="with space"'
+
+
+def test_format_welf_key_and_exclude(spark):
+    """key_and_exclude parameterized table from test_format_welf.c."""
+    nv = {
+        "prefix.key1": "value1",
+        "prefix.key2": "value2",
+        "prefix.exclude1": "exclude1",
+        "prefix.exclude2": "exclude2",
+    }
+    df = spark.createDataFrame([(1,)], "id2 long").withColumn(
+        "nv", F.create_map(*[F.lit(x) for kv in nv.items() for x in kv])
+    )
+    cases = {
+        "$(format-welf --key prefix.key*)":
+            "prefix.key1=value1 prefix.key2=value2",
+        "$(format-welf --key prefix.key1,prefix.key2)":
+            "prefix.key1=value1 prefix.key2=value2",
+        "$(format-welf --key prefix.* --exclude prefix.exclude*)":
+            "prefix.key1=value1 prefix.key2=value2",
+        "$(format-welf --key prefix.* --exclude prefix.exclude1,prefix.exclude2)":
+            "prefix.key1=value1 prefix.key2=value2",
+        "$(format-welf --key prefix.* --exclude prefix.exclude1 --exclude prefix.exclude2)":
+            "prefix.key1=value1 prefix.key2=value2",
+        "$(format-welf --key prefix.* --exclude prefix.exclude* --exclude prefix.key2)":
+            "prefix.key1=value1",
+    }
+    exprs = [compile_template(t, {"nv", "id2"}).alias(f"c{i}")
+             for i, t in enumerate(cases)]
+    row = df.select(*exprs).head()
+    for i, (tmpl, exp) in enumerate(cases.items()):
+        assert row[f"c{i}"] == exp, tmpl
+
+
+def test_format_welf_id_sorts_first(spark):
+    nv = {"id": "7", "aaa": "x"}
+    df = spark.createDataFrame([(1,)], "id2 long").withColumn(
+        "nv", F.create_map(*[F.lit(x) for kv in nv.items() for x in kv])
+    )
+    out = df.withColumn(
+        "o", compile_template("$(format-welf --key *)", {"nv", "id2"})
+    ).head()["o"]
+    assert out.startswith("id=7 ")

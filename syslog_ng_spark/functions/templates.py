@@ -149,8 +149,27 @@ def _apply_type_hint(hint: str, col: Column) -> Column:
     return col
 
 
+# lib/template/templates.h on-error flags; the 'silently-' variants
+# only suppress the C daemon's stderr message — identical semantics in
+# a batch engine (lib/template/tests/test_template_on_error.c table)
+_ON_ERROR_MODES = {
+    "drop-message", "silently-drop-message",
+    "drop-property", "silently-drop-property",
+    "fallback-to-string", "silently-fallback-to-string",
+}
+
+
+def parse_on_error(mode: str) -> str:
+    """log_template_on_error_parse analogue: validate and strip the
+    'silently-' prefix."""
+    if mode not in _ON_ERROR_MODES:
+        raise ValueError(f"unknown on-error mode {mode!r}")
+    return mode.removeprefix("silently-")
+
+
 def compile_typed_template(
-    template: str, columns: set[str] | None = None
+    template: str, columns: set[str] | None = None,
+    on_error: str = "drop-property",
 ) -> Column:
     """syslog-ng 4 typed templates (lib/template/templates.c type-hint
     syntax): ``int(...)``/``float(...)``/``boolean(...)``/... wrap a
@@ -160,11 +179,21 @@ def compile_typed_template(
     ``10``). Everything else compiles as a plain (string) template.
     $(format-json) renders the resulting Spark column type natively —
     the engine's analogue of LM_VT_* value types."""
+    mode = parse_on_error(on_error)
     s = template.strip()
     m = _HINT_RE.match(s)
     if m:
         hint, inner = m.groups()
-        return _apply_type_hint(hint, compile_template(inner, columns))
+        raw = compile_template(inner, columns)
+        typed = _apply_type_hint(hint, raw)
+        if mode == "fallback-to-string" and hint not in (
+            "string", "literal", "json", "list", "bytes", "protobuf", "null"
+        ):
+            # cast failure keeps the original string value (per-row
+            # type isn't expressible in one Spark column, so the whole
+            # column falls back to string when ANY row might need it)
+            return F.coalesce(typed.cast("string"), raw)
+        return typed
     if re.fullmatch(r"-?\d+", s):
         return F.lit(int(s))
     if re.fullmatch(r"-?(?:\d+\.\d*|\.\d+)", s):

@@ -68,6 +68,52 @@ def add_contextual_data(
     return joined.withColumnRenamed("_ctx_map", target).drop("_sel")
 
 
+def context_info_db_from_csv(
+    spark,
+    path: str | None = None,
+    lines: list[str] | None = None,
+    name_prefix: str | None = None,
+    ignore_case: bool = False,
+):
+    """context-info-db CSV import (modules/add-contextual-data/
+    context-info-db.c context_info_db_import + contextual-data-record-
+    scanner.c): (selector, name, value) triplets, blank lines skipped,
+    extra columns rejected, ``name_prefix`` prepended to names. Returns
+    ``(context_df, ordered_selectors)`` — the selector list in FIRST-
+    APPEARANCE order (context_info_db_enable_ordering), ready to feed
+    glob_selector(). Context DBs are broadcast-side small: parsing runs
+    on the driver, deterministically."""
+    import csv as _csv  # noqa: PLC0415
+    import io as _io  # noqa: PLC0415
+
+    if lines is None:
+        with open(path, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    rows = []
+    ordered: list[str] = []
+    seen: set[str] = set()
+    for lineno, line in enumerate(lines, 1):
+        if not line:
+            continue
+        parsed = next(_csv.reader(_io.StringIO(line)))
+        if len(parsed) != 3:
+            raise ValueError(
+                f"error parsing CSV line {lineno}: expecting "
+                f"(selector, name, value) triplets, got {len(parsed)} columns"
+            )
+        selector, name, value = parsed
+        if ignore_case:
+            selector = selector.lower()
+        if selector not in seen:
+            seen.add(selector)
+            ordered.append(selector)
+        rows.append((selector, (name_prefix or "") + name, value))
+    df = spark.createDataFrame(
+        rows, "selector string, name string, value string"
+    )
+    return df, ordered
+
+
 def glob_selector(selector: Column | str, globs: list[str]) -> Column:
     """add-contextual-data glob selector
     (modules/add-contextual-data/add-contextual-data-glob-selector.c):

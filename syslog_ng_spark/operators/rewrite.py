@@ -37,16 +37,32 @@ def _guarded(df: DataFrame, name: str, new: Column, condition) -> DataFrame:
 
 
 def set_value(
-    df: DataFrame, name: str, value: Column | str, condition=None
+    df: DataFrame, name: str, value: Column | str, condition=None,
+    on_error: str = "drop-property",
 ) -> DataFrame:
     """set(template value(name)) — rewrite-set.c:49-61. ``value`` may be a
     Column or a template string (compiled via the template compiler;
     syslog-ng 4 type hints like ``int(10)`` and bare numeric literals
-    produce a TYPED column — pass ``string(...)`` to force text)."""
+    produce a TYPED column — pass ``string(...)`` to force text).
+    ``on_error`` (template-options on-error): drop-property → cast
+    failures store NULL (default), fallback-to-string → keep the
+    original text, drop-message → drop rows whose cast failed."""
     if isinstance(value, str):
-        from ..functions.templates import compile_typed_template  # noqa: PLC0415
+        from ..functions.templates import (  # noqa: PLC0415
+            compile_typed_template,
+            parse_on_error,
+        )
 
-        value = compile_typed_template(value, set(df.columns))
+        mode = parse_on_error(on_error)
+        raw_value = value
+        value = compile_typed_template(value, set(df.columns), on_error)
+        if mode == "drop-message":
+            from ..functions.templates import compile_template  # noqa: PLC0415
+
+            raw = compile_template(raw_value, set(df.columns))
+            # a cast failure is typed-NULL while the raw render is
+            # non-empty — those rows drop (ON_ERROR_DROP_MESSAGE)
+            df = df.filter(value.isNotNull() | (F.coalesce(raw, F.lit("")) == ""))
     return _guarded(df, name, value, condition)
 
 
@@ -300,12 +316,17 @@ def credit_card_mask(df: DataFrame, source: str, target: str | None = None) -> D
     """credit-card-mask SCL preset (scl/rewrite/cc-mask.conf:81): chain
     of per-brand global substs, each masking to first-6 + "******" +
     last-4 (output is always 16 chars even for 13-15 digit PANs, per
-    the reference's fixed substr template)."""
+    the reference's fixed substr template). The 6-regex chain runs only
+    on rows containing a 13+ digit run (the shortest PAN) — CASE WHEN
+    branches evaluate lazily per row, so PAN-free logs pay one cheap
+    DFA scan instead of six brand regexes."""
     col = F.col(source)
+    masked = col
     for name, _, mask_pat in _CC_BRANDS:
         repl = r"$1$2******$3" if name == "jcb" else r"$1******$2"
-        col = F.regexp_replace(col, mask_pat, repl)
-    return df.withColumn(target or source, col)
+        masked = F.regexp_replace(masked, mask_pat, repl)
+    out = F.when(col.rlike(r"[0-9]{13}"), masked).otherwise(col)
+    return df.withColumn(target or source, out)
 
 
 _CC_SENTINEL = "\x1e"  # RS control char; never in log text (same
@@ -319,8 +340,11 @@ def credit_card_hash(df: DataFrame, source: str, target: str | None = None) -> D
     a sentinel, splits, hashes the odd (match) slots with JVM sha1, and
     rejoins — still pure Column HOFs, no UDF, no shuffle."""
     col = F.col(source)
+    hashed_col = col
     for _, full_pat, _ in _CC_BRANDS:
-        marked = F.regexp_replace(col, f"({full_pat})", f"{_CC_SENTINEL}$1{_CC_SENTINEL}")
+        marked = F.regexp_replace(
+            hashed_col, f"({full_pat})", f"{_CC_SENTINEL}$1{_CC_SENTINEL}"
+        )
         parts = F.split(marked, _CC_SENTINEL)
         hashed = F.transform(
             parts,
@@ -328,8 +352,10 @@ def credit_card_hash(df: DataFrame, source: str, target: str | None = None) -> D
                 i % 2 == 1, F.substring(F.sha1(x.cast("binary")), 1, 16)
             ).otherwise(x),
         )
-        col = F.array_join(hashed, "")
-    return df.withColumn(target or source, col)
+        hashed_col = F.array_join(hashed, "")
+    # same cheap 13-digit-run prefilter as credit_card_mask
+    out = F.when(col.rlike(r"[0-9]{13}"), hashed_col).otherwise(col)
+    return df.withColumn(target or source, out)
 
 
 def guess_timezone(

@@ -309,3 +309,76 @@ def test_glob_selector_with_add_contextual_data(spark):
     assert rows["localhost"]["zone"] == "dc1"
     assert rows["prod-web3"]["zone"] == "dc2"
     assert rows["stray"] is None
+
+
+def test_context_info_db_csv_import(spark, tmp_path):
+    """Port of tests/test_context_info_db.c csv-import cases: triplets,
+    blank-line skip, column-count rejection, name-prefix, ordered
+    selectors (context_info_db_enable_ordering), end-to-end with
+    glob_selector."""
+    import pytest as _pytest
+
+    from syslog_ng_spark.operators.enrich import (
+        add_contextual_data,
+        context_info_db_from_csv,
+        glob_selector,
+    )
+
+    csv_file = tmp_path / "ctx.csv"
+    csv_file.write_text(
+        'prod-*,zone,dc2\n'
+        '\n'
+        'local*,zone,dc1\n'
+        'local*,owner,"ops, team"\n'
+    )
+    ctx, ordered = context_info_db_from_csv(spark, str(csv_file))
+    # first-appearance order drives glob precedence
+    assert ordered == ["prod-*", "local*"]
+    assert ctx.count() == 3
+    # quoted CSV values survive
+    owner = ctx.filter("name = 'owner'").head()["value"]
+    assert owner == "ops, team"
+
+    df = spark.createDataFrame([("localhost",), ("prod-9",)], "host string")
+    out = add_contextual_data(
+        df, ctx, selector=glob_selector("host", ordered)
+    )
+    rows = {r["host"]: r["ctx"] for r in out.collect()}
+    assert rows["localhost"]["zone"] == "dc1"
+    assert rows["localhost"]["owner"] == "ops, team"
+    assert rows["prod-9"]["zone"] == "dc2"
+
+    # name-prefix prepends; bad column count rejects the whole import
+    ctx2, _ = context_info_db_from_csv(
+        spark, lines=["s1,k,v"], name_prefix=".meta."
+    )
+    assert ctx2.head()["name"] == ".meta.k"
+    with _pytest.raises(ValueError):
+        context_info_db_from_csv(spark, lines=["a,b"])
+    with _pytest.raises(ValueError):
+        context_info_db_from_csv(spark, lines=["a,b,c,d"])
+
+
+def test_set_value_on_error_modes(spark):
+    """on-error (lib/template/tests/test_template_on_error.c modes)
+    applied to typed set(): drop-property -> NULL, fallback-to-string
+    -> original text, drop-message -> row dropped; silently- variants
+    parse to the same behavior."""
+    import pytest as _pytest
+
+    from syslog_ng_spark.operators import rewrite as RW
+
+    df = spark.createDataFrame([("12",), ("bogus",)], "v string")
+    drop_prop = RW.set_value(df, "n", "int64($v)")
+    assert [r["n"] for r in drop_prop.orderBy("v").collect()] == [12, None]
+
+    fb = RW.set_value(df, "n", "int64($v)", on_error="fallback-to-string")
+    assert [r["n"] for r in fb.orderBy("v").collect()] == ["12", "bogus"]
+
+    dm = RW.set_value(
+        df, "n", "int64($v)", on_error="silently-drop-message"
+    )
+    assert [r["v"] for r in dm.collect()] == ["12"]
+
+    with _pytest.raises(ValueError):
+        RW.set_value(df, "n", "int64($v)", on_error="explode")

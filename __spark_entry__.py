@@ -1380,6 +1380,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "normalize_text": q_normalize_text,
         "pack_chunked": q_pack_chunked,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1433,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SQL,
         "normalize_text": _NORMALIZE_SQL,
         "pack_chunked": _PACK_SQL,
+        "curation_pipeline": _CURATION_SQL,
     }
 
 
@@ -2001,5 +2003,110 @@ SELECT doc_id, n_tokens, start_off,
          AS pack_last,
        CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 8192.0)
             - floor(start_off / 8192.0) + 1 AS BIGINT) AS n_spans
+FROM offs ORDER BY doc_id
+"""
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation composite (the LLM-pipeline
+    mandate stages chained): Unicode-normalize -> PII-scrub (planted
+    deterministic emails/IPs) -> exact dedup (min-id representative) ->
+    token-count quality gate (>=5) -> concat-then-chunk sequence
+    packing with global offsets. Every stage is the already-oracled
+    operator; this gate pins their COMPOSITION."""
+    from syslog_ng_spark.operators.dedup import exact_dedup
+    from syslog_ng_spark.operators.normalize import normalize_text
+    from syslog_ng_spark.operators.packing import pack_chunked
+    from syslog_ng_spark.operators.pii import pii_scrub
+    from syslog_ng_spark.operators.textstats import token_count
+
+    # plant exact-duplicate boilerplate (1 in 7 docs collapse into 4
+    # groups — the corpus itself has no byte-dups at small SF) and
+    # deterministic PII into the rest
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 1,
+            F.format_string(
+                "duplicate boilerplate block %d end",
+                F.pmod("doc_id", F.lit(4)),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            (F.pmod("doc_id", F.lit(3)) == 0)
+            & (F.pmod("doc_id", F.lit(7)) != 1),
+            F.concat(
+                F.col("text"),
+                F.format_string(
+                    " contact u%d@example.com from 10.%d.0.9",
+                    F.pmod("doc_id", F.lit(50)),
+                    F.pmod("doc_id", F.lit(256)),
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = normalize_text(docs, "text")
+    out = pii_scrub(out, "text", kinds=("email", "ipv4"))
+    out = exact_dedup(out)
+    out = out.withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    ).filter(F.col("n_tokens") >= 5)
+    out = pack_chunked(out, budget=2048)
+    return out.select(
+        "doc_id", "text", "n_tokens", "start_off",
+        F.col("pack_first").alias("pack_id"),
+    ).orderBy("doc_id")
+
+
+_CURATION_SQL = """
+WITH duped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN printf('duplicate boilerplate block %d end', doc_id % 4)
+              ELSE text END AS text
+  FROM documents
+), planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 AND doc_id % 7 <> 1
+              THEN text || printf(' contact u%d@example.com from 10.%d.0.9',
+                                  doc_id % 50, doc_id % 256)
+              ELSE text END AS text
+  FROM duped
+), normalized AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           nfc_normalize(regexp_replace(text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')),
+           '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS text
+  FROM planted
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text
+  FROM normalized
+), dedup AS (
+  SELECT min(doc_id) AS keep_id
+  FROM scrubbed
+  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+), kept AS (
+  SELECT s.doc_id, s.text,
+         CASE WHEN trim(s.text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(s.text), '\\s+')) END
+           AS n_tokens
+  FROM scrubbed s JOIN dedup d ON s.doc_id = d.keep_id
+), q AS (
+  SELECT * FROM kept WHERE n_tokens >= 5
+), offs AS (
+  SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM q
+)
+SELECT doc_id, text, n_tokens, start_off,
+       CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_id
 FROM offs ORDER BY doc_id
 """

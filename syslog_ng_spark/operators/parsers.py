@@ -1211,41 +1211,133 @@ def _group_lines_assemble(
 # ---------------------------------------------------------------------------
 
 
+def _str_repr_encode(s: str, forbidden: str = ",") -> str:
+    """lib/str-repr/encode.c str_repr_encode_append: bare when safe;
+    double-quote wrap when quoting is needed or the value has
+    apostrophes; SINGLE-quote wrap when it has double quotes (and no
+    apostrophes); double-quote wrap with escaped quotes when both."""
+    if s == "":
+        return '""'
+    apo = "'" in s
+    quo = '"' in s
+
+    def esc(x: str, escape_quote: bool = False) -> str:
+        out = []
+        for ch in x:
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "\b":
+                out.append("\\b")
+            elif ch == "\f":
+                out.append("\\f")
+            elif ch == "\n":
+                out.append("\\n")
+            elif ch == "\r":
+                out.append("\\r")
+            elif ch == "\t":
+                out.append("\\t")
+            elif escape_quote and ch == '"':
+                out.append('\\"')
+            elif ord(ch) < 0x20:
+                out.append(f"\\x{ord(ch):02x}")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    if not apo and not quo:
+        if any(c in s for c in "\b\f\n\r\t\\ ") or any(c in s for c in forbidden):
+            return '"' + esc(s) + '"'
+        return s
+    if quo and not apo:
+        return "'" + esc(s) + "'"
+    if apo and not quo:
+        return '"' + esc(s) + '"'
+    return '"' + esc(s, True) + '"'
+
+
 def xml_parser(
     df: DataFrame,
     source: str | Column = "text",
     prefix: str = ".xml",
     target: str = "xml",
+    exclude_tags: list[str] | None = None,
+    strip_whitespaces: bool = False,
+    create_lists: bool = True,
 ) -> DataFrame:
-    """XML → flattened dotted-key NV pairs (modules/xml/xml.c): element
-    text lands under ``<prefix>.path.to.tag``, attributes under
-    ``..._attr``. One vectorized Arrow UDF around xml.etree; repeated
-    tags concatenate text like the reference's default."""
+    """XML → flattened dotted-key NV pairs (modules/xml/xml.c +
+    lib/scanner/xml-scanner): element text lands under
+    ``<prefix>.path.to.tag`` (a tag's text segments — text + child
+    tails — concatenate, each stripped under ``strip_whitespaces``),
+    attributes under ``..._attr``. Repeated keys become syslog-ng
+    LISTS by default (create-lists, v3.20+ reference default, elements
+    str-repr-encoded with ',' forbidden) or plain-concatenate with
+    ``create_lists=False``. ``exclude_tags`` are tag-NAME globs whose
+    subtrees are skipped. Multi-root fragments parse (scanner
+    semantics); top-level stray text is invalid, as are all the
+    reference's invalid_inputs cases. One vectorized Arrow UDF around
+    xml.etree; test table: modules/xml/tests/test_xml_parser.c."""
+    import fnmatch as _fnmatch  # noqa: PLC0415
+
+    excl = list(exclude_tags or [])
 
     @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
     def parse(s: pd.Series) -> pd.Series:
         import xml.etree.ElementTree as ET  # noqa: PLC0415
 
+        def excluded(tag):
+            return any(_fnmatch.fnmatchcase(tag, p) for p in excl)
+
         def one(txt):
             if not txt:
                 return None
             try:
-                root = ET.fromstring(txt)
+                roots = [ET.fromstring(txt)]
             except ET.ParseError:
-                return None
+                # multi-root fragment: retry under a wrapper, but stray
+                # TOP-LEVEL text (e.g. '<tag></tag>>') stays invalid
+                try:
+                    wrapper = ET.fromstring(f"<_r>{txt}</_r>")
+                except ET.ParseError:
+                    return None
+                if (wrapper.text or "").strip() or any(
+                    (c.tail or "").strip() for c in wrapper
+                ):
+                    return None
+                roots = list(wrapper)
             out: dict[str, str] = {}
 
-            def walk(node, path):
-                p = f"{path}.{node.tag}"
-                for ak, av in node.attrib.items():
-                    out[f"{p}._{ak}"] = av
-                text = (node.text or "").strip()
-                if text:
-                    out[p] = out.get(p, "") + text
-                for child in node:
-                    walk(child, p)
+            def push(key, val):
+                if create_lists:
+                    enc = _str_repr_encode(val)
+                    out[key] = out[key] + "," + enc if key in out else enc
+                else:
+                    out[key] = out.get(key, "") + val
 
-            walk(root, prefix)
+            def key_for(parent_key, tag):
+                if parent_key:
+                    return f"{parent_key}.{tag}"
+                if prefix and not prefix.endswith("."):
+                    return f"{prefix}.{tag}"
+                return f"{prefix}{tag}"
+
+            def walk(node, parent_key):
+                p = key_for(parent_key, node.tag)
+                for ak, av in node.attrib.items():
+                    push(f"{p}._{ak}", av)
+                segs = [node.text or ""]
+                for child in node:
+                    if not excluded(child.tag):
+                        walk(child, p)
+                    segs.append(child.tail or "")
+                if strip_whitespaces:
+                    segs = [sg.strip() for sg in segs]
+                text = "".join(segs)
+                if text:
+                    push(p, text)
+
+            for r in roots:
+                if not excluded(r.tag):
+                    walk(r, "")
             return out
 
         return s.map(one)

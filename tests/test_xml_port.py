@@ -168,3 +168,36 @@ def test_prefix_variants(spark, text, prefix, key, value):
     kw = {} if prefix is None else {"prefix": prefix}
     xml, _ = _parse(spark, text, **kw)
     assert xml[key] == value
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        # lib/str-repr/tests/test_encode.c (no forbidden chars)
+        ("", '""'),
+        ("a", "a"),
+        ("alma", "alma"),
+        ("al\nma", '"al\\nma"'),
+        ("foo bar", '"foo bar"'),
+        ('"value1', "'\"value1'"),
+        ("'value1", "\"'value1\""),
+        ("\b \f \n \r \t \\", '"\\b \\f \\n \\r \\t \\\\"'),
+    ],
+)
+def test_str_repr_encode_port(value, expected):
+    from syslog_ng_spark.operators.parsers import _str_repr_encode
+
+    assert _str_repr_encode(value, forbidden="") == expected
+
+
+@pytest.mark.parametrize(
+    "value,forbidden,expected",
+    [
+        ("foo,", ",", '"foo,"'),
+        ("\"'foo,", ",", '"\\"\'foo,"'),
+    ],
+)
+def test_str_repr_encode_forbidden_port(value, forbidden, expected):
+    from syslog_ng_spark.operators.parsers import _str_repr_encode
+
+    assert _str_repr_encode(value, forbidden=forbidden) == expected

@@ -1381,6 +1381,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "pack_chunked": q_pack_chunked,
         "curation_pipeline": q_curation_pipeline,
+        "xml_parse": q_xml_parse,
     }
 
 
@@ -1435,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _NORMALIZE_SQL,
         "pack_chunked": _PACK_SQL,
         "curation_pipeline": _CURATION_SQL,
+        "xml_parse": _XML_SQL,
     }
 
 
@@ -2109,4 +2111,46 @@ WITH duped AS (
 SELECT doc_id, text, n_tokens, start_off,
        CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_id
 FROM offs ORDER BY doc_id
+"""
+
+
+def q_xml_parse(spark, sf_dir):
+    """xml-parser (modules/xml/xml.c) inverse-property gate: XML event
+    docs formatted FROM events columns (attribute + nested text +
+    repeated <v> tags exercising the create-lists encoder), parsed
+    back; DuckDB recomputes every field from the source columns."""
+    from syslog_ng_spark.operators.parsers import xml_parser
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod("event_id", F.lit(5)) == 0
+    )
+    line = F.format_string(
+        '<event id="%d"><type>%s</type><user>u%d</user>'
+        "<v>%d</v><v>tag %d</v></event>",
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("user_id"),
+        F.pmod("event_id", F.lit(97)),
+        F.pmod("user_id", F.lit(7)),
+    )
+    parsed = xml_parser(ev.withColumn("text", line))
+    x = F.col("xml")
+    return parsed.select(
+        "event_id",
+        F.element_at(x, ".xml.event._id").alias("attr_id"),
+        F.element_at(x, ".xml.event.type").alias("etype"),
+        F.element_at(x, ".xml.event.user").alias("euser"),
+        F.element_at(x, ".xml.event.v").alias("vlist"),
+    ).orderBy("event_id")
+
+
+_XML_SQL = """
+SELECT event_id,
+       CAST(event_id AS VARCHAR) AS attr_id,
+       event_type AS etype,
+       'u' || user_id AS euser,
+       (event_id % 97) || ',"tag ' || (user_id % 7) || '"' AS vlist
+FROM events
+WHERE event_id % 5 = 0
+ORDER BY event_id
 """

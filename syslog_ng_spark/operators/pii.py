@@ -51,6 +51,15 @@ def pii_scrub(
     for kind, (pat, repl) in PII_PATTERNS.items():
         if kinds is not None and kind not in kinds:
             continue
+        if kind == "email":
+            # a match REQUIRES '@': the email regex dominates the chain
+            # (~4× the other kinds — heavy backtracking on every alnum
+            # run), and a JVM contains() is a plain substring scan, so
+            # @-free rows skip it entirely (lazy CASE branch)
+            out = F.when(
+                out.contains("@"), F.regexp_replace(out, pat, repl)
+            ).otherwise(out)
+            continue
         out = F.regexp_replace(out, pat, repl)
     return df.withColumn(target or text_col, out)
 

@@ -61,7 +61,14 @@ def normalize_text(
     c: Column = F.col(text_col)
     if strip_control:
         c = F.regexp_replace(c, _CONTROL_RE, "")
-    c = _norm_udf(form)(c)
+    # ASCII fast path: octet_length == length ⇔ pure ASCII, and every
+    # normal form is the identity on ASCII. A CASE around a Python UDF
+    # would NOT skip it (Catalyst extracts UDFs into an unconditional
+    # ArrowEvalPython), so instead the UDF INPUT is nulled for ASCII
+    # rows — they ship as Arrow nulls (no string payload, no Python
+    # work) and coalesce back to the untouched column.
+    non_ascii = F.octet_length(c) != F.length(c)
+    c = F.coalesce(_norm_udf(form)(F.when(non_ascii, c)), c)
     if collapse_ws:
         c = F.trim(F.regexp_replace(c, _WS_RE, " "))
     if lowercase:

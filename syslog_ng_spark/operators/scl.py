@@ -191,20 +191,59 @@ def sdata_parser(df: DataFrame, source: str = "text", prefix: str = ".SDATA.") -
     return out.withColumn("sdata_matched", F.col("sdata").isNotNull())
 
 
-def app_parser(df: DataFrame, source: str = "text", program_col: str = "program") -> DataFrame:
-    """app-parser() (modules/appmodel/app-parser-generator.c): try the
-    registered application presets and tag the first whose parser
-    matches — batch shape: all presets parse as columns (cheap, pruned
-    when unused), ``app`` = first matched."""
-    out = apache_accesslog_parser(df, source=source)
-    out = cisco_parser(out, source=source)
-    out = sdata_parser(out, source=source)
-    return out.withColumn(
-        "app",
-        F.when(F.col("apache_matched"), "apache")
-        .when(F.col("cisco_matched"), "cisco")
-        .when(F.col("sdata_matched"), "rfc5424-sd"),
-    )
+# application registry: topic -> ordered [(app_name, parser_fn,
+# matched_col)] (modules/appmodel/appmodel-context.c analogue; apps
+# register per topic, app-parser generates the first-match dispatch)
+_APP_REGISTRY: dict = {}
+
+
+def register_application(
+    name: str, parser_fn, matched_col: str, topic: str = "syslog"
+) -> None:
+    """app "name[topic]" { parser {...} } analogue
+    (modules/appmodel/appmodel.c): register a parser under a topic for
+    app_parser() dispatch. ``parser_fn(df, source=...)`` must add
+    ``matched_col``."""
+    _APP_REGISTRY.setdefault(topic, [])
+    _APP_REGISTRY[topic] = [
+        e for e in _APP_REGISTRY[topic] if e[0] != name
+    ] + [(name, parser_fn, matched_col)]
+
+
+def app_parser(
+    df: DataFrame,
+    source: str = "text",
+    topic: str = "syslog",
+    include_apps: list[str] | None = None,
+    exclude_apps: list[str] | None = None,
+    auto_parse: bool = True,
+) -> DataFrame:
+    """app-parser(topic(...)) (modules/appmodel/app-parser-generator.c):
+    run the topic's registered applications, ``app`` = FIRST whose
+    parser matched (registration order). ``include_apps``/
+    ``exclude_apps`` filter the set (exclude wins, as in the generated
+    config); ``auto_parse=False`` — or an empty/unknown topic — yields
+    empty framing: rows pass with ``app`` NULL. Batch shape: all
+    selected presets parse as columns (pruned when unused)."""
+    apps = list(_APP_REGISTRY.get(topic, []))
+    if include_apps is not None:
+        apps = [a for a in apps if a[0] in include_apps]
+    if exclude_apps:
+        apps = [a for a in apps if a[0] not in exclude_apps]
+    if not auto_parse or not apps:
+        return df.withColumn("app", F.lit(None).cast("string"))
+    out = df
+    chain = None
+    for name, fn, matched_col in apps:
+        out = fn(out, source=source)
+        cond = F.col(matched_col)
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    return out.withColumn("app", chain)
+
+
+register_application("apache", apache_accesslog_parser, "apache_matched")
+register_application("cisco", cisco_parser, "cisco_matched")
+register_application("rfc5424-sd", sdata_parser, "sdata_matched")
 
 
 def windows_eventlog_parser(df: DataFrame, source: str = "text", prefix: str = ".windows.") -> DataFrame:

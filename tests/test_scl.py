@@ -714,3 +714,44 @@ def test_arr_parser(spark):
     assert out["program"] == "radarr"
     assert out[".radarr.module"] == "DownloadService"
     assert out["level"] == "warn"
+
+
+def test_app_parser_registry_port(spark):
+    """Port of modules/appmodel/tests/test_app_parser_generator.c
+    semantics: first-match dispatch in registration order,
+    include/exclude filtering, auto-parse(no) and unknown topics
+    generate empty framing (rows pass, app NULL)."""
+    from syslog_ng_spark.operators.scl import app_parser, register_application
+
+    df = spark.createDataFrame(
+        [
+            ('1.2.3.4 - u [12/Jan/2024:00:00:00 +0000] "GET / HTTP/1.0" 200 5',),
+            ("%ASA-6-302013: Built outbound TCP connection",),
+            ("plain message",),
+        ],
+        "text string",
+    )
+    got = [r["app"] for r in app_parser(df).collect()]
+    assert got[0] == "apache"
+    assert got[1] == "cisco"
+    assert got[2] is None
+
+    # include/exclude filter the generated dispatch; exclude wins
+    got = [r["app"] for r in app_parser(df, include_apps=["cisco"]).collect()]
+    assert got == [None, "cisco", None]
+    got = [r["app"] for r in app_parser(df, exclude_apps=["cisco"]).collect()]
+    assert got[1] is None
+
+    # auto-parse(no) and no-apps-registered topics => empty framing
+    for kw in ({"auto_parse": False}, {"topic": "no_such_topic"}):
+        out = app_parser(df, **kw)
+        assert out.count() == 3
+        assert all(r["app"] is None for r in out.collect())
+
+    # registering under a new topic dispatches there only
+    from syslog_ng_spark.operators.scl import cisco_parser
+
+    register_application("cisco2", cisco_parser, "cisco_matched",
+                         topic="netdev")
+    got = [r["app"] for r in app_parser(df, topic="netdev").collect()]
+    assert got == [None, "cisco2", None]

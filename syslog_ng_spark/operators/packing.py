@@ -39,16 +39,44 @@ def _global_cumsum(
     df: DataFrame, size_col: str, order_col: str, out_col: str
 ) -> DataFrame:
     """Exclusive global running sum of ``size_col`` in ``order_col``
-    order, without a single-partition window."""
-    part = df.repartitionByRange(F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    order, with exactly ONE corpus shuffle.
+
+    A ``Window.partitionBy(spark_partition_id())`` local cumsum would
+    force a SECOND full hash exchange (range partitioning does not
+    satisfy the window's hash requirement — verified in the plan), so
+    the per-partition running sum runs as a narrow Arrow pass over the
+    range-sorted partitions instead. The totals branch aggregates the
+    same reused range exchange (map-side partial: numPartitions tiny
+    rows move), its prefix window runs on that tiny frame, and the
+    prefix table broadcasts back. ``size_col`` must be non-null."""
+    part = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(
+        order_col
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
-    local = part.withColumn(
-        "_local_cum", F.sum(size_col).over(w) - F.col(size_col)
+    schema = T.StructType(
+        list(part.schema.fields)
+        + [
+            T.StructField("_pid", T.IntegerType()),
+            T.StructField("_local_cum", T.LongType()),
+        ]
     )
+
+    def cum(batches):
+        import numpy as np  # noqa: PLC0415
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            sizes = pdf[size_col].to_numpy(dtype="int64")
+            out = pdf.copy()
+            out["_pid"] = np.int32(pid)
+            out["_local_cum"] = np.cumsum(sizes) - sizes + run
+            run += int(sizes.sum())
+            yield out
+
+    local = part.mapInPandas(cum, schema=schema)
     totals = (
-        local.groupBy("_pid")
+        part.groupBy(F.spark_partition_id().alias("_pid"))
         .agg(F.sum(size_col).alias("_tot"))
         .withColumn(
             "_prefix",
@@ -63,8 +91,6 @@ def _global_cumsum(
         )
         .select("_pid", "_prefix")
     )
-    # totals has numPartitions rows — broadcast join, then the tiny
-    # single-partition window above only ever sees that tiny frame.
     return (
         local.join(F.broadcast(totals), "_pid")
         .withColumn(out_col, F.col("_local_cum") + F.col("_prefix"))

@@ -226,3 +226,33 @@ def test_bucketed_join_has_no_exchange(spark, transcripts_df):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_pack_chunked_no_data_sized_single_partition(spark):
+    """pack_chunked's global cumsum must never move the DATA to one
+    partition: the plan may single-partition only the tiny
+    per-partition-totals frame (numPartitions rows), the corpus side
+    sees one RANGE exchange + one broadcast join."""
+    from syslog_ng_spark.operators.packing import pack_chunked
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.pmod("id", F.lit(50)) + 1).alias("n_tokens")
+    ).repartition(8)
+    plan = _plan(pack_chunked(docs, budget=512))
+    # the data path: ONE range exchange of the corpus (the totals
+    # branch re-lists it pre-AQE; at runtime it's a ReusedExchange),
+    # NO hash exchange of the corpus (the window-based local cumsum
+    # would add one — pinned here), prefix table arrives by broadcast
+    assert "Exchange rangepartitioning" in plan
+    # the corpus path is range-exchange -> MapInPandas -> broadcast
+    # join; the ONE hash exchange in the plan belongs to the totals
+    # branch and moves per-partition PARTIAL sums (tiny), never the
+    # corpus (the window-based local cumsum would hash-exchange the
+    # whole corpus -- pinned here)
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only SinglePartition exchange feeds the totals prefix window,
+    # whose input is the per-partition PARTIAL aggregate (tiny)
+    assert plan.count("Exchange SinglePartition") <= 1

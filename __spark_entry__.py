@@ -1382,6 +1382,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunked": q_pack_chunked,
         "curation_pipeline": q_curation_pipeline,
         "xml_parse": q_xml_parse,
+        "mix_sources": q_mix_sources,
+        "shuffle_shards": q_shuffle_shards,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1437,6 +1440,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunked": _PACK_SQL,
         "curation_pipeline": _CURATION_SQL,
         "xml_parse": _XML_SQL,
+        "mix_sources": _MIX_SQL,
+        "shuffle_shards": _SHUFFLE_SQL,
+        "unigram_logprob": _UNIGRAM_SQL,
     }
 
 
@@ -2153,4 +2159,106 @@ SELECT event_id,
 FROM events
 WHERE event_id % 5 = 0
 ORDER BY event_id
+"""
+
+
+def q_mix_sources(spark, sf_dir):
+    """Deterministic training-data domain mixing (LLM-pipeline):
+    per-source up/down-sampling with an md5-bucket coin — src0 dropped,
+    src1 kept at 35%, src2 doubled, src3 at 2.5x with copy numbering,
+    everything else at weight 1. Zero-shuffle: one CASE projection +
+    explode (operators/sampling.py)."""
+    from syslog_ng_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_sources(
+        docs, {"src0": 0.0, "src1": 0.35, "src2": 2.0, "src3": 2.5}
+    )
+    return out.select("doc_id", "source", "copy_idx").orderBy(
+        "doc_id", "copy_idx"
+    )
+
+
+_MIX_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 10000 AS bkt
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CASE source
+           WHEN 'src0' THEN 0
+           WHEN 'src1' THEN CASE WHEN bkt < 3500 THEN 1 ELSE 0 END
+           WHEN 'src2' THEN 2
+           WHEN 'src3' THEN 2 + CASE WHEN bkt < 5000 THEN 1 ELSE 0 END
+           ELSE 1
+         END AS copies
+  FROM b
+)
+SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy_idx
+FROM c
+WHERE copies > 0
+ORDER BY doc_id, copy_idx
+"""
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + shard export (LLM-pipeline):
+    md5-keyed permutation of the corpus into 8 shards with 1-based
+    in-shard positions — reproducible run-to-run, salt = epoch. One
+    hash exchange + in-partition sort (operators/sampling.py)."""
+    from syslog_ng_spark.operators.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, n_shards=8, salt="ep1:")
+    return out.select("doc_id", "shard", "pos").orderBy("doc_id")
+
+
+_SHUFFLE_SQL = """
+WITH k AS (
+  SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+), s AS (
+  SELECT doc_id, skey,
+         CAST(CAST(('0x' || substr(skey, 1, 8)) AS UBIGINT) % 8 AS BIGINT)
+           AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+            AS BIGINT) AS pos
+FROM s
+ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring (LLM-pipeline): corpus unigram counts
+    (word-count aggregate) then per-document mean ln p(token) — the
+    CCNet-style rank-by-typicality signal. Exact mode: token-keyed
+    shuffle join; the 100-TB path is vocab_limit + broadcast
+    (operators/quality.py)."""
+    from syslog_ng_spark.operators.quality import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs).orderBy("doc_id")
+
+
+_UNIGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), t2 AS (
+  SELECT doc_id, tok FROM t WHERE tok <> ''
+), v AS (
+  SELECT tok, count(*) AS c FROM t2 GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS s FROM v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(c / s)), 6) AS logprob
+FROM t2 JOIN v USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
 """

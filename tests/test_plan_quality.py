@@ -256,3 +256,36 @@ def test_pack_chunked_no_data_sized_single_partition(spark):
     # the only SinglePartition exchange feeds the totals prefix window,
     # whose input is the per-partition PARTIAL aggregate (tiny)
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_mix_sources_is_zero_shuffle(spark):
+    from syslog_ng_spark.operators.sampling import mix_sources
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    plan = _plan(mix_sources(docs, {"src0": 0.0, "src1": 2.5}))
+    # weighted mixing must be a narrow projection + generate: no exchange
+    assert "Exchange" not in plan, plan
+
+
+def test_shuffle_shards_is_one_exchange(spark):
+    from syslog_ng_spark.operators.sampling import shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = _plan(shuffle_shards(docs, 8))
+    # exactly the shard hash-partition; the in-shard sort is local
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_unigram_broadcast_mode_no_token_shuffle_join(spark):
+    from syslog_ng_spark.operators.quality import unigram_logprob, unigram_stats
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(50)], "doc_id long, text string"
+    )
+    vocab = unigram_stats(docs).cache()
+    plan = _plan(unigram_logprob(docs, vocab=vocab, vocab_limit=10))
+    # scoring side must broadcast the vocab, not shuffle the corpus tokens
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1385,6 +1385,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "shuffle_shards": q_shuffle_shards,
         "unigram_logprob": q_unigram_logprob,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -1443,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_sources": _MIX_SQL,
         "shuffle_shards": _SHUFFLE_SQL,
         "unigram_logprob": _UNIGRAM_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
     }
 
 
@@ -2261,4 +2263,56 @@ SELECT doc_id,
 FROM t2 JOIN v USING (tok) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate line removal (LLM-pipeline): plant a
+    3-way rotating header + a universal footer around every document,
+    then strip every line shared by >= 2 docs (>= 5 chars); unique
+    middles survive with order preserved (operators/dedup.line_dedup,
+    byte-exact hash_lines=False mode for the oracle)."""
+    from syslog_ng_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("HDR-"),
+            F.pmod("doc_id", F.lit(3)).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nFOOTER-COMMON"),
+        ),
+    )
+    out = line_dedup(
+        docs, min_docs=2, min_line_chars=5, hash_lines=False, target="clean"
+    )
+    return out.select("doc_id", "clean").orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         'HDR-' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || text ||
+           chr(10) || 'FOOTER-COMMON' AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM planted
+), b AS (
+  SELECT line
+  FROM (SELECT DISTINCT doc_id, line FROM l WHERE len(line) >= 5)
+  GROUP BY line
+  HAVING count(*) >= 2
+), r AS (
+  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS clean
+  FROM l LEFT JOIN b ON l.line = b.line
+  WHERE b.line IS NULL
+  GROUP BY l.doc_id
+)
+SELECT p.doc_id, coalesce(r.clean, '') AS clean
+FROM planted p LEFT JOIN r USING (doc_id)
+ORDER BY p.doc_id
 """

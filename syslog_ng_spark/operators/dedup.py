@@ -773,3 +773,67 @@ def dedup_by_component(
             "component", F.coalesce("component", F.col(id_col))
         )
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+    target: str | None = None,
+    hash_lines: bool = True,
+) -> DataFrame:
+    """Cross-document LINE dedup: remove lines that appear (as a full
+    line) in >= ``min_docs`` distinct documents — the boilerplate pass
+    (headers, footers, nav bars, license blocks) that document-level
+    dedup cannot touch because the surrounding text differs.
+
+    Lines shorter than ``min_line_chars`` are exempt (never removed):
+    blank lines and short connectives repeat across documents for
+    benign reasons. Documents whose every line is removed come back as
+    ``''``; NULL text stays NULL. Line order is preserved.
+
+    Shape at scale: posexplode -> distinct (doc, line) -> count per line
+    -> anti-join -> per-doc ordered re-assembly (one aggregate). With
+    ``hash_lines`` (default) the distinct/count/anti-join phases key on
+    xxhash64(line) so the two count shuffles and the join carry 8-byte
+    keys instead of full line text; a 64-bit collision (~N^2/2^65 for N
+    distinct lines) could at worst drop one extra repeated line. The
+    gate oracle runs ``hash_lines=False`` (byte-exact, DuckDB-checkable).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    key = F.xxhash64("_line") if hash_lines else F.col("_line")
+    eligible = lines.filter(F.length("_line") >= min_line_chars)
+    boiler = (
+        eligible.select(F.col(id_col), key.alias("_lkey"))
+        .distinct()
+        .groupBy("_lkey")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_lkey")
+    )
+    kept = lines.withColumn("_lkey", key).join(boiler, "_lkey", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda x: x["_line"],
+            ),
+            "\n",
+        ).alias("_rebuilt")
+    )
+    out_col = target or text_col
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce("_rebuilt", F.lit(""))
+            ),
+        )
+        .drop("_rebuilt")
+    )

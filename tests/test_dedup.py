@@ -301,3 +301,73 @@ def test_simhash_auto_keying_shingle_features(spark):
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert {(j, 3000 + j) for j in range(20)} <= got
     assert out._block_chunks in (1, 2, 3)
+
+
+class TestLineDedup:
+    """Cross-document boilerplate line removal (dedup.line_dedup)."""
+
+    ROWS = [
+        (1, "HDR\nunique one\nFOOT"),
+        (2, "HDR\nunique two\nFOOT"),
+        (3, "HDR\nFOOT"),          # all lines boilerplate -> ''
+        (4, "solo text"),           # untouched
+        (5, None),                  # NULL stays NULL
+        (6, "ab\nHDR\nab"),         # 'ab' repeats only within ONE doc -> kept
+    ]
+    EXPECT = {
+        1: "unique one",
+        2: "unique two",
+        3: "",
+        4: "solo text",
+        5: None,
+        6: "ab\nab",
+    }
+
+    @pytest.mark.parametrize("hash_lines", [True, False])
+    def test_boilerplate_removed_order_kept(self, spark, hash_lines):
+        from syslog_ng_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        out = {
+            r.doc_id: r.text
+            for r in line_dedup(
+                df, min_line_chars=2, hash_lines=hash_lines
+            ).collect()
+        }
+        assert out == self.EXPECT
+
+    def test_short_lines_exempt(self, spark):
+        from syslog_ng_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "x\nkeep me\nx"), (2, "x\nother\nx")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r.text
+            for r in line_dedup(df, min_line_chars=2).collect()
+        }
+        # 'x' is below min_line_chars: repeated across docs yet kept
+        assert out == {1: "x\nkeep me\nx", 2: "x\nother\nx"}
+
+    def test_min_docs_threshold(self, spark):
+        from syslog_ng_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(i, "shared line\nuniq %d" % i) for i in range(4)],
+            "doc_id long, text string",
+        )
+        out3 = line_dedup(df, min_docs=5)
+        assert all(r.text.startswith("shared") for r in out3.collect())
+        out2 = line_dedup(df, min_docs=4)
+        assert all(r.text == "uniq %d" % r.doc_id for r in out2.collect())
+
+    def test_target_column(self, spark):
+        from syslog_ng_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "dup\na1"), (2, "dup\nb2")], "doc_id long, text string"
+        )
+        out = line_dedup(df, target="clean").collect()
+        for r in out:
+            assert r.text.startswith("dup\n")
+            assert r.clean in ("a1", "b2")

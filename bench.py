@@ -302,7 +302,21 @@ def write_bench_md(result: dict) -> None:
             f"| query | prev s | now s | Δ |\n|---|---|---|---|\n" + "\n".join(lines) + "\n"
         )
 
-    with open(os.path.join(repo, "BENCH.md"), "w") as fh:
+    # Preserve any hand-written adjudication section (delimited by the
+    # marker below) across regenerations — measured numbers are machine
+    # truth, but the WHY behind a delta is written by a human per round.
+    marker = "<!-- adjudications -->"
+    manual = ""
+    md_path = os.path.join(repo, "BENCH.md")
+    try:
+        with open(md_path) as fh:
+            old = fh.read()
+        if marker in old:
+            manual = "\n" + old[old.index(marker):].rstrip() + "\n"
+    except OSError:
+        pass
+
+    with open(md_path, "w") as fh:
         fh.write(
             "# BENCH — measured locally by bench.py\n\n"
             f"Corpus: {pipe['n_turns']:,} turns (deterministic datagen, seed 42), "
@@ -331,6 +345,7 @@ def write_bench_md(result: dict) -> None:
             "Plans are shuffle-free until the final aggregate — no exchange "
             "bottleneck appears at higher executor counts.\n"
             + cmp_section
+            + manual
         )
 
 

@@ -68,8 +68,9 @@ def docs(spark):
     return spark.createDataFrame(DOCS, ["doc_id", "text"])
 
 
-def test_matches_python_oracle(docs):
-    out = repetition_stats(docs, top_ns=(2,), dup_ns=(3,))
+@pytest.mark.parametrize("engine", ["arrow", "explode"])
+def test_matches_python_oracle(docs, engine):
+    out = repetition_stats(docs, top_ns=(2,), dup_ns=(3,), engine=engine)
     got = {
         r["doc_id"]: (
             round(r["dup_line_frac"], 9),
@@ -82,6 +83,42 @@ def test_matches_python_oracle(docs):
     for did, text in DOCS:
         want = tuple(round(v, 9) for v in _py_stats(text, 2, 3))
         assert got[did] == want, (did, got[did], want)
+
+
+def test_engines_identical_on_boilerplate_corpus(spark):
+    """arrow (default, zero-shuffle) vs explode (pure-JVM) engines on a
+    corpus with planted line + n-gram repetition: bit-identical doubles."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(60):
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(0, 80)))
+        boiler = "all rights reserved click here to subscribe"
+        text = "\n".join([body[:50], boiler, body[20:70], boiler])
+        rows.append((d, text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(top_ns=(2, 3), dup_ns=(3, 5))
+    cols = [
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "dup_3gram_char_frac", "dup_5gram_char_frac",
+    ]
+    a = {r["doc_id"]: r for r in
+         repetition_stats(docs, engine="arrow", **kw).select(cols).collect()}
+    b = {r["doc_id"]: r for r in
+         repetition_stats(docs, engine="explode", **kw).select(cols).collect()}
+    assert a == b
+
+
+def test_arrow_engine_is_zero_shuffle(docs):
+    plan = (
+        repetition_stats(docs, top_ns=(2,), dup_ns=(3, 5))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
 
 
 def test_output_preserves_input_rows_and_columns(docs):

@@ -1726,9 +1726,10 @@ FROM p GROUP BY path ORDER BY path
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (§LLM-pipeline): 5-gram overlap of every
     document against a broadcast 'benchmark' set (every 20th document).
-    The corpus side shuffles only (doc_id, 8-byte gram hash); the
-    benchmark gram set is broadcast — map-side probe, no corpus-side
-    join shuffle (operators/decontaminate.py)."""
+    The corpus side never shuffles: per-doc distinct grams are
+    document-local (array_distinct), the benchmark gram set is
+    broadcast (map-side semi-join probe), and only MATCHED grams reach
+    the per-doc overlap count (operators/decontaminate.py)."""
     from syslog_ng_spark.operators.decontaminate import decontaminate
 
     docs = _t(spark, sf_dir, "documents")

@@ -70,32 +70,39 @@ def decontaminate(
       - ``n_overlap``: how many of those also occur in ``benchmark``
       - ``contaminated``: ``n_overlap >= min_overlap``
 
-    ``benchmark`` is broadcast (eval sets are small); the corpus side
-    shuffles only (id, 8-byte hash) pairs for the per-doc distinct.
+    ``benchmark`` is broadcast (eval sets are small). 100-TB shape: the
+    corpus side never shuffles — per-document distinct grams come from
+    ``array_distinct`` (document-local, no exchange), ``n_grams`` is a
+    plain column, and the overlap explode feeds a map-side BROADCAST
+    semi join, so the only rows that ever reach a shuffle are the
+    MATCHED (contaminated) grams — near zero on a clean corpus. The
+    final count-per-doc table has at most one row per contaminated
+    document; AQE broadcasts it for the join back.
     """
     bcol = bench_text_col or text_col
-    gram = word_ngrams(F.col(text_col), n)
     key = (lambda g: F.xxhash64(g)) if hash_grams else (lambda g: g)
 
-    doc_grams = (
-        df.select(id_col, F.explode(gram).alias("_g"))
-        .select(id_col, key(F.col("_g")).alias("_gk"))
-        .distinct()
+    # per-doc distinct grams WITHOUT a shuffle: dedup inside the array
+    df = df.withColumn(
+        "_dgrams", F.array_distinct(word_ngrams(F.col(text_col), n))
     )
     bench_grams = (
         benchmark.select(F.explode(word_ngrams(F.col(bcol), n)).alias("_g"))
         .select(key(F.col("_g")).alias("_gk"))
         .distinct()
     )
-    per_doc = doc_grams.join(
-        F.broadcast(bench_grams), "_gk", "left_semi"
-    ).groupBy(id_col).agg(F.count("*").alias("n_overlap"))
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    per_doc = (
+        df.select(id_col, F.explode("_dgrams").alias("_g"))
+        .select(id_col, key(F.col("_g")).alias("_gk"))
+        .join(F.broadcast(bench_grams), "_gk", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
 
     return (
-        df.join(totals, id_col, "left")
+        df.withColumn("n_grams", F.size("_dgrams").cast("long"))
+        .drop("_dgrams")
         .join(per_doc, id_col, "left")
-        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
         .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
         .withColumn("contaminated", F.col("n_overlap") >= F.lit(min_overlap))
     )

@@ -289,3 +289,24 @@ def test_unigram_broadcast_mode_no_token_shuffle_join(spark):
     # scoring side must broadcast the vocab, not shuffle the corpus tokens
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark, tmp_path):
+    from syslog_ng_spark.operators.decontaminate import decontaminate
+
+    spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(100)],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "docs"))
+    # parquet-backed like real usage: size stats let the planner pick
+    # the broadcast join-back statically (AQE does the same at runtime)
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    bench = docs.filter("doc_id % 10 = 0")
+    plan = _plan(decontaminate(docs, bench, n=5))
+    # the only hash exchanges allowed: the (small) benchmark-side gram
+    # distinct and the matched-grams-only per-doc overlap count; the
+    # corpus branch feeds a broadcast semi join map-side, and the
+    # overlap table joins back by broadcast, not by shuffling the corpus
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -8,19 +8,22 @@ contains an n-gram that also appears in the benchmark set is
 training.
 
 Spark shape (100-TB-ready):
-- The CORPUS side never materializes gram strings into a shuffle: each
-  document's distinct grams are hashed to 64-bit (`xxhash64`) inside the
-  scan's codegen, so the per-doc distinct + overlap join move 16-byte
-  rows (doc_id, gram_hash), not ~80-byte shingle strings.
+- The CORPUS side never shuffles AND never materializes gram strings:
+  each token is hashed once, each gram key is one ``xxhash64`` over its
+  n token hashes (pure long arithmetic in the scan), and the per-doc
+  distinct happens inside the row via ``array_distinct`` on longs — no
+  exchange, no ~80-byte shingle strings anywhere.
 - The BENCHMARK side is small by nature (eval sets are MBs, not TBs):
-  its distinct gram hashes are broadcast, so the corpus-side join is a
-  map-side hash probe — zero corpus shuffle for the join itself. The
-  only shuffle is the per-doc distinct/count on (doc_id, hash), which is
-  what any exact-overlap semantics requires.
-- 64-bit hashing admits collisions at ~n²/2⁶⁵; at 10¹² corpus grams the
+  its distinct gram keys are broadcast, so the corpus-side membership
+  probe is a map-side broadcast semi join. The only rows that ever
+  reach a shuffle are the MATCHED grams (near zero on a clean corpus),
+  counted per doc and broadcast-joined back.
+- 64-bit keys admit collisions at ~n²/2⁶⁵; at 10¹² corpus grams the
   expected number of *cross* collisions against a ~10⁷-gram benchmark is
-  ≪ 1 — and a collision only ever ADDS a false overlap, never hides a
-  real one. Callers who need exactness can pass ``hash_grams=False``.
+  ≪ 1 — a cross collision only ever ADDS a false overlap, and a
+  within-document collision undercounts ``n_grams`` by 1 at the same
+  vanishing rate. Callers who need exactness pass ``hash_grams=False``
+  (exact gram strings, same zero-corpus-shuffle plan).
 
 Reference framing: this is the same job as syslog-ng's in-list() filter
 (modules/add-contextual-data, filter-in-list.c) — membership of a
@@ -53,6 +56,33 @@ def word_ngrams(c: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _rolling_gram_keys(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Add ``_dgrams``: the DISTINCT 64-bit gram keys of ``text_col``.
+
+    Never builds gram strings: each token is hashed once
+    (array<long>), then each gram key is one ``xxhash64`` over its n
+    token hashes — pure long arithmetic inside the scan, ~10× cheaper
+    than slicing + joining + hashing ~80-byte shingle strings, and
+    ``array_distinct`` dedups 8-byte longs instead of strings. The
+    token-hash array is materialized as a real column FIRST so the
+    ``element_at`` calls inside the gram lambda bind an attribute —
+    inlining the expression would re-run the tokenizer per element.
+    """
+    tkh = F.transform(word_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    df = df.withColumn("_tkh", tkh)
+    a = F.col("_tkh")
+    keys = F.when(
+        F.size(a) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - (n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(a, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.withColumn("_dgrams", F.array_distinct(keys)).drop("_tkh")
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -80,21 +110,36 @@ def decontaminate(
     document; AQE broadcasts it for the join back.
     """
     bcol = bench_text_col or text_col
-    key = (lambda g: F.xxhash64(g)) if hash_grams else (lambda g: g)
 
-    # per-doc distinct grams WITHOUT a shuffle: dedup inside the array
-    df = df.withColumn(
-        "_dgrams", F.array_distinct(word_ngrams(F.col(text_col), n))
-    )
-    bench_grams = (
-        benchmark.select(F.explode(word_ngrams(F.col(bcol), n)).alias("_g"))
-        .select(key(F.col("_g")).alias("_gk"))
-        .distinct()
-    )
+    # per-doc distinct grams WITHOUT a shuffle: dedup inside the array.
+    # hash_grams keys grams by a 64-bit rolling hash (never builds the
+    # gram strings at all); hash_grams=False keeps exact strings.
+    if hash_grams:
+        df = _rolling_gram_keys(df, text_col, n)
+        bench_grams = (
+            _rolling_gram_keys(benchmark, bcol, n)
+            .select(F.explode("_dgrams").alias("_gk"))
+            .distinct()
+        )
+    else:
+        df = df.withColumn(
+            "_dgrams", F.array_distinct(word_ngrams(F.col(text_col), n))
+        )
+        bench_grams = (
+            benchmark.select(
+                F.explode(word_ngrams(F.col(bcol), n)).alias("_gk")
+            ).distinct()
+        )
+    # explode_OUTER, deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which infers `size(grams) > 0`, pushes
+    # it below the projections, and INLINES the whole gram-key
+    # expression into a non-codegen Filter + the scan's DataFilters —
+    # evaluating the tokenizer+hash chain twice per row (measured 25×
+    # slower at 1M docs). The outer explode emits one null row per
+    # empty-gram doc instead, and the broadcast semi join drops nulls.
+    exploded = df.select(id_col, F.explode_outer("_dgrams").alias("_gk"))
     per_doc = (
-        df.select(id_col, F.explode("_dgrams").alias("_g"))
-        .select(id_col, key(F.col("_g")).alias("_gk"))
-        .join(F.broadcast(bench_grams), "_gk", "left_semi")
+        exploded.join(F.broadcast(bench_grams), "_gk", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_overlap"))
     )

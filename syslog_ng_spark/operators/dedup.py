@@ -652,7 +652,11 @@ def ngram_jaccard_pairs(
     docs = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
+    # explode_outer: plain explode lets InferFiltersFromGenerate push an
+    # inferred size(sh)>0 filter below the projection, re-inlining (and
+    # re-evaluating) the whole shingle build per row; the equi-join
+    # drops the null rows the outer variant emits for empty docs.
+    inv = docs.select("id", "n_sh", F.explode_outer("sh").alias("g"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))

@@ -1386,6 +1386,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "unigram_logprob": q_unigram_logprob,
         "line_dedup": q_line_dedup,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -1445,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shards": _SHUFFLE_SQL,
         "unigram_logprob": _UNIGRAM_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "dsir_select": _DSIR_SQL,
     }
 
 
@@ -2316,4 +2318,84 @@ WITH planted AS (
 SELECT p.doc_id, coalesce(r.clean, '') AS clean
 FROM planted p LEFT JOIN r USING (doc_id)
 ORDER BY p.doc_id
+"""
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (§LLM-pipeline, Xie et al. 2023):
+    fit hashed-bigram bag models on a target slice (every 7th document)
+    and the raw remainder, score raw docs by the summed per-bucket log
+    importance ratio, select k=100 by deterministic Gumbel top-k. All
+    hashes are md5-prefix buckets so DuckDB reproduces the exact
+    selection (operators/dsir.py)."""
+    from syslog_ng_spark.operators.dsir import dsir_fit, dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    ratios = dsir_fit(tgt, raw)
+    out = dsir_resample(raw, ratios, k=100)
+    return out.select("doc_id", "logw").orderBy("doc_id")
+
+
+_DSIR_SQL = """
+WITH tgt AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+), raw AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+), tok_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM tgt
+), tok_r AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM raw
+), feat_t AS (
+  SELECT doc_id, unnest(tk) AS g FROM tok_t
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM tok_t WHERE len(tk) >= 2
+), feat_r AS (
+  SELECT doc_id, unnest(tk) AS g FROM tok_r
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM tok_r WHERE len(tk) >= 2
+), bf_t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 10000 AS b
+  FROM feat_t
+), bf_r AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 10000 AS b
+  FROM feat_r
+), ct AS (
+  SELECT b, count(*) AS c FROM bf_t GROUP BY b
+), cr AS (
+  SELECT b, count(*) AS c FROM bf_r GROUP BY b
+), tt AS ( SELECT sum(c) AS s FROM ct
+), rt AS ( SELECT sum(c) AS s FROM cr
+), ratio AS (
+  SELECT coalesce(ct.b, cr.b) AS b,
+         ln((coalesce(ct.c, 0) + 1) / CAST(tt.s + 10000 AS DOUBLE))
+         - ln((coalesce(cr.c, 0) + 1) / CAST(rt.s + 10000 AS DOUBLE))
+           AS log_ratio
+  FROM ct FULL JOIN cr ON ct.b = cr.b CROSS JOIN tt CROSS JOIN rt
+), w AS (
+  SELECT doc_id, round(sum(coalesce(log_ratio, 0.0)), 6) AS logw
+  FROM bf_r LEFT JOIN ratio ON bf_r.b = ratio.b
+  GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, logw,
+         round(logw + (-ln(-ln(
+           ((CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 1048576) + 0.5) / 1048576.0
+         ))), 6) AS gk
+  FROM w
+), picked AS (
+  SELECT doc_id, logw FROM keyed ORDER BY gk DESC, doc_id LIMIT 100
+)
+SELECT doc_id, logw FROM picked ORDER BY doc_id
 """

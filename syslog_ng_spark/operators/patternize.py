@@ -131,8 +131,15 @@ def find_frequent_words(
     arr = F.when(F.col(msg_col) == "", F.array().cast("array<string>")).otherwise(
         F.split(F.col(msg_col), cc, MAXWORDS)
     )
+    # posexplode_OUTER: the non-outer variant triggers Catalyst's
+    # InferFiltersFromGenerate, which re-inlines the split into a
+    # pushed non-codegen filter — the tokenizer would run twice per
+    # line (see operators/decontaminate.py). Empty messages emit one
+    # null row; drop it on the generator OUTPUT (stays above the
+    # Generate, evaluated on 2 small columns).
     return (
-        df.select(F.posexplode(arr).alias("pos", "word"))
+        df.select(F.posexplode_outer(arr).alias("pos", "word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("pos", "word")
         .count()
         .filter(F.col("count") >= F.lit(support))

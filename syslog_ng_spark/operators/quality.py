@@ -31,8 +31,16 @@ __all__ = ["unigram_stats", "unigram_logprob"]
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # explode_OUTER + null filter on the OUTPUT: plain explode triggers
+    # InferFiltersFromGenerate, re-inlining the split into a pushed
+    # non-codegen filter that runs the tokenizer twice per row (see
+    # operators/decontaminate.py). Token-less docs emit one null row,
+    # dropped here (the filter stays above the Generate).
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    return df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    return (
+        df.select(F.col(id_col), F.explode_outer(toks).alias("_tok"))
+        .filter(F.col("_tok").isNotNull())
+    )
 
 
 def unigram_stats(

@@ -1,12 +1,12 @@
-"""End-to-end verify drive (.claude/skills/verify recipe): synthetic
-transcripts from disk -> parse chain -> final/fallback route -> written
-sinks, per-sink count parity vs a plain-Python oracle + text-equality
-invariant. Exits nonzero on any mismatch."""
-import os
+"""End-to-end engine drive (the /verify recipe): datagen → parse →
+route → write_sinks, per-sink count parity vs a plain-Python oracle and
+the text-equality invariant. Exit 0 iff everything matches."""
+
+import collections
 import sys
 import tempfile
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
 
@@ -17,46 +17,51 @@ from syslog_ng_spark.operators import parsers
 from syslog_ng_spark.plans import Pipeline, LogPath
 
 
-def main() -> int:
-    spark = get_spark(app_name="verify", cpus=8, shuffle_partitions=8)
-    tmp = tempfile.mkdtemp()
-    write_transcripts(spark, tmp + "/transcripts", n_convs=300, avg_turns=10)
+def main():
+    spark = get_spark(cpus=8)
+    tmp = tempfile.mkdtemp(prefix="verify_drive_")
+    write_transcripts(spark, tmp + "/transcripts", n_convs=200, avg_turns=8)
     df = read_transcripts(spark, tmp + "/transcripts")
-    enriched = parsers.kv_parser(parsers.syslog_parser(df), source="msg")
-
+    enriched = parsers.kv_parser(
+        parsers.syslog_parser(df), source="msg"
+    ).withColumn(
+        "severity_num", F.pmod(F.col("pri").cast("long"), F.lit(8)).cast("int")
+    )
     pipe = Pipeline([
-        LogPath("errors", filter=F.col("pri") % 8 <= 3, flags=["final"]),
-        LogPath("kv", filter=F.col("kv_matched"), flags=["final"]),
-        LogPath("rest", flags=["fallback"]),
+        LogPath("errors", F.col("severity_num") <= 3, frozenset(["final"])),
+        LogPath(
+            "auth", F.col("program").isin("sshd", "sudo"), frozenset(["final"])
+        ),
+        LogPath("fallback", None, frozenset(["fallback"])),
     ])
-    routed = pipe.route(enriched)
-    routed.write_sinks(tmp + "/sinks")
+    pipe.route(enriched).write_sinks(tmp + "/sinks")
 
-    rows = enriched.select(
-        "conv_id", "turn_idx", "text", "pri", "kv_matched"
-    ).collect()
-    exp = {"errors": 0, "kv": 0, "rest": 0}
+    rows = enriched.collect()
+    oracle = collections.Counter()
     for r in rows:
-        if r["pri"] is not None and r["pri"] % 8 <= 3:
-            exp["errors"] += 1
-        elif r["kv_matched"]:
-            exp["kv"] += 1
-        else:
-            exp["rest"] += 1
+        d = r.asDict()
+        matched = False
+        if d.get("severity_num") is not None and d["severity_num"] <= 3:
+            oracle["errors"] += 1
+            matched = True
+        if not matched and d.get("program") in ("sshd", "sudo"):
+            oracle["auth"] += 1
+            matched = True
+        if not matched:
+            oracle["fallback"] += 1
 
-    src_text = {(r["conv_id"], r["turn_idx"]): r["text"] for r in rows}
+    src = {(r["conv_id"], r["turn_idx"]): r["text"] for r in rows}
     ok = True
-    for name in exp:
-        got = spark.read.parquet(tmp + f"/sinks/{name}")
-        n = got.count()
-        print(f"{name}: sink={n} oracle={exp[name]}"
-              f" {'OK' if n == exp[name] else 'MISMATCH'}")
-        ok &= n == exp[name]
-        for r in got.select("conv_id", "turn_idx", "text").collect():
-            if src_text[(r["conv_id"], r["turn_idx"])] != r["text"]:
-                print(f"text invariant BROKEN in {name}")
-                ok = False
-                break
+    for sink in ("errors", "auth", "fallback"):
+        sdf = spark.read.parquet(f"{tmp}/sinks/{sink}")
+        n = sdf.count()
+        bad = sum(
+            1
+            for r in sdf.select("conv_id", "turn_idx", "text").collect()
+            if src[(r["conv_id"], r["turn_idx"])] != r["text"]
+        )
+        print(f"{sink}: spark={n} oracle={oracle[sink]} text_bad={bad}")
+        ok &= n == oracle[sink] and bad == 0
     print("VERIFY", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -1387,6 +1387,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "line_dedup": q_line_dedup,
         "dsir_select": q_dsir_select,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1447,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "dsir_select": _DSIR_SQL,
+        "bm25_search": _BM25_SQL,
     }
 
 
@@ -2398,4 +2400,75 @@ WITH tgt AS (
   SELECT doc_id, logw FROM keyed ORDER BY gk DESC, doc_id LIMIT 100
 )
 SELECT doc_id, logw FROM picked ORDER BY doc_id
+"""
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked keyword retrieval (§LLM-pipeline): top-10 documents
+    per query for three keyword queries, Lucene-variant idf, k1=1.2
+    b=0.75. Query terms broadcast; only matching term occurrences ever
+    reach a shuffle (operators/bm25.py)."""
+    from syslog_ng_spark.operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [
+            (1, "spark window join"),
+            (2, "hash merge sort"),
+            (3, "customer query filter"),
+        ],
+        "query_id long, query_text string",
+    )
+    return bm25_topk(docs, qs, k=10).orderBy("query_id", "rank")
+
+
+_BM25_SQL = """
+WITH q(query_id, query_text) AS (
+  VALUES (CAST(1 AS BIGINT), 'spark window join'),
+         (CAST(2 AS BIGINT), 'hash merge sort'),
+         (CAST(3 AS BIGINT), 'customer query filter')
+), tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tk) AS dl FROM tok
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split(lower(query_text), ' '),
+                            t -> t <> '')) AS term
+  FROM q
+), terms AS (
+  SELECT DISTINCT term FROM qt
+), occ AS (
+  SELECT doc_id, unnest(tk) AS term FROM tok
+), tf AS (
+  SELECT o.doc_id, o.term, count(*) AS tf
+  FROM occ o JOIN terms USING (term)
+  GROUP BY o.doc_id, o.term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum(
+           ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  JOIN qt USING (term)
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
 """

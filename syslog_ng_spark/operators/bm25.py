@@ -1,0 +1,135 @@
+"""BM25 ranked keyword retrieval over a document corpus.
+
+Okapi BM25 (Robertson et al., public literature; the Lucene idf
+variant): for query q and document d,
+
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                              / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    idf(t)      = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+The LLM-pipeline use: keyword retrieval over a 100-TB corpus for
+curation audits ("show me the top documents about X"), eval-set
+neighbour inspection, and cheap lexical pre-filtering before dense
+(embedding) rerank — the classic hybrid-retrieval first stage.
+
+Spark shape (100-TB-ready):
+- Query terms are a tiny table → BROADCAST; the corpus token explode is
+  immediately reduced by the broadcast join, so only occurrences of
+  QUERY terms survive — the shuffle that computes tf carries one row
+  per (doc, query, matching term occurrence), zero rows for the
+  overwhelmingly-non-matching corpus.
+- Document length is document-local (a size() column, no shuffle);
+  corpus aggregates (N, avgdl) are one tiny 1-row frame, broadcast.
+- df(t) is counted only for the query terms (a ≤|terms| row table).
+- Per-query top-k is a window over the scored (query, doc) rows — rows
+  only for documents matching ≥ 1 term.
+
+Reference framing: syslog-ng's closest analogue is filter(match(...))
+routing — boolean keyword selection; BM25 lifts it to ranked retrieval
+with corpus statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk"]
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str, extra=()) -> DataFrame:
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    df = df.withColumn("_tk", toks)
+    # explode_outer: see operators/decontaminate.py (InferFilters trap)
+    return (
+        df.select(id_col, *extra, F.size("_tk").alias("_dl"),
+                  F.explode_outer("_tk").alias("_tok"))
+        .filter(F.col("_tok").isNotNull())
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k documents per query by BM25.
+
+    ``queries``: (query_id_col, query_text_col) — whitespace keyword
+    queries, lowercased like the corpus. Returns (query_id, id_col,
+    score, rank) with rank 1..k per query; ties break on the doc id so
+    the ranking is deterministic. Documents matching no query term
+    never appear (score 0).
+    """
+    # corpus-wide stats: one row, broadcast
+    toks = _doc_tokens(df, text_col, id_col)
+    dls = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("_dl"),
+    )
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+
+    qterms = (
+        queries.select(
+            query_id_col,
+            F.explode_outer(
+                F.filter(
+                    F.split(F.lower(F.col(query_text_col)), " "),
+                    lambda t: t != "",
+                )
+            ).alias("_tok"),
+        )
+        .filter(F.col("_tok").isNotNull())
+        .distinct()
+    )
+    terms = qterms.select("_tok").distinct()
+
+    # occurrences of query terms only: broadcast join prunes the corpus
+    hits = toks.join(F.broadcast(terms), "_tok")
+    tf = hits.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "_tok")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+        .join(F.broadcast(qterms), "_tok")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_s"), round_digits).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

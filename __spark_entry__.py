@@ -1388,6 +1388,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dsir_select": q_dsir_select,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -1449,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "dsir_select": _DSIR_SQL,
         "bm25_search": _BM25_SQL,
+        "hybrid_search": _HYBRID_SQL,
     }
 
 
@@ -2470,5 +2472,95 @@ WITH q(query_id, query_text) AS (
 )
 SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (§LLM-pipeline): BM25 candidate generation
+    (k_lex=50) then exact cosine rerank against a query embedding —
+    the classic lexical+dense two-stage search. Candidates broadcast
+    into the embeddings probe; the corpus never shuffles
+    (operators/bm25.hybrid_topk)."""
+    from syslog_ng_spark.operators.bm25 import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "hash merge sort")],
+        "query_id long, query_text string",
+    )
+    qvecs = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        (F.col("vec_id") + 1).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    out = hybrid_topk(docs, qs, emb, qvecs, k=10, k_lex=50)
+    return out.orderBy("query_id", "rank")
+
+
+_HYBRID_SQL = """
+WITH q(query_id, query_text) AS (
+  VALUES (CAST(1 AS BIGINT), 'spark window join'),
+         (CAST(2 AS BIGINT), 'hash merge sort')
+), tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tk) AS dl FROM tok
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split(lower(query_text), ' '),
+                            t -> t <> '')) AS term
+  FROM q
+), terms AS (
+  SELECT DISTINCT term FROM qt
+), occ AS (
+  SELECT doc_id, unnest(tk) AS term FROM tok
+), tf AS (
+  SELECT o.doc_id, o.term, count(*) AS tf
+  FROM occ o JOIN terms USING (term)
+  GROUP BY o.doc_id, o.term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum(
+           ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  JOIN qt USING (term)
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+), cand AS (
+  SELECT query_id, doc_id, score AS bm25 FROM ranked WHERE rank <= 50
+), qv AS (
+  SELECT vec_id + 1 AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN (0, 1)
+), rr AS (
+  SELECT c.query_id, c.doc_id, c.bm25,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec), 6)
+           AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.doc_id
+  JOIN qv USING (query_id)
+), rr2 AS (
+  SELECT query_id, doc_id, bm25, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS rank
+  FROM rr
+)
+SELECT query_id, doc_id, bm25, cos, CAST(rank AS INT) AS rank
+FROM rr2 WHERE rank <= 10
 ORDER BY query_id, rank
 """

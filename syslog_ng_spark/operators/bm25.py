@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "hybrid_topk"]
 
 
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str, extra=()) -> DataFrame:
@@ -132,4 +132,62 @@ def bm25_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def hybrid_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    emb: DataFrame,
+    qvecs: DataFrame,
+    k: int = 10,
+    k_lex: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 candidate generation, dense cosine rerank.
+
+    The classic two-stage search: :func:`bm25_topk` picks ``k_lex``
+    lexical candidates per query, then the exact cosine between the
+    query vector (``qvecs``: query_id_col, qvec_col) and each
+    candidate's embedding reranks them; top ``k`` survive. Returns
+    (query_id, id_col, bm25, cos, rank).
+
+    Scale shape: the candidate set is queries × k_lex rows — BROADCAST
+    into the embeddings join, so the corpus embedding table is probed
+    map-side and never shuffles; the rerank window runs over candidate
+    rows only.
+    """
+    from syslog_ng_spark.operators.similarity import cosine
+
+    cands = bm25_topk(
+        df, queries, k=k_lex, text_col=text_col, id_col=id_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        round_digits=round_digits,
+    ).select(query_id_col, id_col, F.col("score").alias("bm25"))
+    vecs = emb.select(
+        F.col(vec_id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    qv = qvecs.select(
+        query_id_col, F.col(qvec_col).cast("array<double>").alias("_qv")
+    )
+    j = (
+        vecs.join(F.broadcast(cands), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .withColumn(
+            "cos", F.round(cosine(F.col("_v"), F.col("_qv")), round_digits)
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "bm25", "cos", "rank")
     )

@@ -99,3 +99,46 @@ def test_plan_broadcasts_terms_no_smj_before_topk(frames):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hybrid_rerank_matches_python_oracle(spark, frames):
+    """BM25 candidates reranked by cosine against a query vector."""
+    from syslog_ng_spark.operators.bm25 import hybrid_topk
+
+    docs, qs = frames
+    # embeddings chosen so the cosine order inverts the BM25 order for
+    # query 100 ("spark fast"): doc 5 is lexically best but doc 3's
+    # vector aligns with the query vector
+    EMB = {1: [1.0, 0.0], 2: [0.0, 1.0], 3: [0.9, 0.1],
+           4: [0.5, 0.5], 5: [0.1, 0.9], 6: [1.0, 1.0]}
+    emb = spark.createDataFrame(
+        [(d, v) for d, v in EMB.items()], "vec_id long, embedding array<double>"
+    )
+    qvecs = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "query_id long, qvec array<double>",
+    )
+    got = {}
+    for r in hybrid_topk(docs, qs, emb, qvecs, k=3, k_lex=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["cos"])
+        )
+    for qid in got:
+        got[qid].sort()
+
+    want = {}
+    cands = _oracle(k=10)
+    for qid, rows in cands.items():
+        qv = {100: [1.0, 0.0], 101: [0.0, 1.0]}.get(qid)
+        if qv is None or not rows:
+            continue
+        rr = []
+        for d, bm, _ in rows:
+            v = EMB[d]
+            dot = sum(a * b for a, b in zip(v, qv))
+            import math as m
+            cos = dot / (m.sqrt(sum(a * a for a in v)) * m.sqrt(sum(a * a for a in qv)))
+            rr.append((round(cos, 6), -d))
+        rr.sort(reverse=True)
+        want[qid] = [(i + 1, -md, c) for i, (c, md) in enumerate(rr[:3])]
+    assert got == want

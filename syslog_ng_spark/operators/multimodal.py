@@ -113,7 +113,10 @@ def frame_sample(df: DataFrame, every_ms: int = 200) -> DataFrame:
         df.filter(F.col("kind") == "video")
         .withColumn(
             "frame_idx",
-            F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))),
+            # explode_outer: identical here (the sequence is never
+            # empty) but avoids InferFiltersFromGenerate re-building the
+            # index array in a pushed filter (operators/decontaminate.py)
+            F.explode_outer(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))),
         )
         .withColumn("frame_ms", F.col("frame_idx") * every_ms)
         .drop("payload")
@@ -138,7 +141,8 @@ def audio_windows(df: DataFrame, window_ms: int = 500, hop_ms: int = 250) -> Dat
         df.filter(F.col("kind") == "audio")
         .withColumn(
             "win_idx",
-            F.explode(F.sequence(F.lit(0), F.greatest(n_hops - 1, F.lit(0)))),
+            # explode_outer: see frame_sample
+            F.explode_outer(F.sequence(F.lit(0), F.greatest(n_hops - 1, F.lit(0)))),
         )
         .withColumn("win_start_ms", F.col("win_idx") * hop_ms)
         .withColumn("win_end_ms", F.col("win_idx") * hop_ms + window_ms)

@@ -69,7 +69,6 @@ def bm25_topk(
     never appear (score 0).
     """
     # corpus-wide stats: one row, broadcast
-    toks = _doc_tokens(df, text_col, id_col)
     dls = df.select(
         F.col(id_col),
         F.size(
@@ -95,6 +94,27 @@ def bm25_topk(
         .distinct()
     )
     terms = qterms.select("_tok").distinct()
+
+    # exact-token PREFILTER before the explode: only docs whose token
+    # array overlaps the query-term set are exploded and joined — the
+    # full corpus pays one tokenize + set-probe per row instead of
+    # shuffling every token occurrence into the broadcast join (a
+    # substring contains() prefilter was tried first and measured
+    # SLOWER: short terms substring-match most tokens, so it filtered
+    # nothing and added a scan per term). Collecting the term list is
+    # bounded by the operator contract (queries are a tiny table);
+    # skipped for >1024 terms to keep the literal array small.
+    terms_local = [r["_tok"] for r in terms.collect()]
+    if not terms_local:
+        cand = df.filter(F.lit(False))
+    elif len(terms_local) <= 1024:
+        tk = F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+        )
+        cand = df.filter(F.arrays_overlap(tk, F.lit(terms_local)))
+    else:
+        cand = df
+    toks = _doc_tokens(cand, text_col, id_col)
 
     # occurrences of query terms only: broadcast join prunes the corpus
     hits = toks.join(F.broadcast(terms), "_tok")

@@ -10,7 +10,7 @@ import re as _re
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -65,23 +65,124 @@ def cisco_parser(df: DataFrame, source: str = "text", prefix: str = ".cisco.") -
     )
 
 
-def postgresql_csvlog_parser(df: DataFrame, source: str = "text") -> DataFrame:
-    """postgresql-csvlog shape: the first columns of PG's CSV log."""
-    return csv_parser(
+# postgresql-csvlog-parser() (scl/pgsql/pgsql.conf): 26 typed columns,
+# escape-double-char '""' quotes, strip-whitespace; then the conf's
+# rewrite chain — PID/MESSAGE promotion, connection_from defaulting,
+# substr(timestamp,0,23) date extraction, and the SHIFTED severity
+# mapping (pgsql.conf's own comment: PG maps its levels shifted above
+# WARNING; PANIC shifts by two via the ==0 rule THEN the <=4 rule).
+_PGSQL_COLUMNS = [
+    ("timestamp", "string"),
+    ("username", "string"),
+    ("database", "string"),
+    ("pid", "int"),
+    ("connection_from", "string"),
+    ("session_id", "string"),
+    ("session_line_num", "int"),
+    ("command_tag", "string"),
+    ("session_start_time", "string"),
+    ("virtual_transaction_id", "string"),
+    ("transaction_id", "int"),
+    ("severity", "string"),
+    ("sql_state_code", "string"),
+    ("message", "string"),
+    ("detail", "string"),
+    ("hint", "string"),
+    ("internal_query", "string"),
+    ("internal_query_pos", "int"),
+    ("context", "string"),
+    ("query", "string"),
+    ("query_pos", "int"),
+    ("location", "string"),
+    ("application_name", "string"),
+    ("backend_type", "string"),  # v13+
+    ("leader_pid", "int"),  # v14+
+    ("query_id", "int"),  # v14+
+]
+
+# syslog alias table (lib/syslog-names.c sl_severities); PG's LOG and
+# FATAL have NO alias — the reference's set-severity leaves the message
+# severity unchanged for them (the generator default, info).
+_PG_SEV = {
+    "emerg": 0, "emergency": 0, "panic": 0, "alert": 1, "crit": 2,
+    "critical": 2, "err": 3, "error": 3, "warning": 4, "warn": 4,
+    "notice": 5, "info": 6, "informational": 6, "debug": 7,
+}
+
+
+def postgresql_csvlog_parser(
+    df: DataFrame,
+    source: str = "text",
+    prefix: str = ".pgsql.",
+    default_severity: int = 6,
+    host_from: str | Column | None = None,
+) -> DataFrame:
+    """postgresql-csvlog-parser() — full scl/pgsql/pgsql.conf grammar.
+
+    Adds the 26 ``.pgsql.`` columns (ints NULL on cast error =
+    on-type-error drop-property), plus the conf's promotions:
+    ``pgsql_ts`` (first 23 chars of timestamp as a timestamp), ``pid``,
+    ``msg`` (MESSAGE), ``connection_from`` defaulted to ``host_from``
+    when empty, and ``severity_num`` with the shifted mapping
+    (DEBUG* → debug; PANIC → crit; FATAL/LOG unmapped → the
+    ``default_severity`` the reference generator assigns, then subject
+    to the same ==0/<=4 shift rules the conf applies unconditionally).
+    The reference light test's expected dicts contain copy-paste
+    inconsistencies (tests/light .../test_postgresql_csvlog_parser.py
+    case 1 claims severity LOG for a DEBUG3 input); this port follows
+    pgsql.conf, and the light-derived cases below agree where the
+    expectations are self-consistent.
+    """
+    def bq(name: str):
+        return F.col(f"`{prefix}{name}`")
+
+    out = csv_parser(
         df,
-        [
-            ("pg_ts", "string"),
-            ("pg_user", "string"),
-            ("pg_db", "string"),
-            ("pg_pid", "int"),
-            ("pg_conn", "string"),
-            ("pg_session_id", "string"),
-            ("pg_line", "string"),
-            ("pg_cmd", "string"),
-        ],
+        [(f"{prefix}{n}", t) for n, t in _PGSQL_COLUMNS],
         source=source,
         prefix="",
+        dialect="escape-double-char",
+        strip_whitespace=True,
     )
+    out = out.withColumnRenamed("csv_matched", "pgsql_matched")
+
+    # date-parser(format %Y-%m-%d %H:%M:%S.%f, substr(ts, 0, 23))
+    out = out.withColumn(
+        "pgsql_ts",
+        F.to_timestamp(
+            F.substring(bq("timestamp"), 1, 23), "yyyy-MM-dd HH:mm:ss.SSS"
+        ),
+    )
+    # rewrite { set(PID) set(connection_from|HOST_FROM) set(MESSAGE) }
+    out = out.withColumn("pid", bq("pid"))
+    if host_from is not None:
+        hf = F.lit(host_from) if isinstance(host_from, str) else host_from
+        out = out.withColumn(
+            f"{prefix}connection_from",
+            F.when(
+                bq("connection_from").isNotNull()
+                & (bq("connection_from") != ""),
+                bq("connection_from"),
+            ).otherwise(hf),
+        )
+    out = out.withColumn("msg", bq("message"))
+
+    # severity chain (see module comment)
+    sev_map = F.create_map(
+        *[x for k, v in _PG_SEV.items() for x in (F.lit(k), F.lit(v))]
+    )
+    base = F.when(
+        F.upper(bq("severity")).startswith("DEBUG"), F.lit(7)
+    ).otherwise(
+        F.coalesce(sev_map[F.lower(bq("severity"))], F.lit(default_severity))
+    )
+    shifted = F.when(base == 0, base + 1).otherwise(base)
+    shifted = F.when(shifted <= 4, shifted + 1).otherwise(shifted)
+    # DEBUG* branch bypasses the shift rules entirely (separate if arm)
+    sev = F.when(
+        F.upper(bq("severity")).startswith("DEBUG"), F.lit(7)
+    ).otherwise(shifted)
+    return out.withColumn("severity_num", sev.cast("int"))
 
 
 def mariadb_audit_parser(df: DataFrame, source: str = "text", prefix: str = ".mariadb.") -> DataFrame:
@@ -130,13 +231,92 @@ _PANOS_CONFIG = [
     "actionflags", "dg_hier_level_1", "dg_hier_level_2", "dg_hier_level_3",
     "dg_hier_level_4", "vsys_name", "device_name",
 ]
+_PANOS_CONFIG_CUSTOM = [
+    "host", "vsys", "cmd", "admin", "client", "result", "path",
+    "before_change_detail", "after_change_detail", "seqno", "actionflags",
+    "dg_hier_level_1", "dg_hier_level_2", "dg_hier_level_3",
+    "dg_hier_level_4", "vsys_name", "device_name",
+]
+_PANOS_THREAT = [
+    "src", "dst", "natsrc", "natdst", "rule", "srcuser", "dstuser", "app",
+    "vsys", "from", "to", "inbound_if", "outbound_if", "logset",
+    "future_use3", "sessionid", "repeatcnt", "sport", "dport", "natsport",
+    "natdport", "flags", "proto", "action", "misc", "threatid", "category",
+    "severity", "direction", "seqno", "actionflags", "srcloc", "dstloc",
+    "future_use4", "contenttype", "pcap_id", "filedigest", "cloud",
+    "url_idx", "user_agent", "filetype", "xff", "referer", "sender",
+    "subject", "recipient", "reportid", "dg_hier_level_1",
+    "dg_hier_level_2", "dg_hier_level_3", "dg_hier_level_4", "vsys_name",
+    "device_name", "future_use5", "src_uuid", "dst_uuid", "http_method",
+    "tunnel_id/imsi", "monitor_tag/imei", "parent_session_id",
+    "parent_start_time", "tunnel", "thr_category", "contentver",
+    "future_use6", "assoc_id", "ppid", "http_headers", "url_category_list",
+    "rule_uuid", "http2_connection",
+]
+_PANOS_TRAFFIC = [
+    "src", "dst", "natsrc", "natdst", "rule", "srcuser", "dstuser", "app",
+    "vsys", "from", "to", "inbound_if", "outbound_if", "logset",
+    "future_use3", "sessionid", "repeatcnt", "sport", "dport", "natsport",
+    "natdport", "flags", "proto", "action", "bytes", "bytes_sent",
+    "bytes_received", "packets", "start", "sec", "category", "future_use4",
+    "seqno", "actionflags", "srcloc", "dstloc", "future_use5", "pkts_sent",
+    "pkts_received", "session_end_reason", "dg_hier_level_1",
+    "dg_hier_level_2", "dg_hier_level_3", "dg_hier_level_4", "vsys_name",
+    "device_name", "action_source", "src_uuid", "dst_uuid",
+    "tunnel_id/imsi", "monitortag/imei", "parent_session_id",
+    "parent_start_time", "tunnel", "assoc_id", "chunks", "chunks_sent",
+    "chunks_received", "rule_uuid", "http2_connection",
+    "link_change_count", "policy_id", "link_switches", "sdwan_cluster",
+    "sdwan_device_type", "sdwan_cluster_type", "sdwan_site",
+    "dynusergroup_name",
+]
+_PANOS_HIP = [
+    "srcuser", "vsys", "machine_name", "os", "src", "matchname",
+    "repeatcnt", "matchtype", "future_use3", "future_use4", "seqno",
+    "actionflags", "dg_hier_level_1", "dg_hier_level_2",
+    "dg_hier_level_3", "dg_hier_level_4", "vsys_name", "device_name",
+    "vsys_id", "srcipv6", "hostid", "serialnumber",
+]
+_PANOS_CORRELATION = [
+    "src", "srcuser", "vsys", "category", "severity", "dg_hier_level_1",
+    "dg_hier_level_2", "dg_hier_level_3", "dg_hier_level_4", "vsys_name",
+    "device_name", "vsys_id", "objectname", "object_id", "evidence",
+]
+_PANOS_USERID = [
+    "vsys", "ip", "user", "datasourcename", "eventid", "repeatcnt",
+    "timeout", "beginport", "endport", "datasource", "datasourcetype",
+    "seqno", "actionflags", "dg_hier_level_1", "dg_hier_level_2",
+    "dg_hier_level_3", "dg_hier_level_4", "vsys_name", "device_name",
+    "vsys_id", "factortype", "factorcompletiontime", "factorno",
+    "future_use3", "future_use4", "ugflags", "userbysource",
+]
+# simple branches: type value → column list (device_name required,
+# extra trailing fields accepted — "the rest is optional")
+_PANOS_BRANCHES = {
+    "SYSTEM": _PANOS_SYSTEM,
+    "THREAT": _PANOS_THREAT,
+    "TRAFFIC": _PANOS_TRAFFIC,
+    "HIP-MATCH": _PANOS_HIP,
+    "CORRELATION": _PANOS_CORRELATION,
+    "USERID": _PANOS_USERID,
+}
 
 
 def panos_parser(df: DataFrame, source: str = "text", prefix: str = ".panos.") -> DataFrame:
-    """panos-parser() (scl/paloalto/panos.conf): common 8-column CSV head
-    (greedy tail), then a per-``type`` second CSV pass over the tail —
-    batch shape: parse both layouts as columns, keep the matching one
-    (a CASE instead of the reference's if/elif channel)."""
+    """panos-parser() — full scl/paloalto/panos.conf branch set.
+
+    Common 8-column CSV head (greedy tail), then a per-``type`` second
+    pass over the tail: SYSTEM / THREAT / TRAFFIC / HIP-MATCH /
+    CORRELATION / USERID with their reference column lists (extra
+    trailing fields accepted, ``device_name`` required non-empty — the
+    conf's filter), and CONFIG with the standard/custom disambiguation:
+    the standard 15-column layout carries drop-invalid(yes), so it
+    applies iff the tail has EXACTLY 15 fields; otherwise the custom
+    layout (before/after_change_detail) parses and requires
+    device_name. Unknown types leave ``.panos.matched`` false (the
+    conf's no-else drop). Sets ``program`` to ``paloalto_panos`` on
+    match (the conf's PROGRAM rewrite); batch shape: one CASE per
+    column instead of the reference's if/elif channel."""
     out = csv_parser(
         df,
         [(f"{prefix}{c}", "string") for c in
@@ -145,23 +325,57 @@ def panos_parser(df: DataFrame, source: str = "text", prefix: str = ".panos.") -
         source=source,
         greedy=True,
     )
-    tmp = F.col(f"`{prefix}tmp`")
     typ = F.col(f"`{prefix}type`")
-    sys_parts = F.split(tmp, ",")
-    for i, name in enumerate(_PANOS_SYSTEM):
-        out = out.withColumn(
-            f"{prefix}{name}",
-            F.when(typ == "SYSTEM", F.element_at(sys_parts, i + 1)),
-        )
+    # materialize the split ONCE: ~200 element_at references below must
+    # bind an attribute, not re-evaluate the split expression
+    out = out.withColumn("_pparts", F.split(F.col(f"`{prefix}tmp`"), ","))
+    parts = F.col("_pparts")
+    nparts = F.size(parts)
+
+    config_std = (typ == "CONFIG") & (nparts == len(_PANOS_CONFIG))
+    config_custom = (typ == "CONFIG") & (nparts != len(_PANOS_CONFIG))
+
+    # name → list of (condition, 1-based position)
+    slots: dict[str, list] = {}
+    for t, names in _PANOS_BRANCHES.items():
+        for i, name in enumerate(names):
+            slots.setdefault(name, []).append((typ == t, i + 1))
     for i, name in enumerate(_PANOS_CONFIG):
-        cname = f"{prefix}{name}"
-        val = F.when(typ == "CONFIG", F.element_at(sys_parts, i + 1))
-        if cname in out.columns:
-            out = out.withColumn(cname, F.coalesce(F.col(f"`{cname}`"), val))
-        else:
-            out = out.withColumn(cname, val)
+        slots.setdefault(name, []).append((config_std, i + 1))
+    for i, name in enumerate(_PANOS_CONFIG_CUSTOM):
+        slots.setdefault(name, []).append((config_custom, i + 1))
+
+    new_cols = []
+    for name, cases in slots.items():
+        col = F.when(cases[0][0], F.element_at(parts, cases[0][1]))
+        for cond, pos in cases[1:]:
+            col = col.when(cond, F.element_at(parts, pos))
+        new_cols.append(col.alias(f"{prefix}{name}"))
+
+    def dn_ok(pos: int) -> Column:
+        dn = F.element_at(parts, pos)
+        return dn.isNotNull() & (dn != "")
+
+    matched = F.lit(False)
+    for t, names in _PANOS_BRANCHES.items():
+        pos = names.index("device_name") + 1
+        matched = F.when(typ == t, dn_ok(pos)).otherwise(matched)
+    matched = (
+        F.when(config_std, F.lit(True))
+        .when(
+            config_custom,
+            dn_ok(_PANOS_CONFIG_CUSTOM.index("device_name") + 1),
+        )
+        .otherwise(matched)
+    )
+
+    base = [F.col(f"`{c}`") for c in out.columns if c != "_pparts"]
+    out = out.select(*base, *new_cols, matched.alias(f"{prefix}matched"))
     return out.withColumn(
-        f"{prefix}matched", typ.isin("SYSTEM", "CONFIG")
+        "program",
+        F.when(F.col(f"`{prefix}matched`"), F.lit("paloalto_panos")).otherwise(
+            F.col("program") if "program" in out.columns else F.lit(None).cast("string")
+        ),
     )
 
 

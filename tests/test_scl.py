@@ -41,12 +41,62 @@ def test_cisco(spark):
 
 
 def test_postgresql_csvlog(spark):
-    line = '2026-01-01 10:00:00 UTC,alice,appdb,4242,"10.0.0.1:5432",abc123,7,SELECT'
+    line = (
+        '2026-01-01 10:00:00.123 UTC,alice,appdb,4242,"10.0.0.1:5432",'
+        'abc123,7,SELECT,2026-01-01 09:00:00 UTC,23/74060,0,LOG,00000,'
+        '"dur: 1 ms",,,,,,,,,"psql","client backend",,17'
+    )
     row = postgresql_csvlog_parser(_df(spark, [line])).collect()[0]
-    assert row.pg_user == "alice"
-    assert row.pg_pid == 4242
-    assert row.pg_conn == "10.0.0.1:5432"
-    assert row.pg_cmd == "SELECT"
+    assert row[".pgsql.username"] == "alice"
+    assert row[".pgsql.pid"] == 4242 and row["pid"] == 4242
+    assert row[".pgsql.connection_from"] == "10.0.0.1:5432"
+    assert row[".pgsql.command_tag"] == "SELECT"
+    assert row[".pgsql.application_name"] == "psql"
+    assert row[".pgsql.query_id"] == 17
+    assert row["msg"] == "dur: 1 ms"
+    assert str(row["pgsql_ts"]) == "2026-01-01 10:00:00.123000"
+
+
+def test_postgresql_csvlog_light_cases(spark):
+    """Cases from tests/light/.../test_postgresql_csvlog_parser.py where
+    the reference expectations are self-consistent (its case 1 claims
+    severity LOG for a DEBUG3 input — a copy-paste artifact; pgsql.conf
+    is the authority followed here). Mapping per the conf's shifted
+    set-severity chain: DEBUG*→debug, WARNING→notice, PANIC→crit,
+    LOG/FATAL unmapped → the generator default (info)."""
+    base = (
+        '2023-08-08 12:05:52.805 UTC,,,22113,,64d22fa0.5661,1,,'
+        '2023-08-08 12:05:52 UTC,23/74060,0,{sev},00000,'
+        '"automatic vacuum of table ""tablename"": index scans: 0",,,,,,,,,""'
+    )
+    for sev, want in [
+        ("DEBUG3", 7), ("LOG", 6), ("INFO", 6), ("NOTICE", 5),
+        ("WARNING", 5), ("ERROR", 4), ("FATAL", 6), ("PANIC", 2),
+    ]:
+        row = postgresql_csvlog_parser(
+            _df(spark, [base.format(sev=sev)])
+        ).collect()[0]
+        assert row["severity_num"] == want, (sev, row["severity_num"])
+        assert row[".pgsql.severity"] == sev
+        # '""' inside the quoted message is an escaped quote
+        assert 'table "tablename"' in row["msg"]
+        assert row[".pgsql.pid"] == 22113
+        assert row[".pgsql.session_line_num"] == 1
+        assert row[".pgsql.transaction_id"] == 0
+
+
+def test_postgresql_csvlog_fewer_fields_and_host_default(spark):
+    # v12-era logs carry fewer trailing columns: they null-fill
+    line = (
+        '2023-08-08 12:05:52.805 UTC,,,22113,,64d22fa0.5661,1,,'
+        '2023-08-08 12:05:52 UTC,23/74060,0,LOG,00000,'
+    )
+    row = postgresql_csvlog_parser(
+        _df(spark, [line]), host_from="localhost"
+    ).collect()[0]
+    assert row[".pgsql.backend_type"] is None
+    assert row[".pgsql.connection_from"] == "localhost"  # empty → HOST_FROM
+    assert row["severity_num"] == 6
 
 
 def test_mariadb_audit_parser(spark):
@@ -755,3 +805,87 @@ def test_app_parser_registry_port(spark):
                          topic="netdev")
     got = [r["app"] for r in app_parser(df, topic="netdev").collect()]
     assert got == [None, "cisco2", None]
+
+
+def test_panos_light_cases(spark):
+    """The four light-suite panos cases
+    (tests/light/functional_tests/parsers/panos/test_panos_parser.py),
+    message part only (the engine's app-parser handles the syslog
+    head): SYSTEM, SYSTEM with accepted trailing extras, CONFIG
+    standard (exactly 15 tail fields, drop-invalid path), CONFIG custom
+    (before/after_change_detail present)."""
+    from syslog_ng_spark.operators.scl import panos_parser
+
+    sys_msg = (
+        "1,2020/04/14 16:48:54,unknown,SYSTEM,auth,0,2020/04/14 16:48:54,"
+        ",auth-fail,,0,0,general,medium,failed authentication for user "
+        "'admin'. Reason: Invalid username/password. From: 10.0.10.55.,"
+        "1718,0x0,0,0,0,0,,paloalto"
+    )
+    cfg_msg = (
+        "1,2020/04/14 16:54:18,unknown,CONFIG,0,0,2020/04/14 16:54:18,"
+        "10.0.10.55,,set,admin,Web,Succeeded,deviceconfig system,127,0x0,"
+        "0,0,0,0,,paloalto"
+    )
+    cfg_custom = (
+        "1,2020/04/14 16:54:18,unknown,CONFIG,0,0,2020/04/14 16:54:18,"
+        "10.0.10.55,,set,admin,Web,Succeeded,deviceconfig system,before,"
+        "after,127,0x0,0,0,0,0,,paloalto"
+    )
+    rows = panos_parser(
+        spark.createDataFrame(
+            [(1, sys_msg), (2, sys_msg + ",foo,bar"), (3, cfg_msg),
+             (4, cfg_custom), (5, "1,2020/04/14,unknown,BOGUS,x,0,t,a,b")],
+            "i long, text string",
+        )
+    ).orderBy("i").collect()
+
+    r1, r2, r3, r4, r5 = rows
+    for r in (r1, r2):  # SYSTEM; trailing extras accepted
+        assert r[".panos.matched"]
+        assert r["program"] == "paloalto_panos"
+        assert r[".panos.type"] == "SYSTEM"
+        assert r[".panos.eventid"] == "auth-fail"
+        assert r[".panos.device_name"] == "paloalto"
+    assert r3[".panos.matched"]
+    assert r3[".panos.path"] == "deviceconfig system"
+    assert r3[".panos.device_name"] == "paloalto"
+    assert r3[".panos.before_change_detail"] is None
+    assert r4[".panos.matched"]  # custom layout: 17 tail fields
+    assert r4[".panos.path"] == "deviceconfig system"
+    assert r4[".panos.before_change_detail"] == "before"
+    assert r4[".panos.after_change_detail"] == "after"
+    assert r4[".panos.device_name"] == "paloalto"
+    assert not r5[".panos.matched"]  # unknown type → the no-else drop
+    assert r5["program"] is None
+
+
+def test_panos_branch_columns(spark):
+    """TRAFFIC/THREAT/HIP-MATCH/CORRELATION/USERID branch column
+    positions: device_name lands where the reference list puts it and
+    the required-non-empty filter gates matched."""
+    from syslog_ng_spark.operators.scl import (
+        _PANOS_BRANCHES,
+        panos_parser,
+    )
+
+    rows, want = [], {}
+    for i, (t, names) in enumerate(sorted(_PANOS_BRANCHES.items())):
+        tail = [f"v{j}" for j in range(len(names))]
+        tail[names.index("device_name")] = f"dev-{t}"
+        rows.append((i, f"1,rt,serial,{t},sub,0,gen," + ",".join(tail)))
+        want[i] = (t, f"dev-{t}")
+        # same branch with EMPTY device_name → unmatched
+        tail2 = list(tail)
+        tail2[names.index("device_name")] = ""
+        rows.append((100 + i, f"1,rt,serial,{t},sub,0,gen," + ",".join(tail2)))
+    got = {
+        r["i"]: r
+        for r in panos_parser(
+            spark.createDataFrame(rows, "i long, text string")
+        ).collect()
+    }
+    for i, (t, dev) in want.items():
+        assert got[i][".panos.matched"], t
+        assert got[i][".panos.device_name"] == dev
+        assert not got[100 + i][".panos.matched"], t

@@ -1389,6 +1389,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
+        "scl_pgsql": q_scl_pgsql,
     }
 
 
@@ -1451,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_SQL,
         "bm25_search": _BM25_SQL,
         "hybrid_search": _HYBRID_SQL,
+        "scl_pgsql": _SCL_PGSQL_SQL,
     }
 
 
@@ -2563,4 +2565,92 @@ WITH q(query_id, query_text) AS (
 SELECT query_id, doc_id, bm25, cos, CAST(rank AS INT) AS rank
 FROM rr2 WHERE rank <= 10
 ORDER BY query_id, rank
+"""
+
+
+def q_scl_pgsql(spark, sf_dir):
+    """SCL postgresql-csvlog preset (scl/pgsql/pgsql.conf), inverse
+    property: 26-column csvlog lines formatted from orders columns —
+    including a quoted message with an embedded '""'-escaped quote and
+    a comma, and a rotating severity exercising the conf's shifted
+    mapping — parsed back; the oracle recomputes every field from the
+    source columns directly."""
+    from syslog_ng_spark.operators.scl import postgresql_csvlog_parser
+
+    o = _t(spark, sf_dir, "orders").filter(F.pmod("o_orderkey", F.lit(5)) == 0)
+    ts = F.concat(
+        F.date_format(
+            F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSS"
+        ),
+        F.lit(" UTC"),
+    )
+    sevs = ["LOG", "WARNING", "ERROR", "PANIC", "DEBUG2", "INFO"]
+    sev = F.element_at(
+        F.array(*[F.lit(s) for s in sevs]),
+        (F.pmod("o_orderkey", F.lit(6)) + 1).cast("int"),
+    )
+    msg_quoted = F.concat(
+        F.lit('"cust ""'),
+        F.col("o_custkey").cast("string"),
+        F.lit('"", status ,'),
+        F.col("o_orderstatus"),
+        F.lit('"'),
+    )
+    line = F.concat_ws(
+        ",",
+        ts,
+        F.concat(F.lit("u"), F.pmod("o_custkey", F.lit(100)).cast("string")),
+        F.lit("appdb"),
+        F.pmod("o_orderkey", F.lit(65536)).cast("string"),
+        F.lit('"10.0.0.1:5432"'),
+        F.lit("sess1"),
+        F.lit("7"),
+        F.lit("SELECT"),
+        ts,
+        F.lit("23/74060"),
+        F.lit("0"),
+        sev,
+        F.lit("00000"),
+        msg_quoted,
+        F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""),
+        F.lit(""), F.lit(""),
+        F.lit('"app"'),
+        F.lit('"client backend"'),
+        F.lit(""),
+        F.pmod("o_orderkey", F.lit(1000000)).cast("string"),
+    )
+    parsed = postgresql_csvlog_parser(o.withColumn("text", line))
+    return parsed.select(
+        "o_orderkey",
+        F.col("`.pgsql.username`").alias("username"),
+        F.col("`.pgsql.pid`").alias("pid"),
+        F.col("`.pgsql.connection_from`").alias("connection_from"),
+        F.col("`.pgsql.severity`").alias("severity"),
+        "severity_num",
+        "msg",
+        "pgsql_ts",
+        F.col("`.pgsql.query_id`").alias("query_id"),
+    ).orderBy("o_orderkey")
+
+
+_SCL_PGSQL_SQL = """
+SELECT o_orderkey,
+       'u' || CAST(o_custkey % 100 AS VARCHAR) AS username,
+       CAST(o_orderkey % 65536 AS INTEGER) AS pid,
+       '10.0.0.1:5432' AS connection_from,
+       CASE o_orderkey % 6
+         WHEN 0 THEN 'LOG' WHEN 1 THEN 'WARNING' WHEN 2 THEN 'ERROR'
+         WHEN 3 THEN 'PANIC' WHEN 4 THEN 'DEBUG2' ELSE 'INFO'
+       END AS severity,
+       CAST(CASE o_orderkey % 6
+         WHEN 0 THEN 6 WHEN 1 THEN 5 WHEN 2 THEN 4
+         WHEN 3 THEN 2 WHEN 4 THEN 7 ELSE 6
+       END AS INTEGER) AS severity_num,
+       'cust "' || CAST(o_custkey AS VARCHAR) || '", status ,'
+         || o_orderstatus AS msg,
+       CAST(o_orderdate AS TIMESTAMP) AS pgsql_ts,
+       CAST(o_orderkey % 1000000 AS INTEGER) AS query_id
+FROM orders
+WHERE o_orderkey % 5 = 0
+ORDER BY o_orderkey
 """

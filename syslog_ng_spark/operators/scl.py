@@ -450,7 +450,7 @@ def app_parser(
     chain = None
     for name, fn, matched_col in apps:
         out = fn(out, source=source)
-        cond = F.col(matched_col)
+        cond = F.col(f"`{matched_col}`")  # dotted SCL names need quoting
         chain = F.when(cond, name) if chain is None else chain.when(cond, name)
     return out.withColumn("app", chain)
 
@@ -458,6 +458,8 @@ def app_parser(
 register_application("apache", apache_accesslog_parser, "apache_matched")
 register_application("cisco", cisco_parser, "cisco_matched")
 register_application("rfc5424-sd", sdata_parser, "sdata_matched")
+# scl/paloalto/panos.conf: application panos[syslog]
+register_application("panos", panos_parser, ".panos.matched")
 
 
 def windows_eventlog_parser(df: DataFrame, source: str = "text", prefix: str = ".windows.") -> DataFrame:

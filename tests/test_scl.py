@@ -889,3 +889,15 @@ def test_panos_branch_columns(spark):
         assert got[i][".panos.matched"], t
         assert got[i][".panos.device_name"] == dev
         assert not got[100 + i][".panos.matched"], t
+
+
+def test_app_parser_dispatches_panos(spark):
+    from syslog_ng_spark.operators.scl import app_parser
+
+    line = (
+        "1,2020/04/14 16:48:54,unknown,SYSTEM,auth,0,2020/04/14 16:48:54,"
+        ",auth-fail,,0,0,general,medium,failed auth,1718,0x0,0,0,0,0,,paloalto"
+    )
+    df = spark.createDataFrame([(line,), ("nothing to see",)], "text string")
+    got = [r.app for r in app_parser(df).collect()]
+    assert got == ["panos", None]

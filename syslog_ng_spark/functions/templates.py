@@ -473,6 +473,7 @@ _TEMPLATE_FUNCS: dict[str, object] = {
         cols,
     ),
     "format-welf": lambda raw, cols: _format_welf(raw, cols),
+    "graphite-output": lambda raw, cols: _graphite_output(raw, cols),
     "format-date": lambda raw, cols: _format_date(raw, cols),
     # crypto (modules/cryptofuncs/cryptofuncs.c): args CONCATENATE
     # before hashing, --length/-l truncates the hex (clamped to the
@@ -1157,6 +1158,32 @@ def _format_welf(raw, cols):
     globs/names), merged into one key set and rendered SORTED with the
     'id' key first (tf_format_welf_strcmp); space-containing values are
     quoted."""
+    m = _vp_cmdline_map(raw)
+    m = F.map_filter(m, lambda _k, v: v.isNotNull())
+    # sorted iteration with 'id' first (tf_format_welf_strcmp)
+    ent = F.array_sort(
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(
+                (e["key"] != "id").alias("notid"),
+                e["key"].alias("key"),
+                e["value"].alias("value"),
+            ),
+        )
+    )
+    return F.array_join(
+        F.transform(
+            ent, lambda e: F.concat(e["key"], F.lit("="), _welf_value(e["value"]))
+        ),
+        " ",
+    )
+
+
+def _vp_cmdline_map(raw) -> Column:
+    """value_pairs_new_from_cmdline analogue: --scope / --key /
+    --exclude (comma lists + repeats), explicit k=v pairs, bare
+    selector globs — merged into one map<string,string> of the
+    selected (key, rendered value) pairs."""
     import fnmatch as _fn  # noqa: PLC0415
 
     cur_cols = _COLUMNS_CTX[-1] if _COLUMNS_CTX else None
@@ -1214,23 +1241,50 @@ def _format_welf(raw, cols):
 
         preds = [_glob_pred(g) for g in exc]
         m = F.map_filter(m, lambda k, _v: ~_fold_or([p(k) for p in preds]))
+    return m
+
+
+def _graphite_output(raw, cols):
+    """$(graphite-output [--timestamp T] <value-pairs cmdline>) —
+    modules/graphite/graphite-output.c: one Graphite plaintext line
+    'name value timestamp\\n' per selected pair (EVERY line
+    newline-terminated, tf_graphite_foreach_func), keys sorted, a
+    leading '.' always rewritten to '_' (the hardwired
+    replace-prefix transform, tf_graphite_prepare), timestamp
+    defaulting to $R_UNIXTIME."""
+    cur_cols = _COLUMNS_CTX[-1] if _COLUMNS_CTX else None
+    ts = None
+    rest: list[str] = []
+    i = 0
+    while i < len(raw):
+        if raw[i] in ("--timestamp", "-t"):
+            ts = compile_template(raw[i + 1], cur_cols)
+            i += 2
+        else:
+            rest.append(raw[i])
+            i += 1
+    if ts is None:
+        ts = compile_template("${R_UNIXTIME}", cur_cols)
+
+    m = _vp_cmdline_map(rest)
     m = F.map_filter(m, lambda _k, v: v.isNotNull())
-    # sorted iteration with 'id' first (tf_format_welf_strcmp)
     ent = F.array_sort(
         F.transform(
             F.map_entries(m),
             lambda e: F.struct(
-                (e["key"] != "id").alias("notid"),
-                e["key"].alias("key"),
+                F.regexp_replace(e["key"], r"^\.", "_").alias("key"),
                 e["value"].alias("value"),
             ),
         )
     )
     return F.array_join(
         F.transform(
-            ent, lambda e: F.concat(e["key"], F.lit("="), _welf_value(e["value"]))
+            ent,
+            lambda e: F.concat(
+                e["key"], F.lit(" "), e["value"], F.lit(" "), ts, F.lit("\n")
+            ),
         ),
-        " ",
+        "",
     )
 
 

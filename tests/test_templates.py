@@ -679,3 +679,37 @@ def test_format_welf_id_sorts_first(spark):
         "o", compile_template("$(format-welf --key *)", {"nv", "id2"})
     ).head()["o"]
     assert out.startswith("id=7 ")
+
+
+def test_graphite_output(msg):
+    """modules/graphite/graphite-output.c + the light suite
+    (template_functions/graphite-output/test_graphite_output.py):
+    'name value timestamp\\n' per pair (every line terminated), keys
+    sorted, leading '.' rewritten to '_', --timestamp template,
+    default timestamp $R_UNIXTIME."""
+    # C unit test: explicit pair, default timestamp (= R_UNIXTIME,
+    # which in batch is the event time: 2026-02-11T21:27:22Z)
+    import calendar, datetime as _dt
+    unx = str(calendar.timegm(_dt.datetime(2026, 2, 11, 21, 27, 22).timetuple()))
+    assert _one(msg, "$(graphite-output local.random.diceroll=4)") == (
+        f"local.random.diceroll 4 {unx}\n"
+    )
+    # light case: --timestamp literal + --key glob over the nv map
+    df = msg.withColumn(
+        "nv",
+        F.create_map(
+            F.lit("test.key1"), F.lit("value1"),
+            F.lit("test.key2"), F.lit("value2"),
+        ),
+    )
+    assert _one(df, "$(graphite-output --timestamp custom_timestamp --key test.*)") == (
+        "test.key1 value1 custom_timestamp\n"
+        "test.key2 value2 custom_timestamp\n"
+    )
+    # hardwired replace-prefix: leading '.' -> '_'
+    df2 = msg.withColumn(
+        "nv", F.create_map(F.lit(".hidden.k"), F.lit("9"))
+    )
+    assert _one(df2, "$(graphite-output --timestamp T --key .hidden.*)") == (
+        "_hidden.k 9 T\n"
+    )

@@ -254,7 +254,20 @@ def set_facility(df: DataFrame, facility: str, condition=None) -> DataFrame:
 
 
 def set_pri(df: DataFrame, pri: Column | int, condition=None) -> DataFrame:
-    new = (F.lit(pri) if isinstance(pri, int) else pri).cast("int")
+    """set-pri() — rewrite-set-pri.c log_rewrite_set_pri_convert_pri:
+    the rendered value must be a whole strtol-style decimal (optional
+    leading whitespace and sign, nothing after the digits) within
+    [0, 127*8+7]; anything else keeps the old pri (the light set-pri
+    table: '5789'/'-2'/'test'/'' all leave pri untouched)."""
+    src = (F.lit(pri) if isinstance(pri, int) else pri).cast("string")
+    num = F.when(
+        src.rlike(r"^\s*[+-]?[0-9]+$"),
+        F.regexp_replace(src, r"\s", "").cast("long"),
+    )
+    new = (
+        F.when((num >= 0) & (num <= 127 * 8 + 7), num.cast("int"))
+        .otherwise(F.col("pri"))
+    )
     return _guarded(df, "pri", new, condition)
 
 

@@ -49,20 +49,136 @@ def apache_accesslog_parser(
     )
 
 
-# Cisco IOS-ish system message: "%FACILITY-SEVERITY-MNEMONIC: text"
-_CISCO = (
-    r"^(?:.*?)%(?P<cisco_facility>[A-Z0-9_]+)-(?P<cisco_severity>\d)-"
-    r"(?P<cisco_mnemonic>[A-Z0-9_]+): (?P<cisco_message>.*)$"
+# cisco-parser() timestamp patterns (scl/cisco/plugin.conf @defines)
+_CISCO_TS_STD = (
+    r"[\*\.]?([A-Za-z]{3} [0-9 ]\d (?:\d{4} )?"
+    r"\d{2}:\d{2}:\d{2}(?:\.\d{3})?(?: (?:AM|PM))?)"
 )
+_CISCO_TS_ISO = r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})"
+_CISCO_TS_NXOS = r"(\d{4} [A-Za-z]{3} [0-9 ]\d \d{2}:\d{2}:\d{2})"
 
 
 def cisco_parser(df: DataFrame, source: str = "text", prefix: str = ".cisco.") -> DataFrame:
-    """cisco-parser(): IOS %FAC-SEV-MNEMONIC header → columns + pri
-    severity bits (reference scl/cisco)."""
-    out = regexp_parser(df, _CISCO, source=source, prefix=prefix, matched_col="cisco_matched")
-    return out.withColumn(
-        f"{prefix}severity_num", F.col(f"`{prefix}cisco_severity`").cast("int")
+    """cisco-parser() — full scl/cisco/plugin.conf grammar.
+
+    ``<pri>`` head, split at the FIRST ': %' into header and body
+    (body truncates at a second ': %' — the reference's greedy third
+    column swallows it), triplet FAC-SEV-MNEMONIC with the 4-token
+    SYSMGR-STANDBY form (facility keeps the embedded dash), seqno/': '
+    strip, then the header if/elif chain: timestamp-leading (optional
+    trailing HOST), RP/CLC ``cpu_module`` forms, ``HOST: timestamp``,
+    bare-host, empty. MSG is rewritten to ``%<body>``. Timestamps
+    parse via the conf's format list; formats without a year anchor at
+    1970 (batch engine: no receive clock to inherit a year from — the
+    documented msgparse divergence).
+
+    Emits reference names (``.cisco.facility/severity/mnemonic``,
+    ``HOST``→``cisco_host``, ``cisco_ts``, ``.cisco.cpu_module``) plus
+    the legacy ``cisco_*`` aliases and ``severity_num``.
+    """
+    src = F.col(source) if isinstance(source, str) else source
+    out = df.withColumn("_pri_s", F.regexp_extract(src, r"^<(\d{1,3})>", 1))
+    pri_s = F.col("_pri_s")
+    after = F.when(
+        pri_s != "",
+        src.substr(F.length(pri_s) + F.lit(3), F.length(src)),
+    ).otherwise(src)
+    out = out.withColumn("_rest", after)
+    # split at ': %' — col2 ends at the NEXT ': %' when one exists
+    out = out.withColumn("_segs", F.split(F.col("_rest"), ": %"))
+    segs = F.col("_segs")
+    has_split = F.size(segs) >= 2
+    body = F.element_at(segs, 2)
+    # subst("^([0-9]+: |: )?", "", $1) — drop seqno or NXOS ': '
+    hdr = F.regexp_replace(F.element_at(segs, 1), r"^([0-9]+: |: )", "")
+    out = out.withColumn("_hdr", hdr).withColumn("_body", body)
+    hdr = F.col("_hdr")
+    body = F.col("_body")
+
+    # triplet over the first ':'-field of the body
+    trip = F.element_at(F.split(body, ":"), 1)
+    toks = F.split(trip, "-")
+    nt = F.size(toks)
+    fac = F.when(nt == 3, F.element_at(toks, 1)).when(
+        nt == 4,
+        F.concat(F.element_at(toks, 1), F.lit("-"), F.element_at(toks, 2)),
     )
+    sev = F.when(nt == 3, F.element_at(toks, 2)).when(
+        nt == 4, F.element_at(toks, 3)
+    )
+    mnem = F.when(nt == 3, F.element_at(toks, 3)).when(
+        nt == 4, F.element_at(toks, 4)
+    )
+    trip_ok = nt.isin(3, 4)
+
+    # header chain (in the conf's if/elif order)
+    ts_any = f"(?:{_CISCO_TS_STD}|{_CISCO_TS_ISO}|{_CISCO_TS_NXOS})"
+    a_ok = hdr.rlike(f"^{ts_any}")
+    a_host = F.coalesce(
+        F.nullif(F.regexp_extract(hdr, f"^{_CISCO_TS_ISO}\\w+ (\\S+)\\s*$", 2), F.lit("")),
+        F.nullif(F.regexp_extract(hdr, f"^{_CISCO_TS_STD} (\\S+)\\s*$", 2), F.lit("")),
+    )
+    b_cpu = F.coalesce(
+        F.nullif(F.regexp_extract(hdr, r"^(RP/[0-9]/[^:]+):(.*)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(hdr, r"^(CLC [0-9]/[0-9]): +(.*)", 1), F.lit("")),
+    )
+    b_rest = F.coalesce(
+        F.nullif(F.regexp_extract(hdr, r"^RP/[0-9]/[^:]+:(.*)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(hdr, r"^CLC [0-9]/[0-9]: +(.*)", 1), F.lit("")),
+    )
+    b_ok = b_cpu.isNotNull() & b_rest.rlike(f"^{ts_any}")
+    c_host = F.nullif(F.regexp_extract(hdr, r"^([^:]+): (.*)$", 1), F.lit(""))
+    c_rest = F.regexp_extract(hdr, r"^[^:]+: (.*)$", 1)
+    c_ok = c_host.isNotNull() & c_rest.rlike(f"^{ts_any}")
+    d_ok = hdr.rlike(r"^[^:]+$") & (hdr != "")
+    e_ok = hdr == ""
+    hdr_ok = a_ok | b_ok | c_ok | d_ok | e_ok
+
+    ts_src = (
+        F.when(a_ok, hdr).when(b_ok, b_rest).when(c_ok, c_rest)
+    )
+    ts_str = F.coalesce(
+        F.nullif(F.regexp_extract(ts_src, f"^{_CISCO_TS_STD}", 1), F.lit("")),
+        F.nullif(F.regexp_extract(ts_src, f"^{_CISCO_TS_ISO}", 1), F.lit("")),
+        F.nullif(F.regexp_extract(ts_src, f"^{_CISCO_TS_NXOS}", 1), F.lit("")),
+    )
+    out = out.withColumn("_cts", ts_str)
+    stamp = F.coalesce(
+        *[
+            F.try_to_timestamp(F.col("_cts"), F.lit(fmt))
+            for fmt in [
+                "MMM d hh:mm:ss a.SSS", "MMM d hh:mm:ss a",
+                "MMM d HH:mm:ss.SSS", "MMM d HH:mm:ss",
+                "MMM d yyyy HH:mm:ss.SSS", "MMM d yyyy HH:mm:ss",
+                "yyyy-MM-dd'T'HH:mm:ss", "yyyy MMM d HH:mm:ss",
+            ]
+        ]
+    )
+
+    matched = has_split & trip_ok & hdr_ok
+    host = F.when(matched, F.coalesce(a_host, c_host, F.when(d_ok, hdr)))
+    guard = lambda c: F.when(matched, c)  # noqa: E731
+    out = (
+        out.withColumn("cisco_matched", F.coalesce(matched, F.lit(False)))
+        .withColumn("cisco_pri", guard(F.nullif(pri_s, F.lit("")).cast("int")))
+        .withColumn("cisco_host", host)
+        .withColumn("cisco_ts", guard(stamp))
+        .withColumn("cisco_msg", guard(F.concat(F.lit("%"), body)))
+        .withColumn(f"{prefix}facility", guard(fac))
+        .withColumn(f"{prefix}severity", guard(sev))
+        .withColumn(f"{prefix}mnemonic", guard(mnem))
+        .withColumn(f"{prefix}cpu_module", guard(b_cpu))
+        # legacy aliases (pre-round-5 engine names)
+        .withColumn(f"{prefix}cisco_facility", guard(fac))
+        .withColumn(f"{prefix}cisco_severity", guard(sev))
+        .withColumn(f"{prefix}cisco_mnemonic", guard(mnem))
+        .withColumn(
+            f"{prefix}cisco_message",
+            guard(F.nullif(F.regexp_extract(body, r"^[^:]*: (.*)$", 1), F.lit(""))),
+        )
+        .withColumn(f"{prefix}severity_num", guard(sev.cast("int")))
+    )
+    return out.drop("_pri_s", "_rest", "_segs", "_hdr", "_body", "_cts")
 
 
 # postgresql-csvlog-parser() (scl/pgsql/pgsql.conf): 26 typed columns,

@@ -158,3 +158,19 @@ def test_cc_hash_leaves_non_pan_digits(spark):
         RW.credit_card_hash(df, "message").head()["message"]
         == "pid 12345 port 443 total 99999999"
     )
+
+
+def test_set_pri_light_table(spark):
+    """Port of tests/light/functional_tests/rewrites/set-pri/
+    test_set_pri.py: valid whole decimals in [0, 1023] apply; too-big,
+    negative, non-numeric and empty values keep the old pri (38)."""
+    import pyspark.sql.functions as F
+    from syslog_ng_spark.operators import rewrite as RW
+
+    df = spark.createDataFrame([(38, "x")], "pri int, text string")
+    for value, want in [
+        ("0", 0), ("42", 42), ("1023", 1023),
+        ("5789", 38), ("-2", 38), ("test", 38), ("", 38),
+    ]:
+        got = RW.set_pri(df, F.lit(value)).collect()[0].pri
+        assert got == want, (value, got, want)

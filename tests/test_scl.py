@@ -167,7 +167,7 @@ def test_app_parser_dispatch(spark):
 
     df = spark.createDataFrame(
         [('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326',),
-         ("%SYS-5-CONFIG_I: Configured from console",),
+         ("17: %SYS-5-CONFIG_I: Configured from console",),
          ('[x@1 a="b"]',),
          ("nothing to see",)],
         "text string",
@@ -776,7 +776,10 @@ def test_app_parser_registry_port(spark):
     df = spark.createDataFrame(
         [
             ('1.2.3.4 - u [12/Jan/2024:00:00:00 +0000] "GET / HTTP/1.0" 200 5',),
-            ("%ASA-6-302013: Built outbound TCP connection",),
+            # the reference's own light cisco line: the ': %' structure
+            # is REQUIRED (application cisco[syslog-raw] filters on it)
+            ("<189>29: foo: *Apr 29 13:58:40.411: %SYS-5-CONFIG_I: "
+             "Configured from console by console",),
             ("plain message",),
         ],
         "text string",
@@ -901,3 +904,61 @@ def test_app_parser_dispatches_panos(spark):
     df = spark.createDataFrame([(line,), ("nothing to see",)], "text string")
     got = [r.app for r in app_parser(df).collect()]
     assert got == ["panos", None]
+
+
+def test_cisco_light_cases(spark):
+    """Reference light-suite cisco lines (tests/light/functional_tests/
+    parsers/cisco-parser/test_cisco_parser.py + plugin.conf samples):
+    std/ISO/NXOS timestamps, trailing-host forms, RP/CLC cpu_module,
+    4-token SYSMGR-STANDBY triplet, seqno and NXOS ': ' stripping."""
+    from syslog_ng_spark.operators.scl import cisco_parser
+
+    LINES = {
+        1: "<189>29: foo: *Apr 29 13:58:40.411: %SYS-5-CONFIG_I: Configured from console by console",
+        2: "<190>30: foo: *Apr 29 13:58:46.411: %SYS-6-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 stopped - CLI initiated",
+        3: "<190>32: foo: *Apr 29 13:58:46.411: %SYSMGR-STANDBY-3-SHUTDOWN_START: The System Manager has started the shutdown procedure.",
+        4: "<166>2022-02-16T15:31:53Z na-zy-int-fp1140-p02 : %FTD-6-305012: Teardown dynamic TCP translation",
+        5: "<164>Aug 08 16:58:18 DEVICE123 : %FTD-4-106023: test cisco asa",
+        6: "<187>138076: RP/0/RP0/CPU0:Dec 11 12:43:29.227 EST: snmpd[1002]: %SNMP-SNMP-3-AUTH_FAIL : Received snmp request on unknown community",
+        7: "<187>: 2025 Jun 25 11:27:28 GMT: %AUTHPRIV-3-SYSTEM_MSG: pam_aaa:Authentication failed from 192.168.1.10",
+        8: "no cisco content here",
+    }
+    rows = {
+        r["i"]: r
+        for r in cisco_parser(
+            spark.createDataFrame(
+                [(k, v) for k, v in LINES.items()], "i long, text string"
+            )
+        ).collect()
+    }
+    r = rows[1]
+    assert r["cisco_matched"] and r["cisco_pri"] == 189
+    assert r["cisco_host"] == "foo"
+    assert r[".cisco.facility"] == "SYS"
+    assert r[".cisco.severity"] == "5"
+    assert r[".cisco.mnemonic"] == "CONFIG_I"
+    assert r["cisco_msg"] == "%SYS-5-CONFIG_I: Configured from console by console"
+    assert str(r["cisco_ts"]).endswith("04-29 13:58:40.411000")
+    assert rows[2][".cisco.mnemonic"] == "LOGGINGHOST_STARTSTOP"
+    # 4-token triplet: facility keeps the embedded dash
+    assert rows[3][".cisco.facility"] == "SYSMGR-STANDBY"
+    assert rows[3][".cisco.severity"] == "3"
+    assert rows[3][".cisco.mnemonic"] == "SHUTDOWN_START"
+    # ISO timestamp + trailing host
+    assert rows[4]["cisco_matched"]
+    assert rows[4]["cisco_host"] == "na-zy-int-fp1140-p02"
+    assert str(rows[4]["cisco_ts"]).startswith("2022-02-16 15:31:53")
+    # std timestamp + trailing host
+    assert rows[5]["cisco_host"] == "DEVICE123"
+    assert rows[5][".cisco.facility"] == "FTD"
+    # RP cpu_module
+    assert rows[6]["cisco_matched"]
+    assert rows[6][".cisco.cpu_module"] == "RP/0/RP0/CPU0"
+    assert rows[6][".cisco.facility"] == "SNMP-SNMP"
+    assert str(rows[6]["cisco_ts"]).endswith("12-11 12:43:29.227000")
+    # NXOS 9.3: '<pri>: ' head, year-first timestamp, no host
+    assert rows[7]["cisco_matched"]
+    assert rows[7]["cisco_host"] is None
+    assert str(rows[7]["cisco_ts"]) == "2025-06-25 11:27:28"
+    assert rows[7][".cisco.facility"] == "AUTHPRIV"
+    assert not rows[8]["cisco_matched"]

@@ -1390,6 +1390,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "scl_pgsql": q_scl_pgsql,
+        "scl_cisco": q_scl_cisco,
     }
 
 
@@ -1453,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_SQL,
         "hybrid_search": _HYBRID_SQL,
         "scl_pgsql": _SCL_PGSQL_SQL,
+        "scl_cisco": _SCL_CISCO_SQL,
     }
 
 
@@ -2653,4 +2655,62 @@ SELECT o_orderkey,
 FROM orders
 WHERE o_orderkey % 5 = 0
 ORDER BY o_orderkey
+"""
+
+
+def q_scl_cisco(spark, sf_dir):
+    """SCL cisco-parser (scl/cisco/plugin.conf), inverse property:
+    '<pri>seq: host: *ts: %FAC-SEV-MNEM: msg' lines formatted from
+    events columns (every 4th row uses the 4-token SYSMGR-STANDBY
+    facility form), parsed back through the full grammar — seqno strip,
+    host/timestamp header branch, triplet split, MSG rewrite. Year-less
+    cisco timestamps anchor at 1970 (documented no-receive-clock
+    divergence), so 2024's Feb 29 rows parse to NULL in BOTH engines
+    (1970 is not a leap year)."""
+    from syslog_ng_spark.operators.scl import cisco_parser
+
+    e = _t(spark, sf_dir, "events").filter(F.pmod("event_id", F.lit(5)) == 0)
+    sev = F.pmod("event_id", F.lit(8))
+    fac = F.when(F.pmod("event_id", F.lit(4)) == 0, "SYSMGR-STANDBY").otherwise("SYS")
+    line = F.concat(
+        F.lit("<"), (F.lit(184) + sev).cast("string"), F.lit(">"),
+        F.col("event_id").cast("string"), F.lit(": host-"),
+        F.pmod("user_id", F.lit(20)).cast("string"), F.lit(": *"),
+        F.date_format("ts", "MMM dd HH:mm:ss"), F.lit(": %"),
+        fac, F.lit("-"), sev.cast("string"), F.lit("-"),
+        F.upper("event_type"), F.lit(": User "),
+        F.col("user_id").cast("string"), F.lit(" did "), F.col("event_type"),
+    )
+    parsed = cisco_parser(e.withColumn("text", line))
+    return parsed.select(
+        "event_id",
+        "cisco_pri",
+        F.col("cisco_host").alias("host"),
+        F.col("`.cisco.facility`").alias("facility"),
+        F.col("`.cisco.severity`").alias("severity"),
+        F.col("`.cisco.severity_num`").alias("severity_num"),
+        F.col("`.cisco.mnemonic`").alias("mnemonic"),
+        F.col("cisco_ts").alias("stamp"),
+        F.col("cisco_msg").alias("msg"),
+    ).orderBy("event_id")
+
+
+_SCL_CISCO_SQL = """
+SELECT event_id,
+       CAST(184 + event_id % 8 AS INTEGER) AS cisco_pri,
+       'host-' || CAST(user_id % 20 AS VARCHAR) AS host,
+       CASE WHEN event_id % 4 = 0 THEN 'SYSMGR-STANDBY' ELSE 'SYS' END
+         AS facility,
+       CAST(event_id % 8 AS VARCHAR) AS severity,
+       CAST(event_id % 8 AS INTEGER) AS severity_num,
+       upper(event_type) AS mnemonic,
+       TRY_CAST('1970-' || strftime(ts, '%m-%d %H:%M:%S') AS TIMESTAMP)
+         AS stamp,
+       '%' || CASE WHEN event_id % 4 = 0 THEN 'SYSMGR-STANDBY' ELSE 'SYS' END
+           || '-' || CAST(event_id % 8 AS VARCHAR) || '-'
+           || upper(event_type) || ': User ' || CAST(user_id AS VARCHAR)
+           || ' did ' || event_type AS msg
+FROM events
+WHERE event_id % 5 = 0
+ORDER BY event_id
 """

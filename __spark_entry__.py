@@ -1391,6 +1391,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "scl_pgsql": q_scl_pgsql,
         "scl_cisco": q_scl_cisco,
+        "scl_panos": q_scl_panos,
     }
 
 
@@ -1455,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _HYBRID_SQL,
         "scl_pgsql": _SCL_PGSQL_SQL,
         "scl_cisco": _SCL_CISCO_SQL,
+        "scl_panos": _SCL_PANOS_SQL,
     }
 
 
@@ -2710,6 +2712,94 @@ SELECT event_id,
            || '-' || CAST(event_id % 8 AS VARCHAR) || '-'
            || upper(event_type) || ': User ' || CAST(user_id AS VARCHAR)
            || ' did ' || event_type AS msg
+FROM events
+WHERE event_id % 5 = 0
+ORDER BY event_id
+"""
+
+
+def q_scl_panos(spark, sf_dir):
+    """SCL panos-parser (scl/paloalto/panos.conf), inverse property:
+    rows rotate through SYSTEM / custom-CONFIG / TRAFFIC branch layouts
+    formatted from events columns, parsed back through the per-type
+    dispatch (custom CONFIG via the 17-field layout after the
+    drop-invalid standard one rejects it; TRAFFIC supplying exactly the
+    columns up to device_name — 'the rest is optional'); DuckDB
+    recomputes the per-branch fields with a CASE."""
+    from syslog_ng_spark.operators.scl import panos_parser
+
+    e = _t(spark, sf_dir, "events").filter(F.pmod("event_id", F.lit(5)) == 0)
+    eid = F.col("event_id").cast("string")
+    dev = F.concat(F.lit("fw-"), F.pmod("user_id", F.lit(5)).cast("string"))
+    z = F.lit("0")
+    em = F.lit("")
+    head = [F.lit("1"), F.lit("2024/01/01 00:00:00"), F.lit("serial01")]
+    sys_tail = [
+        em, F.concat(F.lit("ev"), eid), em, z, z, F.lit("general"),
+        F.lit("medium"), F.lit("planted message"), eid, F.lit("0x0"),
+        z, z, z, z, em, dev,
+    ]
+    cfg_tail = [
+        F.lit("10.0.0.9"), em, F.lit("set"), F.lit("admin"), F.lit("Web"),
+        F.lit("Succeeded"), F.lit("deviceconfig system"),
+        F.concat(F.lit("b"), eid), F.concat(F.lit("a"), eid), eid,
+        F.lit("0x0"), z, z, z, z, em, dev,
+    ]
+    traffic_tail = [
+        F.concat(F.lit("10.1.0."), F.pmod("user_id", F.lit(250)).cast("string")),
+        F.concat(F.lit("10.2.0."), F.pmod("event_id", F.lit(250)).cast("string")),
+        em, em, F.lit("allow-ssl"), em, em, F.lit("ssl"), F.lit("vsys1"),
+        F.lit("trust"), F.lit("untrust"), em, em, em, em, eid, F.lit("1"),
+        F.lit("1024"), F.lit("443"), z, z, F.lit("0x0"), F.lit("tcp"),
+        F.lit("allow"),
+        (F.col("user_id") * 100).cast("string"),
+        (F.col("user_id") * 60).cast("string"),
+        (F.col("user_id") * 40).cast("string"),
+        F.lit("12"), em, em, F.lit("any"), em, eid, F.lit("0x0"), em, em,
+        em, F.lit("7"), F.lit("5"), F.lit("tcp-fin"), z, z, z, z, em, dev,
+    ]
+    mode = F.pmod("event_id", F.lit(3))
+    line = (
+        F.when(mode == 0, F.concat_ws(",", *head, F.lit("SYSTEM"), F.lit("auth"), z, F.lit("2024/01/01 00:00:00"), *sys_tail))
+        .when(mode == 1, F.concat_ws(",", *head, F.lit("CONFIG"), z, z, F.lit("2024/01/01 00:00:00"), *cfg_tail))
+        .otherwise(F.concat_ws(",", *head, F.lit("TRAFFIC"), F.lit("end"), z, F.lit("2024/01/01 00:00:00"), *traffic_tail))
+    )
+    parsed = panos_parser(e.withColumn("text", line))
+    return parsed.select(
+        "event_id",
+        F.col("`.panos.type`").alias("ptype"),
+        F.col("`.panos.matched`").alias("matched"),
+        "program",
+        F.col("`.panos.device_name`").alias("device_name"),
+        F.col("`.panos.eventid`").alias("sys_eventid"),
+        F.col("`.panos.path`").alias("cfg_path"),
+        F.col("`.panos.before_change_detail`").alias("cfg_before"),
+        F.col("`.panos.src`").alias("t_src"),
+        F.col("`.panos.dst`").alias("t_dst"),
+        F.col("`.panos.bytes`").alias("t_bytes"),
+        F.col("`.panos.session_end_reason`").alias("t_end"),
+    ).orderBy("event_id")
+
+
+_SCL_PANOS_SQL = """
+SELECT event_id,
+       CASE event_id % 3 WHEN 0 THEN 'SYSTEM' WHEN 1 THEN 'CONFIG'
+            ELSE 'TRAFFIC' END AS ptype,
+       TRUE AS matched,
+       'paloalto_panos' AS program,
+       'fw-' || CAST(user_id % 5 AS VARCHAR) AS device_name,
+       CASE WHEN event_id % 3 = 0
+            THEN 'ev' || CAST(event_id AS VARCHAR) END AS sys_eventid,
+       CASE WHEN event_id % 3 = 1 THEN 'deviceconfig system' END AS cfg_path,
+       CASE WHEN event_id % 3 = 1
+            THEN 'b' || CAST(event_id AS VARCHAR) END AS cfg_before,
+       CASE WHEN event_id % 3 = 2
+            THEN '10.1.0.' || CAST(user_id % 250 AS VARCHAR) END AS t_src,
+       CASE WHEN event_id % 3 = 2
+            THEN '10.2.0.' || CAST(event_id % 250 AS VARCHAR) END AS t_dst,
+       CASE WHEN event_id % 3 = 2
+            THEN CAST(user_id * 100 AS VARCHAR) END AS t_bytes,
+       CASE WHEN event_id % 3 = 2 THEN 'tcp-fin' END AS t_end
 FROM events
 WHERE event_id % 5 = 0
 ORDER BY event_id

@@ -156,11 +156,16 @@ def cisco_parser(df: DataFrame, source: str = "text", prefix: str = ".cisco.") -
     )
 
     matched = has_split & trip_ok & hdr_ok
-    host = F.when(matched, F.coalesce(a_host, c_host, F.when(d_ok, hdr)))
-    guard = lambda c: F.when(matched, c)  # noqa: E731
+    # materialize matched FIRST: it embeds three alternation rlikes and
+    # a dozen extracts, and CASE WHEN disables CSE — referencing the
+    # expression from every guarded output column would re-run the
+    # whole regex stack per column (the round-4 syslog-parser lesson)
+    out = out.withColumn("cisco_matched", F.coalesce(matched, F.lit(False)))
+    mcol = F.col("cisco_matched")
+    host = F.when(mcol, F.coalesce(a_host, c_host, F.when(d_ok, hdr)))
+    guard = lambda c: F.when(mcol, c)  # noqa: E731
     out = (
-        out.withColumn("cisco_matched", F.coalesce(matched, F.lit(False)))
-        .withColumn("cisco_pri", guard(F.nullif(pri_s, F.lit("")).cast("int")))
+        out.withColumn("cisco_pri", guard(F.nullif(pri_s, F.lit("")).cast("int")))
         .withColumn("cisco_host", host)
         .withColumn("cisco_ts", guard(stamp))
         .withColumn("cisco_msg", guard(F.concat(F.lit("%"), body)))

@@ -239,22 +239,21 @@ def test_pack_chunked_no_data_sized_single_partition(spark):
         F.col("id").alias("doc_id"), (F.pmod("id", F.lit(50)) + 1).alias("n_tokens")
     ).repartition(8)
     plan = _plan(pack_chunked(docs, budget=512))
-    # the data path: ONE range exchange of the corpus (the totals
-    # branch re-lists it pre-AQE; at runtime it's a ReusedExchange),
-    # NO hash exchange of the corpus (the window-based local cumsum
-    # would add one — pinned here), prefix table arrives by broadcast
-    assert "Exchange rangepartitioning" in plan
-    # the corpus path is range-exchange -> MapInPandas -> broadcast
-    # join; the ONE hash exchange in the plan belongs to the totals
-    # branch and moves per-partition PARTIAL sums (tiny), never the
-    # corpus (the window-based local cumsum would hash-exchange the
-    # whole corpus -- pinned here)
+    # the data path: ONE deterministic-bucket hash exchange of the
+    # corpus -> MapInPandas local cumsum -> broadcast prefix join; the
+    # totals branch aggregates straight off the SOURCE (map-side
+    # partial, at most tasks x n_buckets tiny rows in its exchange) —
+    # bucket ids are a pure function of the row, never
+    # spark_partition_id() over a SAMPLED range exchange (whose
+    # boundaries can differ between branch re-evaluations)
+    assert "Exchange rangepartitioning" not in plan
     assert "MapInPandas" in plan
-    assert plan.count("Exchange hashpartitioning") <= 1
+    # corpus bucket exchange + tiny totals agg exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     # the only SinglePartition exchange feeds the totals prefix window,
-    # whose input is the per-partition PARTIAL aggregate (tiny)
+    # whose input is the per-bucket PARTIAL aggregate (tiny)
     assert plan.count("Exchange SinglePartition") <= 1
 
 

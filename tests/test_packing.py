@@ -114,3 +114,35 @@ def test_greedy_stats_respect_budget(spark):
     stats = {r["pack_id"]: r["n_tokens"] for r in pack_stats(packed).collect()}
     assert all(v <= 10 for v in stats.values())
     assert sum(stats.values()) == sum(sizes)
+
+
+def test_chunked_offsets_exact_through_multistage_upstream(spark):
+    """Regression for the exchange-reuse determinism bug: offsets must
+    end exactly at the token total even when the cumsum runs over a
+    pipeline with its own upstream shuffles (dedup + filter), where
+    AQE exchange reuse between the cumsum and totals branches is not
+    guaranteed. Bucket ids are a pure function of the row, so this
+    holds by construction now; re-running must give identical offsets."""
+    import pyspark.sql.functions as F
+    from syslog_ng_spark.operators.dedup import exact_dedup
+    from syslog_ng_spark.operators.packing import pack_chunked
+
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod("id", F.lit(7)) == 1, F.lit("dup text"))
+        .otherwise(F.concat(F.lit("t"), F.col("id").cast("string")))
+        .alias("text"),
+        (F.pmod("id", F.lit(97)) + 1).alias("n_tokens"),
+    ).repartition(16)
+    up = exact_dedup(docs).filter(F.col("n_tokens") >= 3)
+    out = pack_chunked(up, budget=512)
+    r = out.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.max(F.col("start_off") + F.col("n_tokens")).alias("end"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert r["end"] == r["tot"], (r["end"], r["tot"])
+    # determinism: a rebuilt plan yields byte-identical offsets
+    a = {x["doc_id"]: x["start_off"] for x in pack_chunked(up, budget=512).collect()}
+    b = {x["doc_id"]: x["start_off"] for x in pack_chunked(up, budget=512).collect()}
+    assert a == b

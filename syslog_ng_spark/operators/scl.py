@@ -583,6 +583,20 @@ register_application("rfc5424-sd", sdata_parser, "sdata_matched")
 register_application("panos", panos_parser, ".panos.matched")
 
 
+def _register_raw_apps() -> None:
+    """The reference's application blocks for raw-ish app detection
+    (scl/checkpoint, scl/fortigate, scl/netskope, scl/websense —
+    mirrored by the light suite's test_topic_syslog_raw.py): register
+    under the default topic after the header-shaped apps so
+    first-match order stays stable."""
+    register_application(
+        "checkpoint", checkpoint_parser, "checkpoint_matched"
+    )
+    register_application("fortigate", fortigate_parser, "fortigate_matched")
+    register_application("netskope", netskope_parser, "netskope_matched")
+    register_application("websense", websense_parser, "websense_matched")
+
+
 def windows_eventlog_parser(df: DataFrame, source: str = "text", prefix: str = ".windows.") -> DataFrame:
     """windows-eventlog XML variant (modules/xml/windows-eventlog-xml-
     parser.c): like xml-parser, but <EventData><Data Name='K'>v</Data>
@@ -1407,3 +1421,6 @@ def arr_parser(
     else:
         out = out.withColumn("level", F.lower(F.col("arr_level")))
     return out
+
+
+_register_raw_apps()

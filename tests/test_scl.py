@@ -962,3 +962,29 @@ def test_cisco_light_cases(spark):
     assert str(rows[7]["cisco_ts"]) == "2025-06-25 11:27:28"
     assert rows[7][".cisco.facility"] == "AUTHPRIV"
     assert not rows[8]["cisco_matched"]
+
+
+def test_app_parser_raw_topic_light_cases(spark):
+    """Dispatch expectations from tests/light/functional_tests/parsers/
+    app-parser/test_topic_syslog_raw.py: cisco / panos / netskope /
+    websense / checkpoint (3164-date, ISO and kv-pipe shapes) /
+    fortigate lines each land on their application."""
+    from syslog_ng_spark.operators.scl import app_parser
+
+    CASES = [
+        ("<189>29: foo: *Apr 29 13:58:40.411: %SYS-5-CONFIG_I: Configured from console by console", "cisco"),
+        ("<12>Apr 14 16:48:54 paloalto.test.net 1,2020/04/14 16:48:54,unknown,SYSTEM,auth,0,2020/04/14 16:48:54,,auth-fail,,0,0,general,medium,failed auth,1718,0x0,0,0,0,0,,paloalto", "panos"),
+        ('<134>{"count": 1, "supporting_data": {"data_type": "user"}, "timestamp": 1547421943, "_insertion_epoch_timestamp": 1547421943, "user": "user@domain.com", "type": "admin_audit_logs"}', "netskope"),
+        ("<159>Dec 19 10:48:57 EST 10.203.28.21 vendor=Websense product=Security product_version=7.7.0 action=permitted severity=1 category=153 user=- src_host=10.64.134.74", "websense"),
+        ('<134>1 2018-03-21 17:25:25 MDS-72 CheckPoint 13752 - [action:"Update"; flags:"150784"; ifdir:"inbound"; origin:"192.168.32.91"; product:"Identity Awareness";]', "checkpoint"),
+        ('<134>1 2019-11-27T02:58:25Z ABDP-CPLOG01 CheckPoint 22103 - [action:"Accept"; flags:"18692"; ifdir:"inbound"; origin:"10.4.150.2"; product:"VPN-1 & FireWall-1";]', "checkpoint"),
+        ('time=1557767758|hostname=r80test|product=Firewall|action=Accept|ifdir=inbound|origin=192.168.96.80|dst=192.168.96.80|proto=6|src=192.168.96.27|', "checkpoint"),
+        ('<189>date=2021-01-15 time=12:58:59 devname="FORTI_111" devid="FG100D3G12801312" logid="0001000014" type="traffic" level="notice" srcip=91.234.154.139 action="deny"', "fortigate"),
+        ("plain message with nothing special", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(CASES)], "i long, text string"
+    )
+    got = {r["i"]: r["app"] for r in app_parser(df).collect()}
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (i, got[i], want)

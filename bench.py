@@ -32,6 +32,78 @@ SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 N_CONVS = int(40_000 * SF * 100)
 
 
+class _HostLoadGuard:
+    """Contamination guard (r5 verdict: a bench taken under external host
+    load shipped as the round artifact). Samples 1-min loadavg in a
+    background thread and, at close, estimates EXTERNAL load as
+    mean(loadavg) − own CPU rate (self + children rusage deltas / wall).
+    The JSON artifact always carries the numbers; `contaminated` flips
+    true when the external estimate exceeds ``threshold`` so a polluted
+    run can never silently become the round artifact."""
+
+    def __init__(self, threshold: float = 1.0):
+        import resource
+        import threading
+
+        self._resource = resource
+        self.threshold = threshold
+        self.start_load = os.getloadavg()[0]
+        self._samples: list[float] = []
+        self._stop = threading.Event()
+        self._t0 = time.time()
+        ru_s = resource.getrusage(resource.RUSAGE_SELF)
+        ru_c = resource.getrusage(resource.RUSAGE_CHILDREN)
+        self._cpu0 = ru_s.ru_utime + ru_s.ru_stime + ru_c.ru_utime + ru_c.ru_stime
+        self._thread = threading.Thread(target=self._sampler, daemon=True)
+        self._thread.start()
+
+    def _sampler(self):
+        while not self._stop.wait(5.0):
+            self._samples.append(os.getloadavg()[0])
+
+    def wait_for_idle(self, max_wait: float = 120.0) -> None:
+        """Best-effort: delay the bench start while external load is high
+        (refuse-by-waiting; after max_wait proceed and let the artifact
+        carry the contamination flag)."""
+        waited = 0.0
+        while os.getloadavg()[0] > self.threshold and waited < max_wait:
+            time.sleep(10.0)
+            waited += 10.0
+        self.start_load = os.getloadavg()[0]
+
+    def close(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        wall = max(time.time() - self._t0, 1e-6)
+        resource = self._resource
+        ru_s = resource.getrusage(resource.RUSAGE_SELF)
+        ru_c = resource.getrusage(resource.RUSAGE_CHILDREN)
+        own_cpu = (
+            ru_s.ru_utime + ru_s.ru_stime + ru_c.ru_utime + ru_c.ru_stime
+        ) - self._cpu0
+        own_rate = own_cpu / wall
+        mean_load = (
+            sum(self._samples) / len(self._samples)
+            if self._samples
+            else os.getloadavg()[0]
+        )
+        # NOTE: loadavg includes runnable-but-waiting threads of our own
+        # JVM during shuffle-heavy phases, so own_rate (CPU actually
+        # consumed) slightly UNDERCOUNTS our loadavg share — external_est
+        # is a conservative (high) estimate.
+        external_est = max(0.0, mean_load - own_rate)
+        return {
+            "start_loadavg": round(self.start_load, 2),
+            "mean_loadavg": round(mean_load, 2),
+            "own_cpu_rate": round(own_rate, 2),
+            "external_est": round(external_est, 2),
+            "threshold": self.threshold,
+            "contaminated": bool(
+                external_est > self.threshold or self.start_load > self.threshold
+            ),
+        }
+
+
 def _pipeline_job(spark, corpus_path):
     """The headline job: read → syslog+kv parse → filter → route → per-sink
     counts. Returns (n_turns, per-sink counts dict)."""
@@ -120,6 +192,15 @@ def _run_level(
 def main() -> None:
     from syslog_ng_spark.datagen import write_transcripts
     from syslog_ng_spark.session import get_spark
+
+    guard = _HostLoadGuard(threshold=1.0)
+    if guard.start_load > guard.threshold:
+        print(
+            f"bench: external loadavg {guard.start_load:.1f} > "
+            f"{guard.threshold} — waiting for idle host",
+            file=sys.stderr,
+        )
+        guard.wait_for_idle()
 
     work = tempfile.mkdtemp(prefix="bench_corpus_")
     corpus = f"{work}/transcripts"
@@ -253,6 +334,7 @@ def main() -> None:
             "scaling_efficiency": efficiency,
             "scaling_rounds": per_round,
         },
+        "host_load": guard.close(),
     }
     shutil.rmtree(work, ignore_errors=True)
 
@@ -327,7 +409,25 @@ def write_bench_md(result: dict) -> None:
             "the columns routing needs — that pruning is the point):\n\n"
             f"**{result['value']:,.0f} turns/s** at {route_level} "
             f"(reference single-node relay: 600-800k msg/s, README.md:91-93).\n\n"
-            "## N→4N scaling criterion (full-parse job, every field forced)\n\n"
+            + (
+                (
+                    lambda hl: (
+                        f"Host-load guard: start loadavg {hl['start_loadavg']}, "
+                        f"mean {hl['mean_loadavg']}, own CPU rate "
+                        f"{hl['own_cpu_rate']}, external estimate "
+                        f"{hl['external_est']} (threshold {hl['threshold']}) — "
+                        + (
+                            "**CONTAMINATED — do not adjudicate against this "
+                            "run**.\n\n"
+                            if hl["contaminated"]
+                            else "clean.\n\n"
+                        )
+                    )
+                )(result["host_load"])
+                if result.get("host_load")
+                else ""
+            )
+            + "## N→4N scaling criterion (full-parse job, every field forced)\n\n"
             f"| level | wall s | turns/s |\n|---|---|---|\n{rows}\n\n"
             f"**Scaling efficiency {pipe['scaling_pair']} = "
             f"{pipe['scaling_efficiency']:.3f}** (target ≥ 0.8, BASELINE.json; "

@@ -128,8 +128,10 @@ def _scope_map(df_or_columns, scope: str) -> Column:
 
 
 def _glob_pred(pattern: str):
-    rx = fnmatch.translate(pattern)
-    # fnmatch translates to a fully-anchored Python regex; Java accepts it
+    # fnmatch.translate end-anchors ('(?s:...)\Z') but does NOT start-
+    # anchor, and rlike is a find — prepend '\A' so glob 'id' does not
+    # match key 'sessionid' (reference: full-string g_pattern_match).
+    rx = "\\A" + fnmatch.translate(pattern)
     return lambda k: k.rlike(rx)
 
 

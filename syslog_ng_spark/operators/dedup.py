@@ -428,16 +428,32 @@ def _auto_block_chunks(
     d_max = max(1, min(d_max, 3))
     if max_bucket_size is None:
         return 1  # no cap to defend — cheapest keying wins
+    n_total = df.count()
+    if n_total == 0:
+        return d_max
+    # Deterministic probe: an unordered limit().collect() takes whichever
+    # partitions answer first, so the sample — and the chosen keying /
+    # recall envelope — could differ between runs of the same corpus.
+    # Downselect by a pure hash of the text (cheap full scan, no regex),
+    # then order the small survivor set by that hash so ties imply equal
+    # text (hence equal fingerprint). Costs one extra count + a top-K
+    # over ~4x sample_size rows — documented price of determinism.
+    hkey = F.pmod(F.xxhash64(F.col(text_col)), F.lit(1_000_000))
+    thr = max(1, min(1_000_000, int(4.0 * sample_size / n_total * 1_000_000)))
     fps = [
         r[0]
-        for r in df.select(simhash(F.col(text_col), features=features).alias("fp"))
+        for r in df.where(hkey < F.lit(thr))
+        .select(
+            simhash(F.col(text_col), features=features).alias("fp"),
+            F.pmod(F.xxhash64(F.col(text_col)), F.lit(1_000_000)).alias("_hk"),
+        )
+        .orderBy("_hk", "fp")
         .limit(sample_size)
         .collect()
     ]
     s = len(fps)
     if s == 0:
         return d_max
-    n_total = df.count()
     w = 64 // n_chunks
     mask = (1 << w) - 1
     for d in range(1, d_max + 1):

@@ -128,7 +128,11 @@ def glob_selector(selector: Column | str, globs: list[str]) -> Column:
     col = F.col(selector) if isinstance(selector, str) else selector
     out = None
     for g in globs:
-        cond = col.rlike(fnmatch.translate(g))
+        # fnmatch.translate yields '(?s:...)\Z' — end-anchored only, and
+        # Spark rlike is a FIND (substring search), so without '\A' glob
+        # 'local*' would match 'mylocalhost'. The reference matches the
+        # full string (g_pattern_match) — anchor both ends.
+        cond = col.rlike("\\A" + fnmatch.translate(g))
         out = F.when(cond, F.lit(g)) if out is None else out.when(cond, F.lit(g))
     if out is None:
         return F.lit(None).cast("string")

@@ -79,11 +79,21 @@ def _global_cumsum(
         return df.withColumn(out_col, F.lit(0).cast("long"))
     nb = max(df.sparkSession.sparkContext.defaultParallelism * 4, 1)
     span = float(hi) - float(lo) + 1.0
+    # Compute the bucket in DOUBLE: '(col - lo) * nb' in long arithmetic
+    # silently wraps for wide id spans (hash-derived 64-bit ids), which
+    # would collapse most rows into bucket 0 — still deterministic (the
+    # bucket stays a pure row function) but one giant partition. Double
+    # precision loses low bits on 64-bit spans, which only blurs bucket
+    # BOUNDARIES, never determinism.
     bucket = F.least(
         F.lit(nb - 1),
         F.greatest(
             F.lit(0),
-            F.floor((F.col(order_col) - F.lit(lo)) * nb / F.lit(span)),
+            F.floor(
+                (F.col(order_col).cast("double") - F.lit(float(lo)))
+                * nb
+                / F.lit(span)
+            ),
         ),
     ).cast("int")
 

@@ -79,8 +79,19 @@ def pii_counts(
     for kind, (pat, repl) in PII_PATTERNS.items():
         if kinds is not None and kind not in kinds:
             continue
+        # size(regexp_extract_all(NULL)) is -1 under legacy sizeOfNull
+        # (our ANSI-off sessions) and NULL under ANSI — clamp both to 0
+        # so aggregations over the audit columns don't silently skip or
+        # skew on null-text rows
         out = out.withColumn(
-            f"n_{kind}", F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            f"n_{kind}",
+            F.coalesce(
+                F.greatest(
+                    F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))),
+                    F.lit(0),
+                ),
+                F.lit(0),
+            ),
         )
         cur = F.regexp_replace(cur, pat, repl)
     return out

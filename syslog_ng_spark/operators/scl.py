@@ -142,7 +142,11 @@ def cisco_parser(df: DataFrame, source: str = "text", prefix: str = ".cisco.") -
         F.nullif(F.regexp_extract(ts_src, f"^{_CISCO_TS_ISO}", 1), F.lit("")),
         F.nullif(F.regexp_extract(ts_src, f"^{_CISCO_TS_NXOS}", 1), F.lit("")),
     )
-    out = out.withColumn("_cts", ts_str)
+    # Cisco space-pads single-digit days ('*Mar  1 18:46:11'); Java's
+    # DateTimeFormatter won't match 'MMM d' against the double space, so
+    # collapse space runs before parsing (strptime '%b %d' tolerates
+    # them; none of the accepted grammars carry meaningful space runs).
+    out = out.withColumn("_cts", F.regexp_replace(ts_str, " +", " "))
     stamp = F.coalesce(
         *[
             F.try_to_timestamp(F.col("_cts"), F.lit(fmt))

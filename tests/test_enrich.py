@@ -265,6 +265,19 @@ def test_glob_selector_port(spark):
     assert got[4] is None
 
 
+def test_glob_selector_anchored_full_string(spark):
+    """Globs match the FULL string (g_pattern_match): 'local*' must NOT
+    match 'mylocalhost' and exact glob 'foo' must NOT match 'xfoo'."""
+    from syslog_ng_spark.operators.enrich import glob_selector
+
+    df = spark.createDataFrame(
+        [("mylocalhost",), ("xfoo",), ("foo",), ("localhost",)],
+        "host string",
+    )
+    got = [r[0] for r in df.select(glob_selector("host", ["local*", "foo"])).collect()]
+    assert got == [None, None, "foo", "local*"]
+
+
 def test_filter_selector_port(spark):
     """Port of tests/test_filter_selector.c: first matching filter's
     NAME becomes the selector."""

@@ -79,6 +79,36 @@ def test_chunked_bad_budget(spark):
         pack_chunked(_docs(spark, [1]), budget=0)
 
 
+def test_chunked_wide_64bit_order_span(spark):
+    # Hash-derived 64-bit order ids: '(col - lo) * nb' in long arithmetic
+    # would wrap and collapse everything into bucket 0. Offsets must stay
+    # exact AND the rows must spread over >1 bucket.
+    sizes = [5, 12, 3, 30, 1, 7, 9, 2, 25, 4]
+    base = _docs(spark, sizes).withColumn(
+        "wide_id", F.xxhash64(F.col("doc_id"))  # spans ~full int64 range
+    )
+    out = pack_chunked(
+        base, budget=10, order_col="wide_id"
+    ).orderBy("wide_id").collect()
+    # serial oracle in wide_id order
+    ordered = sorted(
+        ((r["wide_id"], r["doc_id"]) for r in base.collect())
+    )
+    off = 0
+    expected = {}
+    for wid, did in ordered:
+        s = sizes[did]
+        expected[did] = off
+        off += s
+    for r in out:
+        assert r["start_off"] == expected[r["doc_id"]], r["doc_id"]
+    # bucket spread: the internal _pid must not be a single value
+    from syslog_ng_spark.operators.packing import _global_cumsum
+
+    cum = _global_cumsum(base, "n_tokens", "wide_id", "start_off")
+    assert "_pid" not in cum.columns  # helper drops its scratch column
+
+
 def test_greedy_first_fit(spark):
     sizes = [4, 4, 4, 9, 1, 10, 2]
     out = pack_greedy(_docs(spark, sizes), budget=10).collect()

@@ -75,6 +75,21 @@ def test_null_text_passthrough(spark):
     assert pii_scrub(df).head()["text"] is None
 
 
+def test_counts_zero_for_null_text(spark):
+    # size(regexp_extract_all(NULL)) is NULL by default — counts must
+    # come back 0 so aggregations don't silently skip null-text rows.
+    df = spark.createDataFrame(
+        [(1, None), (2, "a@b.co")], "id long, text string"
+    )
+    rows = {r["id"]: r for r in pii_counts(df, kinds=("email",)).collect()}
+    assert rows[1]["n_email"] == 0
+    assert rows[2]["n_email"] == 1
+    total = pii_counts(df, kinds=("email",)).agg(
+        F.sum("n_email").alias("s")
+    ).head()["s"]
+    assert total == 1
+
+
 def test_plan_stays_codegen(spark):
     # Pure Column regexp chain: no UDF, no shuffle in the scrub itself.
     df = _one(spark, "x").transform(pii_scrub)

@@ -922,6 +922,9 @@ def test_cisco_light_cases(spark):
         6: "<187>138076: RP/0/RP0/CPU0:Dec 11 12:43:29.227 EST: snmpd[1002]: %SNMP-SNMP-3-AUTH_FAIL : Received snmp request on unknown community",
         7: "<187>: 2025 Jun 25 11:27:28 GMT: %AUTHPRIV-3-SYSTEM_MSG: pam_aaa:Authentication failed from 192.168.1.10",
         8: "no cisco content here",
+        # Cisco space-pads single-digit days: 'MMM  d' (double space)
+        9: "<189>31: foo: *Mar  1 18:46:11.299: %SYS-5-CONFIG_I: Configured from console by vty0",
+        10: "<164>Aug  8 16:58:18 DEVICE123 : %FTD-4-106023: padded day asa",
     }
     rows = {
         r["i"]: r
@@ -962,6 +965,13 @@ def test_cisco_light_cases(spark):
     assert str(rows[7]["cisco_ts"]) == "2025-06-25 11:27:28"
     assert rows[7][".cisco.facility"] == "AUTHPRIV"
     assert not rows[8]["cisco_matched"]
+    # space-padded single-digit day still parses (strptime '%b %d' does;
+    # Java 'MMM d' needs the space-run collapse)
+    assert rows[9]["cisco_matched"]
+    assert str(rows[9]["cisco_ts"]).endswith("03-01 18:46:11.299000")
+    assert rows[10]["cisco_matched"]
+    assert str(rows[10]["cisco_ts"]).endswith("08-08 16:58:18")
+    assert rows[10]["cisco_host"] == "DEVICE123"
 
 
 def test_app_parser_raw_topic_light_cases(spark):

@@ -48,6 +48,17 @@ def test_include_exclude_globs(spark):
     assert vp == {"k1": "v1"}
 
 
+def test_include_glob_anchored_no_superstring(spark):
+    """Glob 'k1' must not select superstring keys like 'xk1' or 'k1x'
+    (reference value-pairs globs are full-string g_pattern_match)."""
+    df = _df(spark).withColumn("xk1", F.lit("bad")).withColumn("k1x", F.lit("bad"))
+    vp = value_pairs(df, scopes=["nv-pairs"], include=["k1"]).collect()[0].vp
+    assert vp == {"k1": "v1"}
+    # suffix glob does not match mid-string either: '*2' picks k2 only
+    vp2 = value_pairs(df, scopes=["nv-pairs"], include=["*2"]).collect()[0].vp
+    assert vp2 == {"k2": "v2"}
+
+
 def test_explicit_pairs_and_rekey(spark):
     df = _df(spark)
     vp = value_pairs(

@@ -1374,6 +1374,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getent": q_getent,
         "ivf_topk": q_ivf_topk,
         "patternize": q_patternize,
+        "patternize_iter": q_patternize_iter,
         "stream_route_parity": q_stream_route_parity,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
@@ -1385,6 +1386,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "shuffle_shards": q_shuffle_shards,
         "unigram_logprob": q_unigram_logprob,
+        "unigram_logprob_topk": q_unigram_logprob_topk,
+        "pack_greedy": q_pack_greedy,
         "line_dedup": q_line_dedup,
         "dsir_select": q_dsir_select,
         "bm25_search": q_bm25_search,
@@ -1439,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "getent": _GETENT_SQL,
         "ivf_topk": _SIM_SQL,
         "patternize": _PATTERNIZE_SQL,
+        "patternize_iter": _PATTERNIZE_ITER_SQL,
         "stream_route_parity": _STREAM_PARITY_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "repetition_stats": _REPETITION_SQL,
@@ -1450,6 +1454,8 @@ def oracle_sql() -> dict[str, str]:
         "mix_sources": _MIX_SQL,
         "shuffle_shards": _SHUFFLE_SQL,
         "unigram_logprob": _UNIGRAM_SQL,
+        "unigram_logprob_topk": _UNIGRAM_TOPK_SQL,
+        "pack_greedy": _PACK_GREEDY_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "dsir_select": _DSIR_SQL,
         "bm25_search": _BM25_SQL,
@@ -1644,6 +1650,110 @@ keyed AS (
 SELECT pattern, CAST(count(*) AS BIGINT) AS support
 FROM keyed WHERE cand GROUP BY ckey, pattern
 HAVING count(*) >= {_PATTERNIZE_SUPPORT}
+ORDER BY pattern, support
+"""
+
+
+_PATTERNIZE_ITER_PATH = (
+    "/tmp/syslog_ng_spark_gate/patternize_iter_corpus.parquet"
+)
+
+
+def _ptz_round_ctes(sfx: str, src: str, sup: str) -> str:
+    """One SLCT mining round as suffixed DuckDB CTEs (same formulation
+    as _PATTERNIZE_SQL) — lets the iterate-outliers oracle chain two
+    rounds with the second round's support computed in-SQL."""
+    return f"""
+tok0_{sfx} AS (
+  SELECT rid,
+         CASE WHEN msg = '' THEN [] ELSE regexp_split_to_array(msg, '{_PTZ_CC_SQL}') END AS arr,
+         regexp_replace(msg, '{_PTZ_NCC_SQL}', '', 'g') AS delims
+  FROM {src}
+),
+toks_{sfx} AS (
+  SELECT rid, unnest(arr) AS word, unnest(generate_series(1, len(arr))) - 1 AS pos
+  FROM tok0_{sfx}
+),
+freq_{sfx} AS (
+  SELECT pos, word FROM toks_{sfx} GROUP BY pos, word
+  HAVING count(*) >= {sup}
+),
+flagged_{sfx} AS (
+  SELECT t.rid, t.pos, t.word, (f.word IS NOT NULL) AS fq
+  FROM toks_{sfx} t LEFT JOIN freq_{sfx} f ON t.pos = f.pos AND t.word = f.word
+),
+keyed_{sfx} AS (
+  SELECT g.rid,
+         bool_or(g.fq) AS cand,
+         string_agg(CASE WHEN g.fq THEN g.pos || ' ' || g.word
+                         ELSE g.pos || ' ' || chr(26) END, chr(30) ORDER BY g.pos)
+           || chr(30) || any_value(k.delims) || chr(30) AS ckey,
+         string_agg(CASE
+             WHEN g.fq THEN replace(g.word, '@', '@@') ||
+                  CASE WHEN g.pos < len(k.arr) - 1 THEN substr(k.delims, g.pos + 1, 1) ELSE '' END
+             WHEN g.pos < len(k.arr) - 1 THEN '@ESTRING::' || substr(k.delims, g.pos + 1, 1) || '@'
+             ELSE '' END, '' ORDER BY g.pos) AS pattern
+  FROM flagged_{sfx} g JOIN tok0_{sfx} k USING (rid)
+  GROUP BY g.rid
+),
+clusters_{sfx} AS (
+  SELECT ckey, pattern, CAST(count(*) AS BIGINT) AS support
+  FROM keyed_{sfx} WHERE cand GROUP BY ckey, pattern
+  HAVING count(*) >= {sup}
+)"""
+
+
+def q_patternize_iter(spark, sf_dir):
+    """patternize -o / PTZ_ITERATE_OUTLIERS (patternize.c:381-425): the
+    outlier loop re-mines lines that joined no SURVIVING cluster with
+    support recomputed as outliers x threshold%, until a round mines
+    nothing. The corpus plants two support tiers — 'alpha' (200 lines,
+    >= the round-1 support 40) and 'beta' (30 lines, below 40 but >= the
+    round-2 support floor(300 x 4%) = 12) — plus 270 unique-word noise
+    lines so round 3 provably mines nothing. The DuckDB oracle chains
+    two full mining rounds with round 2's support computed in-SQL from
+    the round-1 outlier count."""
+    from syslog_ng_spark.operators.patternize import patternize
+
+    rows = (
+        [(f"a{i}", f"alpha job {i} done") for i in range(200)]
+        + [(f"b{i}", f"beta sync {i} ok") for i in range(30)]
+        + [(f"n{i}", f"nz{i}q vw{i}r") for i in range(270)]
+    )
+    df = spark.createDataFrame(rows, "rid string, msg string")
+    df.coalesce(1).write.mode("overwrite").parquet(_PATTERNIZE_ITER_PATH)
+    corpus = spark.read.parquet(_PATTERNIZE_ITER_PATH)
+    clusters = patternize(
+        corpus,
+        support=40,
+        support_threshold=4.0,
+        msg_col="msg",
+        num_samples=0,
+        id_col="rid",
+        iterate_outliers=True,
+    )
+    return clusters.select(
+        "pattern", F.col("support").cast("long").alias("support")
+    ).orderBy("pattern", "support")
+
+
+_PATTERNIZE_ITER_SQL = f"""
+WITH src_1 AS (
+  SELECT rid, msg FROM read_parquet('{_PATTERNIZE_ITER_PATH}/*.parquet')
+),{_ptz_round_ctes("1", "src_1", "40")},
+outlier_1 AS (
+  SELECT rid FROM keyed_1
+  WHERE NOT cand OR ckey NOT IN (SELECT ckey FROM clusters_1)
+),
+src_2 AS (
+  SELECT s.rid, s.msg FROM src_1 s JOIN outlier_1 o USING (rid)
+),
+sup_2 AS (
+  SELECT CAST(floor(count(*) * 4.0 / 100.0) AS BIGINT) AS v FROM src_2
+),{_ptz_round_ctes("2", "src_2", "(SELECT v FROM sup_2)")}
+SELECT pattern, support FROM clusters_1
+UNION ALL
+SELECT pattern, support FROM clusters_2
 ORDER BY pattern, support
 """
 
@@ -2030,6 +2140,68 @@ FROM offs ORDER BY doc_id
 """
 
 
+def q_pack_greedy(spark, sf_dir):
+    """First-fit sequence packing (LLM-pipeline, instruction-tuning
+    layout): docs in doc_id order fill a pack until the next doc would
+    overflow the 64-token budget, oversized docs close a pack of their
+    own; 4 shards packed independently in parallel (exact serial
+    semantics per shard via applyInPandas — operators/packing.py). The
+    oracle replays the same walk as a DuckDB recursive CTE."""
+    from syslog_ng_spark.operators.packing import pack_greedy
+    from syslog_ng_spark.operators.textstats import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .withColumn("shard", F.pmod("doc_id", F.lit(4)).cast("string"))
+        .select("doc_id", "n_tokens", "shard")
+    )
+    out = pack_greedy(docs, budget=64, shard_col="shard")
+    return out.select("doc_id", "n_tokens", "shard", "pack_id").orderBy(
+        "doc_id"
+    )
+
+
+_PACK_GREEDY_SQL = """
+WITH RECURSIVE sized AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         END AS n_tokens,
+         CAST(doc_id % 4 AS VARCHAR) AS shard
+  FROM documents
+), seq AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+           AS rn
+  FROM sized
+), walk(shard, doc_id, n_tokens, rn, assigned, idx_out, fill_out) AS (
+  -- first doc per shard: transition from state (idx=0, fill=0)
+  SELECT shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT),
+         CAST(CASE WHEN n_tokens >= 64 THEN 1 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN n_tokens >= 64 THEN 0 ELSE n_tokens END AS BIGINT)
+  FROM seq WHERE rn = 1
+  UNION ALL
+  -- next-fit walk: overflow closes the pack, oversized closes its own
+  SELECT b.shard, b.doc_id, b.n_tokens, b.rn,
+         CASE WHEN w.fill_out > 0 AND w.fill_out + b.n_tokens > 64
+              THEN w.idx_out + 1 ELSE w.idx_out END,
+         CASE WHEN w.fill_out > 0 AND w.fill_out + b.n_tokens > 64
+              THEN w.idx_out + 1 ELSE w.idx_out END
+           + CASE WHEN b.n_tokens >= 64 THEN 1 ELSE 0 END,
+         CASE WHEN b.n_tokens >= 64 THEN 0
+              WHEN w.fill_out > 0 AND w.fill_out + b.n_tokens > 64
+              THEN b.n_tokens
+              ELSE w.fill_out + b.n_tokens END
+  FROM walk w JOIN seq b ON b.shard = w.shard AND b.rn = w.rn + 1
+)
+SELECT doc_id, n_tokens, shard,
+       shard || '/' || CAST(assigned AS VARCHAR) AS pack_id
+FROM walk ORDER BY doc_id
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end training-data curation composite (the LLM-pipeline
     mandate stages chained): Unicode-normalize -> PII-scrub (planted
@@ -2274,6 +2446,40 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(ln(c / s)), 6) AS logprob
 FROM t2 JOIN v USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob_topk(spark, sf_dir):
+    """Unigram-LM scoring, vocab_limit (broadcast) mode — the 100-TB
+    plan: keep the top-64 vocabulary (count desc, token asc tiebreak),
+    BROADCAST it, score out-of-vocabulary tokens at the 1/total floor.
+    No token-keyed shuffle join on the corpus side (plan-asserted in
+    tests/test_plan_quality.py); total stays the FULL corpus count so
+    p() is a true probability (operators/quality.py)."""
+    from syslog_ng_spark.operators.quality import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, vocab_limit=64).orderBy("doc_id")
+
+
+_UNIGRAM_TOPK_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), t2 AS (
+  SELECT doc_id, tok FROM t WHERE tok <> ''
+), v AS (
+  SELECT tok, count(*) AS c FROM t2 GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS s FROM v
+), vk AS (
+  SELECT tok, c FROM v ORDER BY c DESC, tok LIMIT 64
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(coalesce(vk.c, 1) / tot.s)), 6) AS logprob
+FROM t2 LEFT JOIN vk USING (tok) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY doc_id
 """

@@ -252,6 +252,12 @@ def main() -> None:
         return round(sorted(times)[1], 3)
 
     for name, fn in entrymod.queries().items():
+        if name == "patternize_iter":
+            # correctness gate for the outlier re-mine LOOP over a fixed
+            # 500-line planted corpus: its wall time is per-round job +
+            # checkpoint overhead, not operator throughput (the
+            # 'patternize' query times the mining operator properly).
+            continue
         if name == "stream_route_parity":
             # correctness gate, not a throughput query: its wall time is
             # streaming-checkpoint machinery (availableNow trigger +

@@ -146,6 +146,25 @@ def test_greedy_stats_respect_budget(spark):
     assert sum(stats.values()) == sum(sizes)
 
 
+def test_greedy_occupancy_invariant_with_oversized(spark):
+    # Gate-shape invariant: every pack holds <= budget tokens EXCEPT
+    # oversized docs, which must sit in single-doc packs of their own.
+    sizes = [30, 50, 64, 10, 99, 5, 60, 64, 1]
+    packed = pack_greedy(_docs(spark, sizes), budget=64)
+    rows = packed.collect()
+    by_pack: dict[str, list[int]] = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(int(r["n_tokens"]))
+    for pid, toks in by_pack.items():
+        if sum(toks) > 64:
+            assert len(toks) == 1 and toks[0] >= 64, (pid, toks)
+    # oversized docs never share a pack
+    for pid, toks in by_pack.items():
+        if any(t >= 64 for t in toks):
+            assert len(toks) == 1, (pid, toks)
+    assert sum(sum(t) for t in by_pack.values()) == sum(sizes)
+
+
 def test_chunked_offsets_exact_through_multistage_upstream(spark):
     """Regression for the exchange-reuse determinism bug: offsets must
     end exactly at the token total even when the cumsum runs over a

@@ -246,6 +246,92 @@ def test_stream_suppress_event_time_timeout(spark, tmp_path):
     assert ("h1", "a", 2) in got  # flushed by the event-time timer
 
 
+def test_stream_suppress_batch_parity(spark, tmp_path):
+    """Batch↔stream parity for the stateful suppress operator: the SAME
+    corpus through batch suppress() and through stream_suppress across
+    5 checkpointed micro-batches (maxFilesPerTrigger=1) must segment
+    identical runs — multiset of (host, identity, suppressed) equal.
+    Event-time timers + far-future sentinel batches flush every real
+    pending run, so the comparison covers the full kept-row set."""
+    import datetime
+    import time as _t
+
+    from syslog_ng_spark.operators.suppress import suppress
+    from syslog_ng_spark.streaming.stream import stream_suppress
+
+    base = datetime.datetime(2026, 6, 2, 9, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    real = [
+        # h1: run a×3, then a gap>5s starts a NEW 'a' run, then b, then a
+        ("h1", "a", at(0)), ("h1", "a", at(1)), ("h1", "a", at(2)),
+        ("h1", "a", at(20)), ("h1", "a", at(21)),
+        ("h1", "b", at(22)), ("h1", "a", at(23)),
+        # h2: run x×3 (2s spacing, within 5s), y, then y again after a gap
+        ("h2", "x", at(0)), ("h2", "x", at(2)), ("h2", "x", at(4)),
+        ("h2", "y", at(5)), ("h2", "y", at(30)),
+    ]
+    expected = {
+        ("h1", "a", 2), ("h1", "a", 1), ("h1", "b", 0), ("h1", "a", 0),
+        ("h2", "x", 2), ("h2", "y", 0),
+    }  # h2 y appears twice with 0 — multiset below handles it
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "host string, msg string, ts timestamp"
+        )
+
+    src = str(tmp_path / "in")
+    # 5 files = 5 micro-batches; event-time ordered so the watermark
+    # only ever advances
+    files = [
+        real[:3] + real[7:10],            # t <= 4
+        real[3:7] + real[10:11],          # t 5..23
+        real[11:12],                      # t 30
+        [("h9", "zzz", at(30 * 60))],     # sentinel: watermark → +29 min
+        [("h9", "zz2", at(60 * 60))],     # fire all real timers
+    ]
+    mk(files[0]).coalesce(1).write.mode("overwrite").parquet(src)
+    for chunk in files[1:]:
+        _t.sleep(1.1)  # distinct mod-times keep file (=batch) order
+        mk(chunk).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("host string, msg string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_suppress(
+        stream, identity_cols=["msg"], key=["host"], seconds=5,
+        timeout_mode="event", watermark="1 minute",
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("sup_parity").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2, "must span multiple micro-batches"
+
+    stream_runs = sorted(
+        (r.host, r.ident, r.suppressed)
+        for r in spark.sql("SELECT * FROM sup_parity").collect()
+        if r.host != "h9"
+    )
+    batch_runs = sorted(
+        (r.host, r.msg, r.suppressed)
+        for r in suppress(
+            mk(real), 5, identity=["msg"], order_by="ts",
+            partition_by=["host"],
+        ).collect()
+    )
+    assert stream_runs == batch_runs
+    assert set(stream_runs) == expected
+
+
 def test_stream_exact_dedup_across_batches(spark, tmp_path):
     """Streaming exact dedup holds state ACROSS micro-batches: a text
     seen in batch 1 is suppressed when it reappears in batch 2; the

@@ -1,9 +1,16 @@
-"""End-to-end curation composite at 10M documents: the curation_pipeline
-gate stages (normalize → PII-scrub → exact dedup → token-count gate →
-sequence packing) chained over the 10M-doc corpus from
-tools/scale_rep_decon.py, with planted duplicates and PII. Run ALONE.
+"""End-to-end curation composite at scale: the curation_pipeline gate
+stages (normalize → PII-scrub → exact dedup → token-count gate →
+sequence packing) chained over a synthetic corpus with planted
+duplicates and PII, with exactness invariants asserted at full scale
+(pack offsets == token totals, dedup counts vs planted rates) — the
+class of check that caught the sampled-exchange determinism bug in
+round 5. Run ALONE.
+
+Usage: python tools/scale_curation.py [n_docs] [--skip-gen]
+(default 10M; round-6 verdict item 8 runs 100M)
 """
 
+import os
 import sys
 import time
 
@@ -13,11 +20,45 @@ from pyspark.sql import functions as F
 
 from syslog_ng_spark.session import get_spark
 
-DATA = "/tmp/scale_rep_decon/docs"
+N_DOCS = (
+    int(sys.argv[1])
+    if len(sys.argv) > 1 and sys.argv[1].isdigit()
+    else 10_000_000
+)
+DATA = f"/tmp/scale_curation/docs_{N_DOCS}"
+
+
+def gen(spark):
+    """Same 4-line 32-token doc shape as tools/scale_rep_decon.py."""
+    d = spark.range(N_DOCS).withColumnRenamed("id", "doc_id")
+
+    def line(seed):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id") * 37 + i * 101 + seed),
+                        F.lit(5000),
+                    ),
+                ),
+            ),
+            " ",
+        )
+
+    text = F.concat_ws("\n", line(1), line(2), line(3), line(4))
+    d.select("doc_id", text.alias("text")).repartition(256).write.mode(
+        "overwrite"
+    ).parquet(DATA)
 
 
 def main():
     spark = get_spark(cpus=32)
+    if "--skip-gen" not in sys.argv or not os.path.exists(DATA):
+        t0 = time.time()
+        gen(spark)
+        print(f"gen {N_DOCS:,} docs: {time.time() - t0:.1f}s", flush=True)
     docs = spark.read.parquet(DATA)
     n = docs.count()
 
@@ -74,9 +115,13 @@ def main():
     )
     # exactness: the last pack offset ends exactly at the token total
     assert agg["end_off"] == agg["tokens"], (agg["end_off"], agg["tokens"])
-    # the 1-in-7 planted dups collapse to 40 representatives
-    expect_kept = n - n // 7 + 40 - (1 if 1 % 7 == 1 else 0)
-    print(f"docs_kept={agg['docs_kept']:,} (~{expect_kept:,} expected)")
+    # the 1-in-7 planted dups (doc_id % 7 == 1) collapse to exactly 40
+    # representatives; the synthetic non-dup docs are unique by
+    # construction (32 hash-drawn tokens)
+    planted = (n - 2) // 7 + 1 if n >= 2 else 0
+    expect_kept = n - planted + 40
+    assert agg["docs_kept"] == expect_kept, (agg["docs_kept"], expect_kept)
+    print(f"docs_kept={agg['docs_kept']:,} == planted-rate expectation")
 
 
 if __name__ == "__main__":

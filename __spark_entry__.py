@@ -237,6 +237,107 @@ FROM events ORDER BY event_id
 """
 
 
+def q_rewrite_ops(spark, sf_dir):
+    """Rewrite chain (§2.6): conditional set-tag/clear-tag, set-severity,
+    set-facility, and set-pri strtol keep-on-invalid semantics
+    (rewrite-set-tag.c / rewrite-set-pri.c / rewrite-set-severity.c) —
+    previously pytest-only; this gate oracles the whole chain."""
+    from syslog_ng_spark.operators import rewrite as RW
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "pri", F.pmod(F.col("user_id") * 7 + 3, F.lit(192)).cast("int")
+    )
+    df = RW.set_tag(df, "evt")
+    df = RW.set_tag(df, "err", condition=F.col("event_type") == "error")
+    df = RW.set_tag(df, "big", condition=F.col("value") >= 100.0)
+    df = RW.clear_tag(df, "err", condition=F.col("value") < 10.0)
+    df = RW.set_severity(df, "warning", condition=F.col("event_type") == "click")
+    df = RW.set_facility(df, "auth", condition=F.col("event_type") == "signup")
+    # strtol semantics: ' 42' parses (ws+digits); '9999' is out of
+    # [0,1023] and '4x' has trailing junk — both must KEEP the old pri
+    pri_txt = (
+        F.when(F.pmod("event_id", F.lit(3)) == 0, F.lit(" 42"))
+        .when(F.pmod("event_id", F.lit(3)) == 1, F.lit("9999"))
+        .otherwise(F.lit("4x"))
+    )
+    df = RW.set_pri(df, pri_txt)
+    return df.select(
+        "event_id", "pri", F.array_join("tags", ",").alias("tags")
+    ).orderBy("event_id")
+
+
+_REWRITE_OPS_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         ((user_id * 7 + 3) % 192)::INT AS pri0
+  FROM events
+), sev AS (
+  SELECT *, CASE WHEN event_type = 'click'
+                 THEN (pri0 // 8) * 8 + 4 ELSE pri0 END AS pri1
+  FROM base
+), fac AS (
+  SELECT *, CASE WHEN event_type = 'signup'
+                 THEN 4 * 8 + pri1 % 8 ELSE pri1 END AS pri2
+  FROM sev
+)
+SELECT event_id,
+       (CASE WHEN event_id % 3 = 0 THEN 42 ELSE pri2 END)::INT AS pri,
+       concat_ws(',', 'evt',
+         CASE WHEN event_type = 'error' AND NOT coalesce(value < 10.0, FALSE)
+              THEN 'err' END,
+         CASE WHEN value >= 100.0 THEN 'big' END) AS tags
+FROM fac ORDER BY event_id
+"""
+
+
+def q_tags_netmask(spark, sf_dir):
+    """tags-parser (§2.5) + tags()/netmask() filters (§2.4) — parse a
+    syslog-ng list value into the tags array, then filter on tag
+    membership AND a CIDR range (filter-netmask.c: constant-folded
+    int64 bounds, no UDF) — previously pytest-only rows."""
+    from syslog_ng_spark.functions.filters import FNetmask, FTags
+    from syslog_ng_spark.operators.parsers import tags_parser
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "tagcsv",
+        F.concat_ws(
+            ",",
+            F.col("event_type"),
+            F.lit(" audit "),
+            F.concat(F.lit("u"), F.pmod("user_id", F.lit(5))),
+        ),
+    ).withColumn(
+        "src_ip",
+        F.format_string(
+            "10.%d.%d.%d",
+            F.pmod("event_id", F.lit(200)),
+            F.pmod("user_id", F.lit(250)),
+            F.pmod(F.col("event_id") * 13 + 7, F.lit(256)),
+        ),
+    )
+    df = tags_parser(ev, source="tagcsv")
+    pred = FTags("error", "u3") & FNetmask("10.64.0.0/10", "src_ip")
+    return (
+        df.filter(pred.to_column())
+        .select("event_id", "src_ip", F.array_join("tags", ",").alias("tags"))
+        .orderBy("event_id")
+    )
+
+
+_TAGS_NETMASK_SQL = """
+SELECT event_id,
+       printf('10.%d.%d.%d', event_id % 200, user_id % 250,
+              (event_id * 13 + 7) % 256) AS src_ip,
+       concat_ws(',', event_type, 'audit', 'u' || (user_id % 5)) AS tags
+FROM events
+WHERE (event_type = 'error' OR user_id % 5 = 3)
+  AND event_id % 200 BETWEEN 64 AND 127
+ORDER BY event_id
+"""
+
+
 def q_grouping_by(spark, sf_dir):
     """grouping-by (§2.7): keyed contexts, having post-filter."""
     from syslog_ng_spark.operators import grouping as G
@@ -1335,6 +1436,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_parse": q_csv_parse,
         "regexp_parse": q_regexp_parse,
         "rewrite_subst_mask": q_rewrite_subst_mask,
+        "rewrite_ops": q_rewrite_ops,
+        "tags_netmask": q_tags_netmask,
         "grouping_by": q_grouping_by,
         "salted_agg": q_salted_agg,
         "session_windows": q_session_windows,
@@ -1407,6 +1510,8 @@ def oracle_sql() -> dict[str, str]:
         "csv_parse": _CSV_SQL,
         "regexp_parse": _REGEXP_SQL,
         "rewrite_subst_mask": _REWRITE_SQL,
+        "rewrite_ops": _REWRITE_OPS_SQL,
+        "tags_netmask": _TAGS_NETMASK_SQL,
         "grouping_by": _GROUPING_SQL,
         "salted_agg": _SALTED_SQL,
         "session_windows": _SESSION_SQL,

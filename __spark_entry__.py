@@ -338,6 +338,85 @@ ORDER BY event_id
 """
 
 
+def q_match_modes(spark, sf_dir):
+    """match() engines (§2.4 logmatcher.h): pcre/string/glob matchers
+    with icase/substring/prefix flags, each compiled to the cheapest
+    JVM-side form (contains/startswith/==/like/rlike) — previously
+    pytest-only (test_matcher_port.py); this gate oracles all four
+    engine × flag combinations side by side."""
+    from syslog_ng_spark.functions.filters import FMatch
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "text",
+        F.format_string(
+            "Proc-%s run %d on Host%d",
+            "event_type",
+            "event_id",
+            F.pmod("user_id", F.lit(20)),
+        ),
+    )
+    tcol = F.col("text")
+    return ev.select(
+        "event_id",
+        FMatch(tcol, r"proc-(error|click) ", "pcre", frozenset({"icase"}))
+        .to_column()
+        .alias("m_pcre_i"),
+        FMatch(tcol, "run 7", "string", frozenset({"substring"}))
+        .to_column()
+        .alias("m_sub"),
+        FMatch(tcol, "Proc-err", "string", frozenset({"prefix"}))
+        .to_column()
+        .alias("m_pre"),
+        FMatch(tcol, "proc-view* on host1?", "glob", frozenset({"icase"}))
+        .to_column()
+        .alias("m_glob"),
+    ).orderBy("event_id")
+
+
+_MATCH_MODES_SQL = """
+WITH t AS (
+  SELECT event_id,
+         printf('Proc-%s run %d on Host%d',
+                event_type, event_id, user_id % 20) AS text
+  FROM events
+)
+SELECT event_id,
+       regexp_matches(text, '(?i)proc-(error|click) ') AS m_pcre_i,
+       contains(text, 'run 7') AS m_sub,
+       starts_with(text, 'Proc-err') AS m_pre,
+       lower(text) LIKE 'proc-view% on host1_' AS m_glob
+FROM t ORDER BY event_id
+"""
+
+
+def q_timezone_ops(spark, sf_dir):
+    """fix-timezone()/set-timezone() (§2.6, modules/timestamp): fix
+    REINTERPRETS the wall-clock in the given zone (same digits, new
+    instant); set CONVERTS the instant into the zone's wall-clock.
+    DST-free zones keep the oracle tz-db-independent; the classic
+    fix-vs-set direction confusion is exactly what this pins."""
+    from syslog_ng_spark.operators.rewrite import fix_timezone, set_timezone
+
+    ev = _t(spark, sf_dir, "events")
+    fixed = fix_timezone(ev.withColumn("ts_fix", F.col("ts")), "Asia/Kolkata", "ts_fix")
+    both = set_timezone(
+        fixed.withColumn("ts_set", F.col("ts")), "Asia/Tokyo", "ts_set"
+    )
+    return both.select(
+        "event_id",
+        F.unix_micros("ts_fix").alias("fix_us"),
+        F.unix_micros("ts_set").alias("set_us"),
+    ).orderBy("event_id")
+
+
+_TIMEZONE_SQL = """
+SELECT event_id,
+       epoch_us(ts - INTERVAL '5 hours 30 minutes') AS fix_us,
+       epoch_us(ts + INTERVAL '9 hours') AS set_us
+FROM events ORDER BY event_id
+"""
+
+
 def q_grouping_by(spark, sf_dir):
     """grouping-by (§2.7): keyed contexts, having post-filter."""
     from syslog_ng_spark.operators import grouping as G
@@ -1438,6 +1517,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_subst_mask": q_rewrite_subst_mask,
         "rewrite_ops": q_rewrite_ops,
         "tags_netmask": q_tags_netmask,
+        "match_modes": q_match_modes,
+        "timezone_ops": q_timezone_ops,
         "grouping_by": q_grouping_by,
         "salted_agg": q_salted_agg,
         "session_windows": q_session_windows,
@@ -1512,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_subst_mask": _REWRITE_SQL,
         "rewrite_ops": _REWRITE_OPS_SQL,
         "tags_netmask": _TAGS_NETMASK_SQL,
+        "match_modes": _MATCH_MODES_SQL,
+        "timezone_ops": _TIMEZONE_SQL,
         "grouping_by": _GROUPING_SQL,
         "salted_agg": _SALTED_SQL,
         "session_windows": _SESSION_SQL,

@@ -54,8 +54,45 @@ class _HostLoadGuard:
         ru_s = resource.getrusage(resource.RUSAGE_SELF)
         ru_c = resource.getrusage(resource.RUSAGE_CHILDREN)
         self._cpu0 = ru_s.ru_utime + ru_s.ru_stime + ru_c.ru_utime + ru_c.ru_stime
+        self._tree0 = self._subtree_cpu()
         self._thread = threading.Thread(target=self._sampler, daemon=True)
         self._thread.start()
+
+    @staticmethod
+    def _subtree_cpu() -> dict:
+        """Per-pid CPU seconds for every LIVE descendant of this process
+        (the Spark JVM above all). RUSAGE_CHILDREN only counts REAPED
+        children — the JVM is alive for the whole bench, so without this
+        the guard attributed the bench's own work to 'external' load and
+        flagged every clean run as contaminated."""
+        hz = os.sysconf("SC_CLK_TCK")
+        info: dict[int, tuple[int, float]] = {}
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/stat", "rb") as f:
+                    s = f.read().decode("ascii", "replace")
+            except OSError:
+                continue
+            rp = s.rfind(")")
+            fields = s[rp + 2 :].split()
+            # after comm: [1]=ppid, [11]=utime, [12]=stime (man proc)
+            info[int(ent)] = (
+                int(fields[1]),
+                (int(fields[11]) + int(fields[12])) / hz,
+            )
+        me = os.getpid()
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in info.items():
+            kids.setdefault(ppid, []).append(pid)
+        out: dict[int, float] = {}
+        stack = list(kids.get(me, []))
+        while stack:
+            p = stack.pop()
+            out[p] = info[p][1]
+            stack.extend(kids.get(p, []))
+        return out
 
     def _sampler(self):
         while not self._stop.wait(5.0):
@@ -81,6 +118,11 @@ class _HostLoadGuard:
         own_cpu = (
             ru_s.ru_utime + ru_s.ru_stime + ru_c.ru_utime + ru_c.ru_stime
         ) - self._cpu0
+        # live (unreaped) descendants — the Spark JVM — aren't in rusage;
+        # add their /proc-measured CPU delta (reaped ones left /proc and
+        # landed in RUSAGE_CHILDREN, so nothing double-counts)
+        for pid, cpu in self._subtree_cpu().items():
+            own_cpu += max(0.0, cpu - self._tree0.get(pid, 0.0))
         own_rate = own_cpu / wall
         mean_load = (
             sum(self._samples) / len(self._samples)

@@ -452,3 +452,94 @@ def test_stream_route_parity_gate(spark):
     rows = {r.path: r.sink_rows for r in out.collect()}
     assert set(rows) == {"security", "bash", "other"}
     assert all(v > 0 for v in rows.values())
+
+
+def test_stream_session_batch_parity(spark, tmp_path):
+    """Batch↔stream parity for event-time sessionization: the SAME corpus
+    through batch grouping_by(timeout=gap) and through the streaming
+    session_window analogue across checkpointed micro-batches must
+    produce identical sessions — multiset of (conv_id, n, t0, end).
+    Stream session end = last event + gap, so batch t1 + gap must equal
+    it exactly. (Gaps in the data are strictly <(or >) the timeout: the
+    batch splitter uses gap > timeout, session_window gap >= timeout —
+    equal-gap inputs are a documented boundary divergence.)"""
+    import datetime
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.grouping import grouping_by
+    from syslog_ng_spark.streaming.stream import session_counts
+
+    base = datetime.datetime(2026, 6, 2, 9, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    gap_s = 120
+    real = [
+        # c1: 3 events within 120s, 200s silence, then 2 more
+        ("c1", at(0)), ("c1", at(100)), ("c1", at(150)),
+        ("c1", at(351)), ("c1", at(400)),
+        # c2: single event, then a far singleton
+        ("c2", at(50)), ("c2", at(1000)),
+        # c3: back-to-back (0 gap) pair
+        ("c3", at(10)), ("c3", at(10)),
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "conv_id string, ts timestamp")
+
+    src = str(tmp_path / "in")
+    files = [
+        real[:4] + real[5:6] + real[7:9],   # t <= 351
+        real[4:5] + real[6:7],              # t 400, 1000
+        [("zz", at(3 * 3600))],             # sentinel: watermark far ahead
+        [("zz", at(6 * 3600))],             # flush everything real
+    ]
+    mk(files[0]).coalesce(1).write.mode("overwrite").parquet(src)
+    for chunk in files[1:]:
+        _t.sleep(1.1)
+        mk(chunk).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = session_counts(
+        stream, key=["conv_id"], gap=f"{gap_s} seconds", watermark="1 minute"
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("sess_parity").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2, "must span multiple micro-batches"
+
+    stream_sessions = sorted(
+        (r.conv_id, r.n, r.session.start, r.session.end)
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+        if r.conv_id != "zz"
+    )
+    batch = grouping_by(
+        mk(real).withColumn("turn_idx", F.lit(0)),
+        key=["conv_id"],
+        aggregates={
+            "n": F.count(F.lit(1)),
+            "t0": F.min("ts"),
+            "t1": F.max("ts"),
+        },
+        timeout=gap_s,
+        ts_col="ts",
+    )
+    batch_sessions = sorted(
+        (r.conv_id, r.n, r.t0, r.t1 + datetime.timedelta(seconds=gap_s))
+        for r in batch.collect()
+    )
+    assert stream_sessions == batch_sessions
+    assert sorted(s[:2] for s in stream_sessions) == [
+        ("c1", 2), ("c1", 3), ("c2", 1), ("c2", 1), ("c3", 2)
+    ]

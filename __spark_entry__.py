@@ -417,6 +417,89 @@ FROM events ORDER BY event_id
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding token-window chunking (training-data extensions): each
+    document into 32-token windows every 24 tokens (8-token overlap) —
+    the RAG/context-window layout. Zero-shuffle explode; the oracle
+    re-derives every window with generate_series + list slicing."""
+    from syslog_ng_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+_CHUNK_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(0, greatest((len(toks) - 1) // 24, 0))) AS ci
+  FROM d
+)
+SELECT doc_id,
+       ci::INT AS chunk_idx,
+       (ci * 24)::INT AS tok_start,
+       least(n - ci * 24, 32)::INT AS n_tokens,
+       array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_media_featurize(spark, sf_dir):
+    """Multimodal decode→featurize plumbing (training-data extensions):
+    a binary payload column through the mapInPandas Arrow-batch path
+    with the documented deterministic fake decoder (sha256 prefix
+    bytes — operators/multimodal.py; the container has no codecs).
+    The oracle recomputes the identical feature bytes from the same
+    payload in DuckDB, hash-checking the binary-through-Arrow dataflow
+    end to end (payload built from documents.text so both engines see
+    the same bytes)."""
+    from syslog_ng_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            kinds, (F.pmod("doc_id", F.lit(3)) + 1).cast("int")
+        ).alias("kind"),
+        F.concat(F.lit("m"), F.substring("text", 1, 32))
+        .cast("binary")
+        .alias("payload"),
+    )
+    feats = extract_features(media, dim=8)
+    # feature f_i = byte_i(sha256(payload))/255 as float32; ×255 rounds
+    # back to the exact byte (rel err ≤ 2^-24), rendered as lowercase hex
+    hex8 = F.lower(
+        F.concat_ws(
+            "",
+            F.transform(
+                "feat",
+                lambda x: F.lpad(F.hex(F.round(x * 255).cast("int")), 2, "0"),
+            ),
+        )
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        F.when(F.col("decode_ok"), hex8).alias("feat_hex"),
+        "decode_ok",
+    ).orderBy("media_id")
+
+
+_MEDIA_FEATURIZE_SQL = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+       substr(sha256('m' || substr(text, 1, 32)), 1, 16) AS feat_hex,
+       TRUE AS decode_ok
+FROM documents ORDER BY media_id
+"""
+
+
 def q_grouping_by(spark, sf_dir):
     """grouping-by (§2.7): keyed contexts, having post-filter."""
     from syslog_ng_spark.operators import grouping as G
@@ -1519,6 +1602,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_netmask": q_tags_netmask,
         "match_modes": q_match_modes,
         "timezone_ops": q_timezone_ops,
+        "chunk_docs": q_chunk_docs,
+        "media_featurize": q_media_featurize,
         "grouping_by": q_grouping_by,
         "salted_agg": q_salted_agg,
         "session_windows": q_session_windows,
@@ -1595,6 +1680,8 @@ def oracle_sql() -> dict[str, str]:
         "tags_netmask": _TAGS_NETMASK_SQL,
         "match_modes": _MATCH_MODES_SQL,
         "timezone_ops": _TIMEZONE_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
+        "media_featurize": _MEDIA_FEATURIZE_SQL,
         "grouping_by": _GROUPING_SQL,
         "salted_agg": _SALTED_SQL,
         "session_windows": _SESSION_SQL,

@@ -229,3 +229,71 @@ def pack_stats(packed: DataFrame, size_col: str = "n_tokens") -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(size_col).alias("n_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token-window chunking: split each document into
+    ``chunk_tokens``-token windows every ``stride`` tokens (overlap =
+    chunk_tokens − stride; stride defaults to chunk_tokens = disjoint).
+    The RAG/context-window layout — where packing lays whole documents
+    into budgets, chunking cuts one document into (possibly
+    overlapping) model-sized pieces.
+
+    Emits one row per chunk: (id, chunk_idx, tok_start, n_tokens,
+    chunk_text). Tokens are whitespace-split (the textstats convention);
+    a window opens at every multiple of ``stride`` strictly below the
+    document's token count, so the last chunk may be short and a
+    document shorter than ``chunk_tokens`` yields exactly one chunk.
+
+    Scale shape: pure per-row Column work + one explode — ZERO
+    shuffles, no UDF; the token array is materialized once per row and
+    sliced per window (explode_outer sidesteps the
+    InferFiltersFromGenerate re-inlining trap, see
+    operators/decontaminate.py).
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    out = (
+        df.withColumn("_toks", toks)
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "chunk_idx",
+            F.explode_outer(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.floor((F.col("_n") - 1) / stride).cast("int"),
+                        F.lit(0),
+                    ),
+                )
+            ),
+        )
+        .withColumn("tok_start", F.col("chunk_idx") * stride)
+        .withColumn(
+            "chunk_text",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("tok_start") + 1, chunk_tokens),
+                " ",
+            ),
+        )
+        .withColumn(
+            "n_tokens",
+            F.least(F.col("_n") - F.col("tok_start"), F.lit(chunk_tokens)),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "tok_start",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "chunk_text",
+    )

@@ -195,3 +195,54 @@ def test_chunked_offsets_exact_through_multistage_upstream(spark):
     a = {x["doc_id"]: x["start_off"] for x in pack_chunked(up, budget=512).collect()}
     b = {x["doc_id"]: x["start_off"] for x in pack_chunked(up, budget=512).collect()}
     assert a == b
+
+
+def test_chunk_documents_windows(spark):
+    """Sliding-window semantics: starts at every stride multiple < n,
+    short tail chunk, sub-chunk doc yields one chunk, overlap exact."""
+    from syslog_ng_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, "p q r s")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 3, 4, "d e f g"),
+        (1, 2, 6, 1, "g"),
+        (2, 0, 0, 2, "x y"),
+        (3, 0, 0, 0, ""),  # whitespace-only doc: one empty chunk
+        (4, 0, 0, 4, "p q r s"),
+        (4, 1, 3, 1, "s"),
+    ]
+    # disjoint default: stride = chunk
+    dis = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=3).collect()
+        if r.doc_id == 1
+    )
+    assert dis == [(1, 0, "a b c"), (1, 1, "d e f"), (1, 2, "g")]
+    # reconstruction: disjoint chunks concatenate back to the tokens
+    joined = " ".join(t for _, _, t in dis)
+    assert joined == "a b c d e f g"
+
+
+def test_chunk_documents_is_zero_shuffle(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from syslog_ng_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, "w " * 50) for i in range(100)], "doc_id long, text string"
+    )
+    plan = (
+        chunk_documents(df, chunk_tokens=16, stride=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

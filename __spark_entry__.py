@@ -1664,6 +1664,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scl_pgsql": q_scl_pgsql,
         "scl_cisco": q_scl_cisco,
         "scl_panos": q_scl_panos,
+        "url_curation": q_url_curation,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -1738,6 +1740,8 @@ def oracle_sql() -> dict[str, str]:
         "scl_pgsql": _SCL_PGSQL_SQL,
         "scl_cisco": _SCL_CISCO_SQL,
         "scl_panos": _SCL_PANOS_SQL,
+        "url_curation": _URL_SQL,
+        "domain_stats": _DOMAIN_STATS_SQL,
     }
 
 
@@ -3285,3 +3289,182 @@ FROM events
 WHERE event_id % 5 = 0
 ORDER BY event_id
 """
+
+
+def _planted_urls(docs):
+    """Deterministic messy-URL construction from doc_id, mirrored
+    verbatim in the DuckDB oracles (_URL_SQL/_DOMAIN_STATS_SQL): mixed
+    scheme case, 0-2 subdomain labels with mixed case, single- and
+    multi-label public suffixes, default/explicit/non-default ports,
+    optional userinfo, query strings and fragments."""
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 5 == 0, "")
+        .when(d % 5 == 1, "www.")
+        .when(d % 5 == 2, "CDN.")
+        .when(d % 5 == 3, "a.b.")
+        .otherwise("Img.")
+    )
+    dom = (
+        F.when(d % 7 == 0, "example")
+        .when(d % 7 == 1, "wiki")
+        .when(d % 7 == 2, "github")
+        .when(d % 7 == 3, "Archive")
+        .when(d % 7 == 4, "news")
+        .when(d % 7 == 5, "data")
+        .otherwise("blog")
+    )
+    suf = (
+        F.when(d % 6 == 0, "com")
+        .when(d % 6 == 1, "org")
+        .when(d % 6 == 2, "co.uk")
+        .when(d % 6 == 3, "io")
+        .when(d % 6 == 4, "com.au")
+        .otherwise("net")
+    )
+    scheme = (
+        F.when(d % 3 == 0, "HTTP").when(d % 3 == 1, "https").otherwise("Http")
+    )
+    port = (
+        F.when(d % 4 == 0, "")
+        .when(d % 4 == 1, ":443")
+        .when(d % 4 == 2, ":8080")
+        .otherwise(":80")
+    )
+    user = F.when(d % 10 == 0, "u:p@").otherwise("")
+    path = F.concat(F.lit("/p/"), (d % 50).cast("string"))
+    qs = (
+        F.when(d % 3 == 0, "")
+        .when(d % 3 == 1, F.concat(F.lit("?q="), (d % 9).cast("string")))
+        .otherwise("?a=1&b=2")
+    )
+    frag = F.when(d % 2 == 0, "").otherwise("#sec")
+    url = F.concat(
+        scheme, F.lit("://"), user, sub, dom, F.lit("."), suf, port, path,
+        qs, frag,
+    )
+    return docs.withColumn("url", url)
+
+
+_URL_BLOCKLIST = ["example.com", "blog.co.uk", "news.net"]
+
+
+def q_url_curation(spark, sf_dir):
+    """Web-curation URL primitives (SS-LLM-pipeline): plant messy URLs
+    (mixed case, userinfo, default/explicit ports, fragments, single-
+    and multi-label public suffixes), then parse + blocklist-flag +
+    normalize + extract the registrable domain. Inverse-property
+    oracle: DuckDB never parses — it predicts every field from the
+    known construction (operators/weburl.py; zero-shuffle projection)."""
+    from syslog_ng_spark.operators.weburl import (
+        filter_blocked_domains,
+        normalize_url,
+        registrable_domain,
+    )
+
+    docs = _planted_urls(_t(spark, sf_dir, "documents"))
+    parsed = filter_blocked_domains(
+        docs, _URL_BLOCKLIST, url_col="url", keep_flag="kept"
+    )
+    parsed = normalize_url(parsed, url_col="url", parsed=True)
+    return parsed.select(
+        "doc_id",
+        "url_scheme",
+        "url_host",
+        # string, not nullable int: pandas would widen the oracle side
+        # to float64 and the i:/f: type tags would mismatch
+        F.col("url_port").cast("string").alias("url_port"),
+        "url_path",
+        "url_query",
+        registrable_domain(F.col("url_host")).alias("etld1"),
+        "url_norm",
+        "kept",
+    ).orderBy("doc_id")
+
+
+_URL_PARTS_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+              ELSE 'Http' END AS scheme_raw,
+         CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+              WHEN 2 THEN 'CDN.' WHEN 3 THEN 'a.b.' ELSE 'Img.' END AS sub,
+         CASE doc_id % 7 WHEN 0 THEN 'example' WHEN 1 THEN 'wiki'
+              WHEN 2 THEN 'github' WHEN 3 THEN 'Archive' WHEN 4 THEN 'news'
+              WHEN 5 THEN 'data' ELSE 'blog' END AS dom,
+         CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+              WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io' WHEN 4 THEN 'com.au'
+              ELSE 'net' END AS suf,
+         CASE doc_id % 4 WHEN 0 THEN NULL WHEN 1 THEN 443
+              WHEN 2 THEN 8080 ELSE 80 END AS port_num,
+         '/p/' || CAST(doc_id % 50 AS VARCHAR) AS path,
+         CASE doc_id % 3 WHEN 0 THEN NULL
+              WHEN 1 THEN 'q=' || CAST(doc_id % 9 AS VARCHAR)
+              ELSE 'a=1&b=2' END AS query,
+         n_chars
+  FROM documents
+"""
+
+_URL_SQL = (
+    """
+WITH parts AS ("""
+    + _URL_PARTS_SQL
+    + """
+), derived AS (
+  SELECT doc_id,
+         lower(scheme_raw) AS url_scheme,
+         lower(sub || dom || '.' || suf) AS url_host,
+         CAST(port_num AS VARCHAR) AS url_port,
+         path AS url_path,
+         query AS url_query,
+         -- eTLD+1 is dom.suf for BOTH suffix kinds: multi-label
+         -- suffixes take the last 3 labels, single the last 2
+         lower(dom || '.' || suf) AS etld1,
+         lower(scheme_raw) || '://' || lower(sub || dom || '.' || suf)
+           || CASE WHEN port_num IS NULL THEN ''
+                   WHEN lower(scheme_raw) = 'http'  AND port_num = 80  THEN ''
+                   WHEN lower(scheme_raw) = 'https' AND port_num = 443 THEN ''
+                   ELSE ':' || CAST(port_num AS VARCHAR) END
+           || path
+           || CASE WHEN query IS NULL THEN '' ELSE '?' || query END
+           AS url_norm
+  FROM parts
+)
+SELECT doc_id, url_scheme, url_host, url_port, url_path, url_query, etld1,
+       url_norm,
+       etld1 NOT IN ('example.com', 'blog.co.uk', 'news.net') AS kept
+FROM derived ORDER BY doc_id
+"""
+)
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registrable-domain corpus stats (the aggregation every
+    domain cap/quota policy rides on): ONE hash exchange with map-side
+    partial agg. Same planted-URL corpus as url_curation."""
+    from syslog_ng_spark.operators.weburl import domain_stats
+
+    docs = _planted_urls(_t(spark, sf_dir, "documents"))
+    return (
+        domain_stats(docs, url_col="url", weight_col="n_chars")
+        .orderBy("domain")
+    )
+
+
+_DOMAIN_STATS_SQL = (
+    """
+WITH parts AS ("""
+    + _URL_PARTS_SQL
+    + """
+), derived AS (
+  SELECT doc_id, n_chars,
+         lower(sub || dom || '.' || suf) AS host,
+         lower(dom || '.' || suf) AS domain
+  FROM parts
+)
+SELECT domain,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT host) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM derived GROUP BY domain ORDER BY domain
+"""
+)

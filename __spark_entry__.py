@@ -1666,6 +1666,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scl_panos": q_scl_panos,
         "url_curation": q_url_curation,
         "domain_stats": q_domain_stats,
+        "length_stats": q_length_stats,
     }
 
 
@@ -1742,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "scl_panos": _SCL_PANOS_SQL,
         "url_curation": _URL_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
+        "length_stats": _LENGTH_STATS_SQL,
     }
 
 
@@ -3468,3 +3470,33 @@ SELECT domain,
 FROM derived GROUP BY domain ORDER BY domain
 """
 )
+
+
+def q_length_stats(spark, sf_dir):
+    """Per-group distribution stats (SS-LLM-pipeline): exact
+    interpolated percentiles + count/mean/min/max of document length
+    per language — the 'drop the bottom X%' curation primitive. ONE
+    partial-agg exchange; all five quantiles share one aggregate
+    buffer (operators/percentiles.py; approx sketch mode is the
+    100-TB path, pinned by a rank-error test)."""
+    from syslog_ng_spark.operators.percentiles import group_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_percentiles(
+        docs, "n_chars", ["lang"], percentiles=(0.25, 0.5, 0.75, 0.9, 0.99)
+    ).orderBy("lang")
+
+
+_LENGTH_STATS_SQL = """
+SELECT lang,
+       COUNT(n_chars) AS n,
+       CAST(AVG(n_chars) AS DOUBLE) AS mean,
+       MIN(n_chars) AS min,
+       MAX(n_chars) AS max,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.9)  AS p90,
+       quantile_cont(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""

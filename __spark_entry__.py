@@ -1667,6 +1667,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_curation": q_url_curation,
         "domain_stats": q_domain_stats,
         "length_stats": q_length_stats,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1744,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "url_curation": _URL_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
         "length_stats": _LENGTH_STATS_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
     }
 
 
@@ -3499,4 +3501,33 @@ SELECT lang,
        quantile_cont(n_chars, 0.9)  AS p90,
        quantile_cont(n_chars, 0.99) AS p99
 FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic exactly-k-per-stratum sampling (SS-LLM-pipeline):
+    keep the 15 docs per language with the smallest md5(doc_id) — a
+    pure function of the id, so the SELECTION (not just the rate) is
+    reproducible. Runs WITH the count-prefilter + underfill-audit
+    machinery enabled (operators/sampling.py): the oracle proves the
+    scale path returns byte-identical rows to the plain window rank."""
+    from syslog_ng_spark.operators.sampling import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample_exact(
+        docs, 15, strata_col="lang", id_col="doc_id", rank_col="rank"
+    )
+    return out.select("doc_id", "lang", "rank").orderBy("doc_id")
+
+
+_STRATIFIED_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT doc_id, lang, rank FROM ranked WHERE rank <= 15 ORDER BY doc_id
 """

@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["portable_bucket", "mix_sources", "shuffle_shards"]
+__all__ = [
+    "portable_bucket",
+    "mix_sources",
+    "shuffle_shards",
+    "stratified_sample_exact",
+]
 
 
 def portable_bucket(col: Column, denom: int = 10_000, salt: str = "") -> Column:
@@ -119,3 +124,127 @@ def shuffle_shards(
     out = df.withColumn("_skey", key).withColumn(shard_col, shard)
     w = Window.partitionBy(shard_col).orderBy("_skey", id_col)
     return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop("_skey")
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    k: int | dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_k: int | None = None,
+    prefilter: bool = True,
+    prefilter_factor: float = 4.0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling ("balance the
+    languages to 1M docs each").
+
+    The kept set is the k rows of each stratum with the SMALLEST
+    ``md5(salt || id)`` — a pure function of (salt, id), so re-runs,
+    retries and different partitionings return byte-identical samples
+    (the property every decision in this module guarantees), and a
+    fresh ``salt`` draws an independent sample. ``k`` may be a dict
+    ``{stratum: k}`` (missing strata get ``default_k``;
+    ``default_k=None`` or 0 drops them).
+
+    Scale shape: the naive plan shuffles the WHOLE corpus into the
+    per-stratum window sort. With ``prefilter=True`` (default) a first
+    cheap aggregate counts each stratum (rows: one per stratum — tiny,
+    broadcast back), and only rows whose hash falls below
+    ``prefilter_factor * k / n`` of the key space enter the window —
+    ~factor*k rows per stratum cross the wire instead of n. Because the
+    prefilter keys on the SAME hash that defines the sample, the true
+    top-k survive it whenever at least k rows do; the underfill
+    probability at factor f is Chernoff-bounded by exp(-k(f-1)^2/2f)
+    (~1e-23 at k=100, f=4). Exactness is still UNCONDITIONAL: a second
+    tiny aggregate audits survivor counts, and any underfilled stratum
+    (or one smaller than k, where "all rows" is the right answer) is
+    re-ranked WITHOUT the prefilter and unioned back — the fallback
+    branch reads the corpus again but only keeps those strata, so the
+    common case stays one full scan + one ~k-per-stratum shuffle.
+
+    ``rank_col`` optionally exposes the 1-based hash rank.
+    """
+    if isinstance(k, int):
+        k_expr = F.lit(int(k))
+        max_k = int(k)
+        if k < 0:
+            raise ValueError(f"k must be >= 0, got {k}")
+    else:
+        if not k and default_k is None:
+            raise ValueError("empty k dict with no default_k")
+        for s, v in k.items():
+            if v < 0:
+                raise ValueError(f"k must be >= 0 for stratum {s!r}: {v}")
+        base = F.lit(int(default_k)) if default_k is not None else F.lit(0)
+        k_expr = base
+        for s, v in sorted(k.items()):
+            k_expr = F.when(F.col(strata_col) == s, F.lit(int(v))).otherwise(
+                k_expr
+            )
+        max_k = max([*k.values(), default_k or 0])
+    if prefilter_factor <= 1.0:
+        raise ValueError(f"prefilter_factor must be > 1, got {prefilter_factor}")
+
+    sid = F.col(id_col).cast("string")
+    key = F.md5(F.concat(F.lit(salt), sid) if salt else sid)
+    # 60-bit numeric prefix of the key for threshold comparison (15 hex
+    # chars keep the conv() result positive in a signed long)
+    key_num = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    keyed = df.withColumn("_skey", key).withColumn("_k", k_expr)
+
+    w = Window.partitionBy(strata_col).orderBy("_skey", id_col)
+
+    def _rank_keep(frame: DataFrame) -> DataFrame:
+        ranked = frame.withColumn("_rank", F.row_number().over(w))
+        kept = ranked.filter(F.col("_rank") <= F.col("_k"))
+        if rank_col is not None:
+            kept = kept.withColumn(rank_col, F.col("_rank").cast("long"))
+        return kept.drop("_rank", "_skey", "_k")
+
+    if not prefilter or max_k == 0:
+        return _rank_keep(keyed)
+
+    counts = (
+        df.groupBy(strata_col).count().withColumnRenamed("count", "_n")
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(prefilter_factor)) * F.col("_k").cast("double") / F.col("_n"),
+    )
+    keyed = keyed.join(F.broadcast(counts), strata_col, "left").withColumn(
+        "_thresh", (frac * float(2**60)).cast("long")
+    )
+    survivors = keyed.filter(key_num < F.col("_thresh"))
+
+    # audit: a stratum is safe iff the prefilter kept >= min(k, n) rows.
+    # Built from `counts` (every stratum), NOT from the survivors — a
+    # stratum whose prefilter kept ZERO rows has no survivor row at all
+    # and must still land in the unsafe set, not silently vanish.
+    surv_counts = survivors.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("_kept")
+    )
+    audit = (
+        counts.withColumn("_ka", k_expr)
+        .join(surv_counts, strata_col, "left")
+        .withColumn("_kept", F.coalesce("_kept", F.lit(0)))
+        .withColumn(
+            "_ok",
+            (F.col("_kept") >= F.least("_ka", "_n")) | (F.col("_ka") == 0),
+        )
+    )
+    ok_set = audit.select(strata_col, "_ok")
+    safe = survivors.join(
+        F.broadcast(ok_set.filter(F.col("_ok")).drop("_ok")),
+        strata_col,
+        "left_semi",
+    )
+    unsafe = keyed.join(
+        F.broadcast(ok_set.filter(~F.col("_ok")).drop("_ok")),
+        strata_col,
+        "left_semi",
+    )
+    out = _rank_keep(safe.drop("_n", "_thresh"))
+    fallback = _rank_keep(unsafe.drop("_n", "_thresh"))
+    return out.unionByName(fallback)

@@ -14,6 +14,7 @@ from syslog_ng_spark.operators.sampling import (
     mix_sources,
     portable_bucket,
     shuffle_shards,
+    stratified_sample_exact,
 )
 
 
@@ -120,3 +121,94 @@ def test_shuffle_shards_salt_changes_permutation(docs):
 def test_shuffle_shards_rejects_bad_n(docs):
     with pytest.raises(ValueError):
         shuffle_shards(docs, 0)
+
+
+# ---- stratified_sample_exact ------------------------------------------------
+
+
+def _md5_rank_sample(rows, k_of, id_ix=0, g_ix=1):
+    """Python oracle: per-stratum k smallest md5(str(id))."""
+    import collections
+    import hashlib
+
+    by = collections.defaultdict(list)
+    for r in rows:
+        by[r[g_ix]].append((hashlib.md5(str(r[id_ix]).encode()).hexdigest(), r[id_ix]))
+    out = {}
+    for g, lst in by.items():
+        for rank, (_, i) in enumerate(sorted(lst), start=1):
+            if rank <= k_of(g):
+                out[i] = (g, rank)
+    return out
+
+
+@pytest.fixture(scope="module")
+def strata_df(spark):
+    rows = [(i, "abc"[i % 3]) for i in range(300)]
+    return spark.createDataFrame(rows, ["doc_id", "g"])
+
+
+def test_stratified_exact_matches_python_oracle(strata_df):
+    exp = _md5_rank_sample(strata_df.collect(), lambda g: 10)
+    for pf in (False, True):
+        got = {
+            r["doc_id"]: (r["g"], r["rank"])
+            for r in stratified_sample_exact(
+                strata_df, 10, strata_col="g", prefilter=pf, rank_col="rank"
+            ).collect()
+        }
+        assert got == exp, f"prefilter={pf}"
+
+
+def test_stratified_dict_k_and_default(strata_df):
+    out = stratified_sample_exact(
+        strata_df, {"a": 5, "b": 2}, strata_col="g", default_k=1
+    )
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"a": 5, "b": 2, "c": 1}
+    # default_k=None drops unlisted strata
+    out2 = stratified_sample_exact(strata_df, {"a": 3}, strata_col="g")
+    assert {r["g"] for r in out2.select("g").distinct().collect()} == {"a"}
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    rows = [(i, "big") for i in range(100)] + [(900 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    out = stratified_sample_exact(df, 10, strata_col="g", prefilter=True)
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"big": 10, "tiny": 3}
+
+
+def test_stratified_underfill_fallback_is_exact(strata_df):
+    # factor barely above 1 forces underfilled strata through the
+    # audit fallback; the result must STILL be the exact top-k set
+    exp = _md5_rank_sample(strata_df.collect(), lambda g: 50)
+    got = {
+        r["doc_id"]: (r["g"], r["rank"])
+        for r in stratified_sample_exact(
+            strata_df,
+            50,
+            strata_col="g",
+            prefilter=True,
+            prefilter_factor=1.01,
+            rank_col="rank",
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_stratified_salt_changes_sample(strata_df):
+    a = {r["doc_id"] for r in stratified_sample_exact(strata_df, 10, strata_col="g").collect()}
+    b = {r["doc_id"] for r in stratified_sample_exact(strata_df, 10, strata_col="g", salt="ep2").collect()}
+    assert a != b and len(a) == len(b) == 30
+
+
+def test_stratified_validation(strata_df):
+    with pytest.raises(ValueError):
+        stratified_sample_exact(strata_df, -1, strata_col="g")
+    with pytest.raises(ValueError):
+        stratified_sample_exact(strata_df, {"a": -2}, strata_col="g")
+    with pytest.raises(ValueError):
+        stratified_sample_exact(strata_df, 5, strata_col="g", prefilter_factor=0.5)
+    with pytest.raises(ValueError):
+        stratified_sample_exact(strata_df, {}, strata_col="g")

@@ -1668,6 +1668,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "length_stats": q_length_stats,
         "stratified_sample": q_stratified_sample,
+        "html_strip": q_html_strip,
     }
 
 
@@ -1746,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _DOMAIN_STATS_SQL,
         "length_stats": _LENGTH_STATS_SQL,
         "stratified_sample": _STRATIFIED_SQL,
+        "html_strip": _HTML_STRIP_SQL,
     }
 
 
@@ -3530,4 +3532,67 @@ WITH ranked AS (
   FROM documents
 )
 SELECT doc_id, lang, rank FROM ranked WHERE rank <= 15 ORDER BY doc_id
+"""
+
+
+def q_html_strip(spark, sf_dir):
+    """HTML text extraction (SS-LLM-pipeline): wrap every document in
+    deterministic markup (script/style bodies, comments, attributes,
+    entities), then strip back to visible text with the pure-Column
+    chain (operators/normalize.py strip_html). The DuckDB oracle
+    replays the identical regex chain — only Java/RE2-common
+    constructs appear in it by contract."""
+    from syslog_ng_spark.operators.normalize import strip_html
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x = "'),
+        (d % 7).cast("string"),
+        F.lit('</p>";</script><style>p { color: red; }</style></head>'),
+        F.lit("<body><!-- hidden <b>"),
+        (d % 5).cast("string"),
+        F.lit("</b> --><h1>T"),
+        d.cast("string"),
+        F.lit('</h1><p class="c">'),
+        F.substring("text", 1, 60),
+        F.lit(" &amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;</p><br/>tail</body></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("text", html)
+    return strip_html(docs, target="extracted").select(
+        "doc_id", "extracted"
+    ).orderBy("doc_id")
+
+
+_HTML_STRIP_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         '<html><head><script type="text/javascript">var x = "'
+         || CAST(doc_id % 7 AS VARCHAR)
+         || '</p>";</script><style>p { color: red; }</style></head>'
+         || '<body><!-- hidden <b>' || CAST(doc_id % 5 AS VARCHAR)
+         || '</b> --><h1>T' || CAST(doc_id AS VARCHAR)
+         || '</h1><p class="c">' || substring(text, 1, 60)
+         || ' &amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;</p><br/>tail</body></html>'
+         AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(html,
+               '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>',
+               ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM planted
+), decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(replace(
+           t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&#39;', ''''), '&#34;', '"'), '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM stripped
+)
+SELECT doc_id,
+       trim(regexp_replace(t, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS extracted
+FROM decoded ORDER BY doc_id
 """

@@ -74,3 +74,59 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(target or text_col, c)
+
+
+# HTML extraction chain: order matters and is part of the contract —
+# containers whose CONTENT must go (script/style) before comments,
+# comments before generic tags (a commented-out tag must not survive),
+# entities after tags (so '&lt;b&gt;' decodes to literal '<b>' text
+# instead of becoming a strippable tag), '&amp;' strictly last (no
+# double-decode: '&amp;lt;' → '&lt;' stays literal).
+_HTML_KILL_CONTENT_RE = (
+    r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>"
+)
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_HTML_TAG_RE = r"(?s)<[^>]*>"
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST
+)
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    target: str | None = None,
+    decode_entities: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Extract visible text from HTML markup: drop script/style bodies,
+    comments and tags (tags become one space so adjacent words never
+    fuse), decode the common named/numeric entities, collapse
+    whitespace. The first stage of any web-crawl curation pipeline.
+
+    Pure-Column regexp_replace chain — zero shuffle, whole-stage
+    codegen, and (deliberately) only regex constructs with identical
+    Java/RE2 semantics (non-greedy, inline (?is)) so the DuckDB gate
+    oracle replays the exact chain. Not an HTML5 parser: unclosed
+    ``<script`` without a terminator survives as text, CDATA is not
+    special-cased — the 100-TB contract is bounded-cost single-pass
+    extraction, not spec-complete parsing (a spec parser would be a
+    mapInPandas stage feeding this same chain).
+    """
+    c: Column = F.col(text_col)
+    c = F.regexp_replace(c, _HTML_KILL_CONTENT_RE, " ")
+    c = F.regexp_replace(c, _HTML_COMMENT_RE, " ")
+    c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    if decode_entities:
+        for ent, repl in _HTML_ENTITIES:
+            c = F.replace(c, F.lit(ent), F.lit(repl))
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, _WS_RE, " "))
+    return df.withColumn(target or text_col, c)

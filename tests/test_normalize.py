@@ -72,3 +72,65 @@ def test_enables_exact_dedup(spark):
     )
     n = normalize_text(df).select("text").distinct().count()
     assert n == 1
+
+
+# ---- strip_html -------------------------------------------------------------
+
+
+HTML_CASES = [
+    (
+        '<html><head><script>var x="</p>";</script><style>p{}</style>'
+        '</head><body><!-- hidden <b>x</b> --><h1>Title</h1>'
+        '<p class="a">hello <b>world</b></p><br/>tail '
+        "&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</body></html>",
+        'Title hello world tail & <tag> "q" \'s\' end',
+    ),
+    ("no markup at all", "no markup at all"),
+    # '&amp;lt;' must decode ONCE: '&amp;' → '&' last, never re-scanned
+    ("&amp;lt; stays literal", "&lt; stays literal"),
+    # case-insensitive script kill, attribute junk in the open tag
+    ("a <SCRIPT a='1' b>alert(1)</ScRiPt> b", "a b"),
+    # multi-line script body + comment spanning lines
+    ("x <script>\nline1\nline2\n</script>\n<!--\nc\n--> y", "x y"),
+    # documented non-goal: tag-shaped '< b and c >' is stripped
+    ("a < b and c > d", "a d"),
+    (None, None),
+    ("", ""),
+]
+
+
+def test_strip_html_table(spark):
+    from syslog_ng_spark.operators.normalize import strip_html
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HTML_CASES)], ["i", "text"]
+    )
+    got = {r["i"]: r["text"] for r in strip_html(df).collect()}
+    for i, (_, exp) in enumerate(HTML_CASES):
+        assert got[i] == exp, HTML_CASES[i][0]
+
+
+def test_strip_html_no_entity_decode_no_collapse(spark):
+    from syslog_ng_spark.operators.normalize import strip_html
+
+    df = spark.createDataFrame([("<b>a</b>  &amp;  b",)], ["text"])
+    row = strip_html(
+        df, decode_entities=False, collapse_ws=False, target="out"
+    ).collect()[0]
+    assert row["out"] == " a   &amp;  b"
+    assert row["text"] == "<b>a</b>  &amp;  b"  # target leaves source
+
+
+def test_strip_html_zero_shuffle_codegen(spark, tmp_path):
+    from syslog_ng_spark.operators.normalize import strip_html
+
+    path = str(tmp_path / "h")
+    spark.createDataFrame(
+        [(i, f"<p>doc {i}</p>") for i in range(50)], ["i", "text"]
+    ).write.parquet(path)
+    plan = (
+        strip_html(spark.read.parquet(path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "*(1) Project" in plan, plan

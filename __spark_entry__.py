@@ -1669,6 +1669,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": q_length_stats,
         "stratified_sample": q_stratified_sample,
         "html_strip": q_html_strip,
+        "winnow_fps": q_winnow_fps,
+        "winnow_neardup": q_winnow_neardup,
     }
 
 
@@ -1748,6 +1750,8 @@ def oracle_sql() -> dict[str, str]:
         "length_stats": _LENGTH_STATS_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "html_strip": _HTML_STRIP_SQL,
+        "winnow_fps": _WINNOW_FPS_SQL,
+        "winnow_neardup": _WINNOW_PAIRS_SQL,
     }
 
 
@@ -3595,4 +3599,106 @@ WITH planted AS (
 SELECT doc_id,
        trim(regexp_replace(t, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS extracted
 FROM decoded ORDER BY doc_id
+"""
+
+
+def q_winnow_fps(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints over documents: k-gram
+    md5 hashes, sliding-window minima, distinct set per doc. Spark runs
+    the pandas engine (zero-shuffle per-row kernel); the oracle replays
+    the sql engine's plan in DuckDB — so this gate proves
+    kernel == window-SQL across engines AND processes."""
+    from syslog_ng_spark.operators.winnow import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, window=4, engine="pandas").orderBy(
+        "doc_id", "fp"
+    )
+
+
+_WINNOW_FPS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9_]+'),
+                     t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 5
+              THEN list_transform(range(1, len(tk)-5+2),
+                   i -> substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16))
+              WHEN len(tk) >= 1
+              THEN [substr(md5(array_to_string(tk, ' ')), 1, 16)]
+              ELSE [] END AS gs
+  FROM toks
+), g AS (
+  SELECT doc_id, len(gs) AS g_cnt,
+         unnest(gs) AS h,
+         unnest(range(1, len(gs)+1)) AS pos
+  FROM grams
+), w AS (
+  SELECT doc_id, pos, g_cnt,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM w
+WHERE pos <= greatest(g_cnt - 3, 1)
+ORDER BY doc_id, fp
+"""
+
+
+def q_winnow_neardup(spark, sf_dir):
+    """MOSS-style near-dup pairs: Jaccard over winnow fingerprint sets.
+    Unlike minhash banding, candidate recall here is EXACT (any pair with
+    a shared fingerprint co-occurs in that fingerprint's bucket), so the
+    oracle is the plain all-pairs set Jaccard with no recall argument —
+    only the skew cap could diverge, and at gate scale no bucket nears
+    it."""
+    from syslog_ng_spark.operators.winnow import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=5, window=4, threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_WINNOW_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9_]+'),
+                     t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 5
+              THEN list_transform(range(1, len(tk)-5+2),
+                   i -> substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16))
+              WHEN len(tk) >= 1
+              THEN [substr(md5(array_to_string(tk, ' ')), 1, 16)]
+              ELSE [] END AS gs
+  FROM toks
+), g AS (
+  SELECT doc_id, len(gs) AS g_cnt,
+         unnest(gs) AS h,
+         unnest(range(1, len(gs)+1)) AS pos
+  FROM grams
+), w AS (
+  SELECT doc_id, pos, g_cnt,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM w
+  WHERE pos <= greatest(g_cnt - 3, 1)
+), sets AS (
+  SELECT doc_id, list_sort(list(fp)) AS s FROM fps GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE
+           / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.3
+ORDER BY id_a, id_b
 """

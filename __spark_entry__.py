@@ -1671,6 +1671,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "winnow_fps": q_winnow_fps,
         "winnow_neardup": q_winnow_neardup,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -1752,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
         "html_strip": _HTML_STRIP_SQL,
         "winnow_fps": _WINNOW_FPS_SQL,
         "winnow_neardup": _WINNOW_PAIRS_SQL,
+        "gopher_quality": _GOPHER_SQL,
     }
 
 
@@ -3701,4 +3703,91 @@ WITH toks AS (
 )
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.3
 ORDER BY id_a, id_b
+"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher repetition-free quality rules (Rae et al. 2021 §A1.1, the
+    published thresholds) over documents with deterministic planted
+    structure — bullet lines, ellipsis lines, '#' runs, numeric words
+    keyed on doc_id — so every rule fires both ways. The oracle replays
+    the identical pure-Column signal chain in DuckDB."""
+    from syslog_ng_spark.operators.quality import gopher_rules
+
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, "\n- bullet one\n- planted two\n- planted three").otherwise(""),
+        F.when(d % 7 == 0, "\ntrailing thought...\nmore to come...").otherwise(""),
+        F.when(d % 4 == 0, " ### ## #####").otherwise(""),
+        F.when(d % 6 == 0, " 101 202 303 404 505 606 707 808").otherwise(""),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("text", planted)
+    out = gopher_rules(docs, min_mean_word_len=4.0, max_bullet_line_frac=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords", "gopher_keep",
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10)||'- bullet one'||chr(10)||'- planted two'||chr(10)||'- planted three'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10)||'trailing thought...'||chr(10)||'more to come...'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' ### ## #####' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN ' 101 202 303 404 505 606 707 808' ELSE '' END
+         AS text
+  FROM documents
+), sig AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w,
+         string_split(text, chr(10)) AS l
+  FROM planted
+), agg AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0 THEN len(w) ELSE 1 END AS safe_w,
+         CASE WHEN len(l) > 0 THEN len(l) ELSE 1 END AS safe_l,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS wl_sum,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+         len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]'))) AS n_bullet,
+         len(list_filter(l, x -> regexp_matches(rtrim(x), '\\.\\.\\.$'))) AS n_ell_line,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(w, x -> lower(x)), s))) AS stop_hits
+  FROM sig
+), r AS (
+  SELECT doc_id, n_words,
+         round(coalesce(wl_sum, 0.0) / safe_w, 4) AS mean_word_len,
+         stop_hits,
+         n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         coalesce(wl_sum, 0.0) / safe_w >= 4.0
+           AND coalesce(wl_sum, 0.0) / safe_w <= 10.0 AS r_mean_word_len,
+         (n_hash + n_ell) / CAST(safe_w AS DOUBLE) <= 0.1 AS r_symbol_ratio,
+         n_bullet / CAST(safe_l AS DOUBLE) <= 0.5 AS r_bullet_lines,
+         n_ell_line / CAST(safe_l AS DOUBLE) <= 0.3 AS r_ellipsis_lines,
+         n_alpha / CAST(safe_w AS DOUBLE) >= 0.8 AS r_alpha_words,
+         stop_hits >= 2 AS r_stopwords
+  FROM agg
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+       r_ellipsis_lines, r_alpha_words, r_stopwords,
+       r_word_count AND r_mean_word_len AND r_symbol_ratio
+         AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+         AND r_stopwords AS gopher_keep
+FROM r ORDER BY doc_id
 """

@@ -1672,6 +1672,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,
         "winnow_neardup": q_winnow_neardup,
         "gopher_quality": q_gopher_quality,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -1754,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": _WINNOW_FPS_SQL,
         "winnow_neardup": _WINNOW_PAIRS_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     }
 
 
@@ -3790,4 +3792,59 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
          AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
          AND r_stopwords AS gopher_keep
 FROM r ORDER BY doc_id
+"""
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Score-policy cluster dedup: minhash near-dup clusters, keep the
+    LONGEST document per cluster (argmax n_chars, min-id tie-break)
+    instead of the arbitrary min id. Oracle: the recursive-CTE closure
+    over exact all-pairs Jaccard >= 0.5 + row_number ranking."""
+    from syslog_ng_spark.operators.dedup import dedup_keep_best, minhash_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh(docs, threshold=0.5)
+    out = dedup_keep_best(docs, pairs, score_col="n_chars")
+    return out.select(
+        "doc_id", "component", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+_DEDUP_KEEP_BEST_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9_]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+              THEN list_distinct(list_transform(range(1, len(tk)-1),
+                                 i -> array_to_string(tk[i:i+2], ' ')))
+              ELSE [array_to_string(tk, ' ')] END AS sh
+  FROM toks
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+), alldocs AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY n_chars DESC, doc_id) AS rn
+  FROM alldocs
+)
+SELECT doc_id, component, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1 ORDER BY doc_id
 """

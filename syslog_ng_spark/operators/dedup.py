@@ -795,6 +795,45 @@ def dedup_by_component(
     return out
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-level near-dup removal with a QUALITY policy: one
+    representative per connected component, chosen as argmax(score)
+    with min-id tie-break — "keep the longest / highest-quality copy",
+    the curation policy real pipelines want instead of
+    ``dedup_by_component``'s arbitrary min-id.
+
+    Returns the surviving rows of ``df`` (all columns) plus their
+    ``component`` (singletons: component = own id). Plan shape: the
+    component map is pair-derived and therefore tiny relative to the
+    corpus (only clustered ids appear); the argmax is one
+    ``max_by(id, (score, -id))`` partial-aggregating groupBy on it, and
+    the corpus pays exactly two id-keyed semi/anti joins — text never
+    shuffles."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        "id",
+    )
+    reps = scored.groupBy("component").agg(
+        F.max_by("id", F.struct(F.col("_s"), -F.col("id"))).alias(id_col)
+    )
+    losers = scored.join(
+        reps.select(F.col(id_col).alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias(id_col))
+    out = df.join(losers, id_col, "left_anti")
+    comp_map = comp.select(F.col("id").alias(id_col), "component")
+    return out.join(comp_map, id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -158,3 +158,43 @@ def test_window_count_spec(n_tokens):
     else:
         g = max(n_tokens - K + 1, 1)
         assert 1 <= len(fps) <= max(g - W + 1, 1)
+
+
+def test_winnow_decontaminate(spark):
+    from syslog_ng_spark.operators.winnow import winnow_decontaminate
+
+    passage = " ".join(f"leak{i}" for i in range(8))  # window+k-1 = 8
+    corpus = _docs(
+        spark,
+        [
+            (1, "clean words all the way through here with many tokens"),
+            (2, "prefix stuff " + passage + " suffix stuff here"),
+            (3, "another clean one nothing shared at all today"),
+        ],
+    )
+    bench = spark.createDataFrame(
+        [(100, "eval question contains " + passage + " verbatim")],
+        "doc_id long, text string",
+    )
+    clean = winnow_decontaminate(corpus, bench)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+    audited = winnow_decontaminate(corpus, bench, keep=True)
+    rows = {r["doc_id"]: r for r in audited.collect()}
+    assert rows[2]["contaminated"] is True and rows[2]["n_shared_fps"] >= 1
+    assert rows[1]["contaminated"] is False and rows[1]["n_shared_fps"] == 0
+
+
+def test_winnow_decontaminate_broadcasts_benchmark(spark):
+    from syslog_ng_spark.operators.winnow import winnow_decontaminate
+
+    corpus = _docs(spark, [(i, f"doc {i} body text here now") for i in range(50)])
+    bench = spark.createDataFrame(
+        [(1, "tiny eval set")], "doc_id long, text string"
+    )
+    plan = (
+        winnow_decontaminate(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

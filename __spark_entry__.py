@@ -1673,6 +1673,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup": q_winnow_neardup,
         "gopher_quality": q_gopher_quality,
         "dedup_keep_best": q_dedup_keep_best,
+        "web_curation": q_web_curation,
     }
 
 
@@ -1756,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_neardup": _WINNOW_PAIRS_SQL,
         "gopher_quality": _GOPHER_SQL,
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
+        "web_curation": _WEB_CURATION_SQL,
     }
 
 
@@ -3846,5 +3848,161 @@ WITH RECURSIVE toks AS (
   FROM alldocs
 )
 SELECT doc_id, component, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_web_curation(spark, sf_dir):
+    """END-TO-END web curation composite chaining the round-6 ops:
+    planted HTML → strip_html → Gopher rule gate → winnow near-dup
+    pairs → score-policy cluster dedup (keep the longest copy). The
+    oracle replays every stage in one DuckDB query assembled from the
+    stage oracles that are each already proven gate-green — the
+    composite asserts the stages COMPOSE (column contracts, null
+    behavior, ordering) rather than re-proving each one."""
+    from syslog_ng_spark.operators.dedup import dedup_keep_best
+    from syslog_ng_spark.operators.normalize import strip_html
+    from syslog_ng_spark.operators.quality import gopher_rules
+    from syslog_ng_spark.operators.winnow import winnow_pairs
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><!-- c"),
+        (d % 5).cast("string"),
+        F.lit(" --><h1>T"),
+        d.cast("string"),
+        F.lit('</h1><p class="c">'),
+        F.col("text"),
+        F.lit(" &amp; tail</p></body></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("text", html)
+    stripped = strip_html(docs, target="ex").select("doc_id", "ex")
+    gated = gopher_rules(
+        stripped,
+        text_col="ex",
+        min_words=30,
+        min_mean_word_len=3.0,
+        min_stopword_hits=1,
+    )
+    kept = gated.filter(F.col("gopher_keep")).select("doc_id", "ex")
+    pairs = winnow_pairs(kept, text_col="ex", threshold=0.3)
+    survivors = dedup_keep_best(
+        kept.withColumn("text_len", F.length("ex")), pairs, score_col="text_len"
+    )
+    return survivors.select(
+        "doc_id", "component", F.col("text_len").cast("long").alias("text_len")
+    ).orderBy("doc_id")
+
+
+_WEB_CURATION_SQL = """
+WITH RECURSIVE planted AS (
+  SELECT doc_id,
+         '<html><body><!-- c' || CAST(doc_id % 5 AS VARCHAR)
+         || ' --><h1>T' || CAST(doc_id AS VARCHAR)
+         || '</h1><p class="c">' || text || ' &amp; tail</p></body></html>'
+         AS html
+  FROM documents
+), strippedraw AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(html,
+               '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>',
+               ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM planted
+), decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(replace(
+           t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&#39;', ''''), '&#34;', '"'), '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM strippedraw
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(t, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS ex
+  FROM decoded
+), sig AS (
+  SELECT doc_id, ex,
+         list_filter(string_split_regex(ex, '\\s+'), t -> t <> '') AS w,
+         string_split(ex, chr(10)) AS l
+  FROM stripped
+), agg AS (
+  SELECT doc_id, ex,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0 THEN len(w) ELSE 1 END AS safe_w,
+         CASE WHEN len(l) > 0 THEN len(l) ELSE 1 END AS safe_l,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS wl_sum,
+         length(ex) - length(replace(ex, '#', '')) AS n_hash,
+         len(regexp_extract_all(ex, '\\.\\.\\.')) AS n_ell,
+         len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]'))) AS n_bullet,
+         len(list_filter(l, x -> regexp_matches(rtrim(x), '\\.\\.\\.$'))) AS n_ell_line,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(w, x -> lower(x)), s))) AS stop_hits
+  FROM sig
+), kept AS (
+  SELECT doc_id, ex FROM agg
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND coalesce(wl_sum, 0.0) / safe_w >= 3.0
+    AND coalesce(wl_sum, 0.0) / safe_w <= 10.0
+    AND (n_hash + n_ell) / CAST(safe_w AS DOUBLE) <= 0.1
+    AND n_bullet / CAST(safe_l AS DOUBLE) <= 0.9
+    AND n_ell_line / CAST(safe_l AS DOUBLE) <= 0.3
+    AND n_alpha / CAST(safe_w AS DOUBLE) >= 0.8
+    AND stop_hits >= 1
+), toks AS (
+  SELECT doc_id, ex,
+         list_filter(string_split_regex(lower(trim(ex)), '[^a-zA-Z0-9_]+'),
+                     t -> t <> '') AS tk
+  FROM kept
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 5
+              THEN list_transform(range(1, len(tk)-5+2),
+                   i -> substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16))
+              WHEN len(tk) >= 1
+              THEN [substr(md5(array_to_string(tk, ' ')), 1, 16)]
+              ELSE [] END AS gs
+  FROM toks
+), g AS (
+  SELECT doc_id, len(gs) AS g_cnt,
+         unnest(gs) AS h,
+         unnest(range(1, len(gs)+1)) AS pos
+  FROM grams
+), wmin AS (
+  SELECT doc_id, pos, g_cnt,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmin
+  WHERE pos <= greatest(g_cnt - 3, 1)
+), sets AS (
+  SELECT doc_id, list_sort(list(fp)) AS s FROM fps GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.3
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+), alldocs AS (
+  SELECT k.doc_id, coalesce(c.component, k.doc_id) AS component,
+         length(k.ex) AS text_len
+  FROM kept k LEFT JOIN comp c USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY text_len DESC, doc_id) AS rn
+  FROM alldocs
+)
+SELECT doc_id, component, CAST(text_len AS BIGINT) AS text_len
 FROM ranked WHERE rn = 1 ORDER BY doc_id
 """

@@ -25,9 +25,46 @@ def _ensure_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _table_bytes(path: str) -> int:
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 40  # unknown (remote store): treat as big, no repartition
+
+
+_TABLE_BYTES_CACHE: dict[str, int] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # Parallelism derived from INPUT SIZE (optimization guide §2): a
+    # small single-file parquet is one row group = ONE scan partition,
+    # which serializes every per-row parser/regex/UDF stage before the
+    # first exchange on a single core (measured: the whole parse-query
+    # family ran 1-task stages). Below 256 MB (≤2 natural 128 MB splits)
+    # a round-robin repartition to the default parallelism costs a
+    # sub-second shuffle of the small table and unlocks every core;
+    # larger tables keep their natural splits — the 100 TB path is
+    # untouched. Deterministic: sort-before-repartition is on by
+    # default, and every query's result is pinned by an explicit
+    # orderBy/aggregate, not partition layout.
+    bytes_ = _TABLE_BYTES_CACHE.get(path)
+    if bytes_ is None:
+        bytes_ = _table_bytes(path)
+        _TABLE_BYTES_CACHE[path] = bytes_
+    if bytes_ < 256 * 1024 * 1024:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------

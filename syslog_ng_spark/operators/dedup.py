@@ -695,12 +695,41 @@ def ngram_jaccard_pairs(
 # --- connected components over near-dup pairs ----------------------------------
 
 
+def _cc_driver_numpy(ua, ub, max_rounds: int = 64):
+    """Min-label propagation + pointer jumping over numpy arrays — the
+    in-memory kernel of the bounded-driver CC fast path. Same fixpoint
+    as the distributed loop (exact components, label = min id). Works
+    for any numpy-orderable id dtype (ints, strings): ``np.unique``
+    sorts ids ascending, so min over INDICES equals min over IDS."""
+    import numpy as np  # noqa: PLC0415
+
+    ids, inv = np.unique(np.concatenate([ua, ub]), return_inverse=True)
+    ui, vi = inv[: len(ua)], inv[len(ua) :]
+    lab = np.arange(len(ids))
+    for _ in range(max_rounds):
+        old = lab.copy()
+        np.minimum.at(lab, ui, lab[vi])
+        np.minimum.at(lab, vi, lab[ui])
+        lab = np.minimum(lab, lab[lab])  # pointer jump
+        if np.array_equal(lab, old):
+            break
+    # fully collapse labels (lab may still point at a non-root after the
+    # last improving round; iterate the jump to the fixpoint — O(log n))
+    while True:
+        nxt = lab[lab]
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return ids, ids[lab]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
     reliable_checkpoint: bool | None = None,
+    driver_max_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Distributed connected components over an undirected pair list —
     the clustering step that turns near-dup PAIRS into dedup CLUSTERS
@@ -725,8 +754,47 @@ def connected_components(
     Returns (id, component) for every id appearing in ``pairs`` —
     component = the min id of the cluster. Ids with no pairs are their
     own singletons and are simply absent (callers treat missing as
-    identity, see dedup_by_component)."""
+    identity, see dedup_by_component).
+
+    ``driver_max_edges``: bounded-driver fast path (same escape pattern
+    as patternize's bounded broadcast and the embedding gather bound).
+    The pair list is probed with ``limit(bound+1)``; when it fits, the
+    components are computed in ONE numpy pass on the driver (a near-dup
+    graph's edge list is pair-derived and tiny relative to the corpus —
+    2M edges is 32 MB of Arrow) instead of ~5 Spark jobs per
+    propagation round. Larger graphs (or non-Arrow-collectable / null
+    ids) take the distributed loop unchanged. ``None`` forces the
+    distributed loop."""
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+
+    if driver_max_edges is not None:
+        import numpy as np  # noqa: PLC0415
+
+        dt_a = pairs.schema[id_a].dataType
+        dt_b = pairs.schema[id_b].dataType
+        probe = None
+        if dt_a == dt_b:
+            try:
+                probe = e.limit(driver_max_edges + 1).toArrow()
+            except Exception:  # non-Arrow-convertible id type  # noqa: BLE001
+                probe = None
+        if probe is not None and probe.num_rows <= driver_max_edges:
+            ua = probe.column("u")
+            ub = probe.column("v")
+            if ua.null_count == 0 and ub.null_count == 0:
+                spark = pairs.sparkSession
+                dt = dt_a.simpleString()
+                if probe.num_rows == 0:
+                    return spark.createDataFrame([], f"id {dt}, component {dt}")
+                ids, comps = _cc_driver_numpy(
+                    np.asarray(ua.to_pandas()), np.asarray(ub.to_pandas())
+                )
+                return spark.createDataFrame(
+                    pd.DataFrame({"id": ids, "component": comps}),
+                    f"id {dt}, component {dt}",
+                )
+            # null ids: keep the distributed loop's join-key semantics
+
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.persist()
     comp = truncate_lineage(
@@ -744,21 +812,28 @@ def connected_components(
         )
         stepped = (
             comp.join(nbr, "u", "left")
-            .select("u", F.least(F.col("c"), F.coalesce("_nmin", "c")).alias("c"))
+            .select(
+                "u",
+                F.least(F.col("c"), F.coalesce("_nmin", "c")).alias("c"),
+                F.col("c").alias("_pc"),
+            )
         )
         roots = stepped.select(F.col("u").alias("_r"), F.col("c").alias("_rc"))
+        # the previous label rides along as _pc so convergence is read
+        # off the CHECKPOINTED frame with a cheap scan — the old
+        # change-count join of jumped vs comp was one extra join +
+        # shuffle per round
         jumped = truncate_lineage(
             stepped.join(roots, stepped["c"] == F.col("_r"), "left")
-            .select("u", F.least(F.col("c"), F.coalesce("_rc", "c")).alias("c")),
+            .select(
+                "u",
+                F.least(F.col("c"), F.coalesce("_rc", "c")).alias("c"),
+                "_pc",
+            ),
             reliable=reliable_checkpoint,
         )
-        changed = (
-            jumped.alias("n")
-            .join(comp.alias("o"), "u")
-            .filter(F.col("n.c") != F.col("o.c"))
-            .count()
-        )
-        comp = jumped
+        changed = jumped.filter(F.col("c") != F.col("_pc")).count()
+        comp = jumped.drop("_pc")
         if changed == 0:
             break
     sym.unpersist()

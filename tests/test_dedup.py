@@ -202,9 +202,46 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
-    comp = D.connected_components(pairs, max_iter=25).collect()
+    # driver_max_edges=None forces the DISTRIBUTED loop — this test pins
+    # the pointer-jumping convergence bound, not the driver fast path
+    comp = D.connected_components(pairs, max_iter=25, driver_max_edges=None).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == 201
+
+
+def test_connected_components_driver_path_parity(spark):
+    """The bounded-driver numpy fast path returns byte-identical
+    components to the distributed loop — chain + clique + cycle, long
+    ids and string ids, and the over-bound escape to distributed."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (10, 12), (11, 12), (20, 21), (7, 7)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    dist = {(r.id, r.component)
+            for r in D.connected_components(pairs, driver_max_edges=None).collect()}
+    drv = {(r.id, r.component)
+           for r in D.connected_components(pairs).collect()}
+    assert drv == dist
+    # schema parity (dedup_by_component joins on these columns/types)
+    out = D.connected_components(pairs)
+    assert [f.name for f in out.schema.fields] == ["id", "component"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "bigint"]
+
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    sdrv = {(r.id, r.component) for r in D.connected_components(spairs).collect()}
+    sdist = {(r.id, r.component)
+             for r in D.connected_components(spairs, driver_max_edges=None).collect()}
+    assert sdrv == sdist == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+    # bound exceeded -> distributed escape, same answer
+    over = {(r.id, r.component)
+            for r in D.connected_components(pairs, driver_max_edges=3).collect()}
+    assert over == dist
+
+    # empty pair list -> empty frame with the right schema, no crash
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty).count() == 0
 
 
 def test_dedup_by_component_transitive(spark):
@@ -233,7 +270,9 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     pdf = spark.createDataFrame(
         [(a, b) for a, b in pairs if a != b], "id_a long, id_b long"
     )
-    local = {(r.id, r.component) for r in D.connected_components(pdf, reliable_checkpoint=False).collect()}
+    # driver_max_edges=None: the checkpoint machinery only engages on
+    # the distributed loop (the driver fast path has no lineage to cut)
+    local = {(r.id, r.component) for r in D.connected_components(pdf, reliable_checkpoint=False, driver_max_edges=None).collect()}
 
     sc = spark.sparkContext
     prev = sc.getCheckpointDir()
@@ -243,10 +282,10 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
         assert has_reliable_checkpoint_dir(pdf)
         # auto mode picks the reliable path now
-        auto = {(r.id, r.component) for r in D.connected_components(pdf).collect()}
+        auto = {(r.id, r.component) for r in D.connected_components(pdf, driver_max_edges=None).collect()}
         forced = {
             (r.id, r.component)
-            for r in D.connected_components(pdf, reliable_checkpoint=True).collect()
+            for r in D.connected_components(pdf, reliable_checkpoint=True, driver_max_edges=None).collect()
         }
         assert auto == local and forced == local
         # checkpoint files actually landed in the dir

@@ -1210,7 +1210,10 @@ def q_transcript_pipeline(spark, sf_dir):
     df = transcripts(spark, n_convs=500, avg_turns=10)
     kv_parser(syslog_parser(df), source="msg").select(
         "conv_id", "turn_idx", "pri", "syslog_matched", "tool"
-    ).coalesce(1).write.mode("overwrite").parquet(_TRANSCRIPT_GATE_PATH)
+    ).repartition(1).write.mode("overwrite").parquet(_TRANSCRIPT_GATE_PATH)
+    # repartition(1), not coalesce(1): coalesce pulls the WHOLE
+    # generate+parse chain into one task (single-core); the exchange
+    # keeps the parse parallel and only the tiny write is one task
     parsed = spark.read.parquet(_TRANSCRIPT_GATE_PATH).persist()
     pipe = Pipeline(
         [
@@ -1928,7 +1931,7 @@ def q_patternize(spark, sf_dir):
     df.select(
         F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("rid"),
         F.col("text").alias("msg"),
-    ).coalesce(1).write.mode("overwrite").parquet(_PATTERNIZE_GATE_PATH)
+    ).repartition(1).write.mode("overwrite").parquet(_PATTERNIZE_GATE_PATH)
     corpus = spark.read.parquet(_PATTERNIZE_GATE_PATH)
     clusters = patternize(
         corpus,
@@ -2052,8 +2055,13 @@ def q_patternize_iter(spark, sf_dir):
         + [(f"b{i}", f"beta sync {i} ok") for i in range(30)]
         + [(f"n{i}", f"nz{i}q vw{i}r") for i in range(270)]
     )
-    df = spark.createDataFrame(rows, "rid string, msg string")
-    df.coalesce(1).write.mode("overwrite").parquet(_PATTERNIZE_ITER_PATH)
+    # one-slice parallelize: createDataFrame slices the local list into
+    # defaultParallelism pickled partitions and coalesce(1) would run
+    # them as ~32 sequential Python evaluations in one task
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), "rid string, msg string"
+    )
+    df.write.mode("overwrite").parquet(_PATTERNIZE_ITER_PATH)
     corpus = spark.read.parquet(_PATTERNIZE_ITER_PATH)
     clusters = patternize(
         corpus,
@@ -3921,14 +3929,22 @@ def q_web_curation(spark, sf_dir):
         min_mean_word_len=3.0,
         min_stopword_hits=1,
     )
-    kept = gated.filter(F.col("gopher_keep")).select("doc_id", "ex")
+    # kept is consumed by winnow_pairs AND by both sides of the
+    # keep-best joins; without a persist the strip+gopher HOF chain
+    # (10+ regex passes/row, no codegen CSE through HOF lambdas) is
+    # re-evaluated 3-4× — measured 8.3 s → 6.2 s with the cache
+    from syslog_ng_spark.operators.dedup import _unpersist_on_gc
+
+    kept = gated.filter(F.col("gopher_keep")).select("doc_id", "ex").persist()
     pairs = winnow_pairs(kept, text_col="ex", threshold=0.3)
     survivors = dedup_keep_best(
         kept.withColumn("text_len", F.length("ex")), pairs, score_col="text_len"
     )
-    return survivors.select(
+    out = survivors.select(
         "doc_id", "component", F.col("text_len").cast("long").alias("text_len")
     ).orderBy("doc_id")
+    _unpersist_on_gc(out, kept)
+    return out
 
 
 _WEB_CURATION_SQL = """

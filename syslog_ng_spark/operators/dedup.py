@@ -896,9 +896,29 @@ def dedup_keep_best(
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
         "id",
     )
-    reps = scored.groupBy("component").agg(
-        F.max_by("id", F.struct(F.col("_s"), -F.col("id"))).alias(id_col)
-    )
+    id_type = df.schema[id_col].dataType
+    if isinstance(
+        id_type,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        # numeric ids: single-pass argmax, min-id tie-break via negation
+        reps = scored.groupBy("component").agg(
+            F.max_by("id", F.struct(F.col("_s"), -F.col("id"))).alias(id_col)
+        )
+    else:
+        # type-agnostic path (ADVICE r6: unary minus on a string id
+        # casts to NULL under ANSI-off, making the documented
+        # deterministic tie-break silently arbitrary): max score per
+        # component, then min id among max-score members — two partial
+        # aggregations over the tiny pair-derived map
+        smax = scored.groupBy("component").agg(F.max("_s").alias("_smax"))
+        reps = (
+            scored.join(smax, "component")
+            .filter(F.col("_s") == F.col("_smax"))
+            .groupBy("component")
+            .agg(F.min("id").alias(id_col))
+        )
     losers = scored.join(
         reps.select(F.col(id_col).alias("id")), "id", "left_anti"
     ).select(F.col("id").alias(id_col))

@@ -264,7 +264,11 @@ def chunk_documents(
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     out = (
         df.withColumn("_toks", toks)
-        .withColumn("_n", F.size("_toks"))
+        # clamp: size() yields -1 for NULL arrays under the engine's
+        # ANSI-off sessions, which leaked a bogus chunk row with
+        # n_tokens=-1 for NULL-text docs (ADVICE r6) and skewed
+        # sum(n_tokens) invariants downstream
+        .withColumn("_n", F.greatest(F.size("_toks"), F.lit(0)))
         .withColumn(
             "chunk_idx",
             F.explode_outer(

@@ -169,9 +169,13 @@ def gopher_rules(
     stop_hits = F.size(F.filter(sw, lambda s: F.array_contains(lw, s)))
 
     guards = {
-        "n_words": F.coalesce(n_words, F.lit(0)),
+        # greatest(x, 0): size() returns -1 (not NULL) for NULL arrays
+        # under the engine's ANSI-off sessions, so coalesce alone let
+        # the audit columns report -1 for NULL text instead of the
+        # documented 0 (ADVICE r6); greatest also skips NULLs
+        "n_words": F.greatest(F.coalesce(n_words, F.lit(0)), F.lit(0)),
         "mean_word_len": F.round(F.coalesce(mean_wl, F.lit(0.0)), 4),
-        "stop_hits": F.coalesce(stop_hits, F.lit(0)),
+        "stop_hits": F.greatest(F.coalesce(stop_hits, F.lit(0)), F.lit(0)),
     }
     rules = {
         "r_word_count": (F.coalesce(n_words, F.lit(0)) >= min_words)

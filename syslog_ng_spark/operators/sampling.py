@@ -206,6 +206,20 @@ def stratified_sample_exact(
     if not prefilter or max_k == 0:
         return _rank_keep(keyed)
 
+    # NULL-safe stratum joins throughout: groupBy and Window treat NULL
+    # as a regular group, but equi-joins drop NULL keys — with plain
+    # joins the whole NULL stratum (realistic: failed lang detection)
+    # silently landed in NEITHER the safe nor the unsafe branch while
+    # prefilter=False sampled it (ADVICE r6, high).
+    def _nsjoin(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+        r = right.withColumnRenamed(strata_col, "_strat_r")
+        out = left.join(
+            F.broadcast(r),
+            F.col(strata_col).eqNullSafe(F.col("_strat_r")),
+            how,
+        )
+        return out.drop("_strat_r") if how != "left_semi" else out
+
     counts = (
         df.groupBy(strata_col).count().withColumnRenamed("count", "_n")
     )
@@ -213,7 +227,7 @@ def stratified_sample_exact(
         F.lit(1.0),
         F.lit(float(prefilter_factor)) * F.col("_k").cast("double") / F.col("_n"),
     )
-    keyed = keyed.join(F.broadcast(counts), strata_col, "left").withColumn(
+    keyed = _nsjoin(keyed, counts, "left").withColumn(
         "_thresh", (frac * float(2**60)).cast("long")
     )
     survivors = keyed.filter(key_num < F.col("_thresh"))
@@ -227,7 +241,12 @@ def stratified_sample_exact(
     )
     audit = (
         counts.withColumn("_ka", k_expr)
-        .join(surv_counts, strata_col, "left")
+        .join(
+            surv_counts.withColumnRenamed(strata_col, "_strat_s"),
+            F.col(strata_col).eqNullSafe(F.col("_strat_s")),
+            "left",
+        )
+        .drop("_strat_s")
         .withColumn("_kept", F.coalesce("_kept", F.lit(0)))
         .withColumn(
             "_ok",
@@ -235,15 +254,11 @@ def stratified_sample_exact(
         )
     )
     ok_set = audit.select(strata_col, "_ok")
-    safe = survivors.join(
-        F.broadcast(ok_set.filter(F.col("_ok")).drop("_ok")),
-        strata_col,
-        "left_semi",
+    safe = _nsjoin(
+        survivors, ok_set.filter(F.col("_ok")).drop("_ok"), "left_semi"
     )
-    unsafe = keyed.join(
-        F.broadcast(ok_set.filter(~F.col("_ok")).drop("_ok")),
-        strata_col,
-        "left_semi",
+    unsafe = _nsjoin(
+        keyed, ok_set.filter(~F.col("_ok")).drop("_ok"), "left_semi"
     )
     out = _rank_keep(safe.drop("_n", "_thresh"))
     fallback = _rank_keep(unsafe.drop("_n", "_thresh"))

@@ -206,6 +206,7 @@ def embedding_near_dup(
     max_bucket_size: int = 10000,
     eager: bool = False,
     max_gather_ids: int = 1_000_000,
+    max_gather_pairs: int = 500_000,
     reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with exact cosine ≥ threshold; candidates come
@@ -221,12 +222,14 @@ def embedding_near_dup(
     Scale shape: the band join shuffles (id, table, bucket) rows — ~20
     bytes per doc per table, never the vectors. The verify stage fetches
     vectors for CANDIDATE ids only: semi-join the corpus down to the
-    (distinct) candidate id set. When that id set is small (≤
-    ``max_gather_ids``) the candidate vectors are gathered to the driver
-    once and broadcast as a numpy matrix, and the verify UDF receives
-    only (id_a, id_b) pairs — a measured 2× win over shipping vectors
-    per pair through Arrow. When the id set exceeds the bound (dup-heavy
-    corpora can make it corpus-proportional) the verify falls back to a
+    (distinct) candidate id set. When the candidate set is small (≤
+    ``max_gather_pairs`` pairs AND ≤ ``max_gather_ids`` ids) the
+    candidate vectors are gathered to the driver once and broadcast as a
+    numpy matrix, and the verify UDF receives only (id_a, id_b) pairs —
+    a measured 2× win over shipping vectors per pair through Arrow.
+    When either bound is exceeded (dup-heavy or hot-bucket corpora make
+    the pair set near-quadratic while corpus × tables stays linear;
+    measured 5.1 s vs 7.5 s at the gate's worst case) the verify runs as a
     fully distributed BUCKET-LOCAL pass: vectors join onto their capped
     band rows (each vector ships ``n_tables`` times — bytes linear in
     corpus size, never per candidate pair) and all pairs inside each
@@ -256,39 +259,63 @@ def embedding_near_dup(
     dropped = None
     if max_bucket_size is not None:
         banded, dropped = _cap_buckets(banded, ["tbl", "bk"], max_bucket_size)
-    a2, b2 = banded.alias("a"), banded.alias("b")
-    cand = (
-        a2.join(
-            b2,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Choose the verify strategy from BUCKET OCCUPANCY, not from a
+    # materialized candidate join: est = Σ C(size, 2) over the (capped)
+    # buckets upper-bounds the candidate pair volume and IS the cost of
+    # the self-join itself, and it comes from one tiny aggregate over
+    # the band rows. Gather-verify cost scales with PAIRS (every pair
+    # ships through Arrow and indexes the matrix — and the self-join +
+    # dropDuplicates must run first just to enumerate them);
+    # bucket-local distributed cost scales with corpus × tables. In
+    # hot-bucket regimes (near-isotropic vectors, low n_planes) pairs
+    # approach n²/2 while corpus × tables stays linear — measured
+    # 5.1 s vs 7.5 s on the gate's worst-case corpus — so large pair
+    # sets go distributed WITHOUT ever building the pair join.
+    est_pairs = (
+        banded.groupBy("tbl", "bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"))
+        .collect()[0]["_p"]
+        or 0
+    )
+    use_gather = est_pairs <= max_gather_pairs
+    cand = None
+    n_ids = 0
+    if use_gather:
+        a2, b2 = banded.alias("a"), banded.alias("b")
+        cand = (
+            a2.join(
+                b2,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # cand is read 3× (the id union's two sides + the verify) and is tiny
-    # (two longs per pair) — cache it so the LSH stage runs once.
-    cand = cand.persist()
-    ids = (
-        cand.select(F.col("id_a").alias("_cid"))
-        .union(cand.select(F.col("id_b").alias("_cid")))
-        .distinct()
-    )
-    # Size the verify BEFORE choosing a strategy: the count materializes
-    # the persisted candidate stage (one job — it was going to run
-    # anyway) and bounds the driver-gather below.
-    n_ids = ids.count()
-    # semi-join → runtime filter into the scan: only CANDIDATE vectors
-    # are fetched — the id set is bounded by the (capped) LSH output,
-    # not the corpus.
-    cvec = df.join(
-        F.broadcast(ids) if n_ids <= max(max_gather_ids, 1) else ids,
-        F.col(id_col) == F.col("_cid"),
-        "left_semi",
-    ).select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+        # cand is read 3× (the id union's two sides + the verify) and is
+        # tiny (two longs per pair) — cache it so the LSH stage runs once.
+        cand = cand.persist()
+        ids = (
+            cand.select(F.col("id_a").alias("_cid"))
+            .union(cand.select(F.col("id_b").alias("_cid")))
+            .distinct()
+        )
+        n_ids = ids.count()
+        if n_ids > max_gather_ids:
+            use_gather = False
+            cand.unpersist()
+            cand = None
     bc = None
-    if n_ids <= max_gather_ids:
+    if use_gather:
+        # semi-join → runtime filter into the scan: only CANDIDATE
+        # vectors are fetched — the id set is bounded by the (capped)
+        # LSH output, not the corpus.
+        cvec = df.join(
+            F.broadcast(ids) if n_ids <= max(max_gather_ids, 1) else ids,
+            F.col(id_col) == F.col("_cid"),
+            "left_semi",
+        ).select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
         # GATHER verify: one copy of the candidate vector matrix is
         # broadcast per executor and a vectorized UDF indexes into it per
         # (id_a, id_b) batch. Joining vectors onto the pairs instead
@@ -399,12 +426,14 @@ def embedding_near_dup(
         res = truncate_lineage(out, reliable=reliable_checkpoint)
         res._lsh_dropped_buckets = dropped.count() if dropped is not None else 0
         res._verify_strategy = "gather" if bc is not None else "distributed"
-        cand.unpersist()
+        if cand is not None:
+            cand.unpersist()
         if bc is not None:
             bc.unpersist()
         return res
     out._verify_strategy = "gather" if bc is not None else "distributed"
-    _unpersist_on_gc(out, cand)
+    if cand is not None:
+        _unpersist_on_gc(out, cand)
     if bc is not None:
         import weakref  # noqa: PLC0415
 
@@ -486,9 +515,16 @@ def ivf_write(assigned: DataFrame, centroids, path: str, fmt: str = "parquet") -
     )
     spark = assigned.sparkSession
     rows = [(int(i), [float(x) for x in c]) for i, c in centroids]
+    # one-slice parallelize, NOT coalesce(1): createDataFrame slices a
+    # local list into defaultParallelism pickled partitions, and
+    # coalesce(1) then runs ~32 sequential Python-runner evaluations in
+    # ONE task (~150 ms each — measured 4.5 s to write 8 rows); a
+    # single-slice RDD is one evaluation, one file
     (
-        spark.createDataFrame(rows, "cell int, center array<double>")
-        .coalesce(1)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, numSlices=1),
+            "cell int, center array<double>",
+        )
         .write.mode("overwrite")
         .format(fmt)
         .save(f"{path}/centroids")

@@ -180,6 +180,7 @@ def winnow_pairs(
     fps = fps.persist()
     counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nfp"))
     capped = fps
+    _dropped = None
     if max_bucket_size is not None:
         capped, _dropped = _cap_buckets(fps, ["fp"], max_bucket_size)
     a = capped.select(F.col(id_col).alias("id_a"), "fp")
@@ -206,6 +207,15 @@ def winnow_pairs(
     from .dedup import _unpersist_on_gc  # noqa: PLC0415
 
     _unpersist_on_gc(out, fps)
+    # non-silent cap audit (same contract as minhash_lsh): the dropped-
+    # bucket frame — one row per capped fingerprint bucket with its
+    # size — rides on the result for callers to count/log/route. NOTE:
+    # _shared counts come from the CAPPED set while _na/_nb come from
+    # the full per-doc fingerprint counts, so for a pair whose shared
+    # fingerprints partly sit in dropped buckets the reported jaccard
+    # is a LOWER BOUND (never an overestimate) — a pair can only be
+    # under-scored by capping, never promoted above threshold.
+    out._capped_buckets = _dropped
     return out
 
 

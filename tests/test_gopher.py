@@ -74,3 +74,18 @@ def test_no_shuffle_no_udf(spark):
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF — pure Column signals
+
+
+def test_gopher_null_text_audit_columns_zero(spark):
+    """ADVICE r6: the n_words/stop_hits audit columns reported -1 for
+    NULL text (size() is -1 under ANSI-off); the documented contract is
+    counts/fractions defined as 0 with gopher_keep false."""
+    from syslog_ng_spark.operators.quality import gopher_rules
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    for i in (1, 2):
+        assert rows[i].n_words == 0
+        assert rows[i].stop_hits == 0
+        assert rows[i].mean_word_len == 0.0
+        assert rows[i].gopher_keep is False

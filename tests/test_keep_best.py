@@ -58,3 +58,22 @@ def test_corpus_text_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "text" in line:
             raise AssertionError(f"text crossed an exchange: {line}")
+
+
+def test_keep_best_string_ids_deterministic_tiebreak(spark):
+    """ADVICE r6: -F.col(id) casts string ids to NULL under ANSI-off,
+    making the min-id tie-break arbitrary; the type-agnostic path picks
+    max score then MIN id among ties for any orderable id type."""
+    from syslog_ng_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5), ("z", 1)],
+        "doc_id string, score int",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    out = {(r.doc_id, r.component) for r in
+           dedup_keep_best(docs, pairs, score_col="score").collect()}
+    # all three tie at score 5 -> min id 'a' wins; 'z' is a singleton
+    assert out == {("a", "a"), ("z", "z")}

@@ -246,3 +246,19 @@ def test_chunk_documents_is_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_null_text_no_negative_tokens(spark):
+    """ADVICE r6: size(NULL)=-1 under ANSI-off leaked a chunk row with
+    n_tokens=-1 for NULL-text docs; the clamp pins n_tokens >= 0 so
+    sum(n_tokens) invariants hold."""
+    from syslog_ng_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=2, stride=2).collect()
+    assert all(r.n_tokens >= 0 for r in out)
+    null_rows = [r for r in out if r.doc_id == 2]
+    assert len(null_rows) == 1 and null_rows[0].n_tokens == 0
+    assert sum(r.n_tokens for r in out) == 3

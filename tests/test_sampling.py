@@ -212,3 +212,25 @@ def test_stratified_validation(strata_df):
         stratified_sample_exact(strata_df, 5, strata_col="g", prefilter_factor=0.5)
     with pytest.raises(ValueError):
         stratified_sample_exact(strata_df, {}, strata_col="g")
+
+
+def test_stratified_null_stratum_parity(spark):
+    """ADVICE r6 (high): NULL-stratum rows must be sampled identically
+    by the prefilter and window paths — the broadcast-counts equi-join
+    silently dropped them (they landed in neither the safe nor the
+    unsafe branch)."""
+    rows = [(i, "a" if i % 2 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    exp = _md5_rank_sample(df.collect(), lambda g: 5)
+    for pf in (False, True):
+        got = {
+            r["doc_id"]: (r["g"], r["rank"])
+            for r in stratified_sample_exact(
+                df, 5, strata_col="g", prefilter=pf, rank_col="rank"
+            ).collect()
+        }
+        assert got == exp, f"prefilter={pf}"
+    # both strata present, exactly k each
+    out = stratified_sample_exact(df, 5, strata_col="g", prefilter=True)
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"a": 5, None: 5}

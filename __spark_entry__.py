@@ -2448,13 +2448,20 @@ def q_pack_chunked(spark, sf_dir):
     from syslog_ng_spark.operators.packing import pack_chunked
     from syslog_ng_spark.operators.textstats import token_count
 
+    from syslog_ng_spark.operators.dedup import _unpersist_on_gc
+
+    # persist the sized frame: pack_chunked's bounds/totals/cumsum scans
+    # would otherwise re-tokenize the text 3× (token_count is a HOF
+    # split — no CSE across separate jobs)
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens", token_count(F.col("text")).cast("long")
-    )
+    ).select("doc_id", "n_tokens").persist()
     out = pack_chunked(docs, budget=8192)
-    return out.select(
+    res = out.select(
         "doc_id", "n_tokens", "start_off", "pack_first", "pack_last", "n_spans"
     ).orderBy("doc_id")
+    _unpersist_on_gc(res, docs)
+    return res
 
 
 _PACK_SQL = """
@@ -2585,14 +2592,22 @@ def q_curation_pipeline(spark, sf_dir):
     out = normalize_text(docs, "text")
     out = pii_scrub(out, "text", kinds=("email", "ipv4"))
     out = exact_dedup(out)
+    # persist the gated frame: pack_chunked scans its input 3× (lo/hi
+    # bounds, per-bucket totals, the cumsum itself) and each scan would
+    # re-evaluate the whole normalize→scrub→dedup chain (Arrow NFC UDF
+    # + regex passes + a semi-join) — HOF/UDF chains get no CSE
+    from syslog_ng_spark.operators.dedup import _unpersist_on_gc
+
     out = out.withColumn(
         "n_tokens", token_count(F.col("text")).cast("long")
-    ).filter(F.col("n_tokens") >= 5)
-    out = pack_chunked(out, budget=2048)
-    return out.select(
+    ).filter(F.col("n_tokens") >= 5).persist()
+    packed = pack_chunked(out, budget=2048)
+    res = packed.select(
         "doc_id", "text", "n_tokens", "start_off",
         F.col("pack_first").alias("pack_id"),
     ).orderBy("doc_id")
+    _unpersist_on_gc(res, out)
+    return res
 
 
 _CURATION_SQL = """

@@ -77,8 +77,17 @@ def _global_cumsum(
     ).collect()[0]
     if lo is None:  # empty frame
         return df.withColumn(out_col, F.lit(0).cast("long"))
-    nb = max(df.sparkSession.sparkContext.defaultParallelism * 4, 1)
     span = float(hi) - float(lo) + 1.0
+    # bucket count derived from the id SPAN (guide §2: scale-adaptive
+    # partitioning, not a constant): ~4k ids per bucket up to the
+    # 4×parallelism ceiling. Small corpora get a handful of buckets
+    # instead of 128 near-empty Arrow tasks; wide (hash-id / billion-row)
+    # spans hit the ceiling, which is the old behavior. nb only affects
+    # internal grouping — the cumsum is exact for any nb.
+    nb = int(max(1, min(
+        df.sparkSession.sparkContext.defaultParallelism * 4,
+        span // 4096 + 1,
+    )))
     # Compute the bucket in DOUBLE: '(col - lo) * nb' in long arithmetic
     # silently wraps for wide id spans (hash-derived 64-bit ids), which
     # would collapse most rows into bucket 0 — still deterministic (the

@@ -36,30 +36,58 @@ def bpe_ish_token_count(c: Column) -> Column:
 
 
 def stopword_ratio(c: Column, lang: str = "en") -> Column:
-    toks = tokens(c)
+    """Single-pass formulation: HOF lambdas have no codegen CSE, so the
+    old ``size(filter(toks))/size(toks)`` re-evaluated the tokenizer
+    regex per reference; one ``aggregate`` with a finish lambda
+    tokenizes exactly once per row (same values: count of stopword
+    tokens over token count, 0.0 for token-less text)."""
     sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+    return F.aggregate(
+        tokens(c),
+        F.struct(F.lit(0).alias("sw"), F.lit(0).alias("n")),
+        lambda acc, t: F.struct(
+            (acc["sw"] + F.when(F.array_contains(sw, t), 1).otherwise(0)).alias("sw"),
+            (acc["n"] + 1).alias("n"),
+        ),
+        lambda acc: F.when(acc["n"] > 0, acc["sw"] / acc["n"]).otherwise(F.lit(0.0)),
+    )
 
 
 def lang_id(c: Column) -> Column:
     """Stopword-vote language guess across the built-in sets; 'und' when
-    nothing votes (short/non-text input)."""
-    toks = tokens(c)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    exprs = []
-    for lang, words in _STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        exprs.append((lang, score))
-    # fold: pick argmax via chained when (4 langs — constant plan size)
-    out = F.lit("und")
-    cur = F.lit(0)
-    for lang, score in exprs:
-        out = F.when(score > cur, F.lit(lang)).otherwise(out)
-        cur = F.greatest(cur, score)
-    return out
+    nothing votes (short/non-text input).
+
+    Single aggregate pass: all four languages' votes accumulate in one
+    struct over one tokenization, and the argmax chain (later language
+    wins only on a STRICTLY greater score — dict order en/de/fr/es, as
+    before) runs in the finish lambda over the bound accumulator, so
+    nothing is re-evaluated."""
+    arrays = {
+        lang: F.array(*[F.lit(w) for w in words])
+        for lang, words in _STOPWORDS.items()
+    }
+    init = F.struct(*[F.lit(0).alias(lang) for lang in _STOPWORDS])
+
+    def merge(acc, t):
+        return F.struct(
+            *[
+                (
+                    acc[lang]
+                    + F.when(F.array_contains(arrays[lang], t), 1).otherwise(0)
+                ).alias(lang)
+                for lang in _STOPWORDS
+            ]
+        )
+
+    def finish(acc):
+        out = F.lit("und")
+        cur = F.lit(0)
+        for lang in _STOPWORDS:
+            out = F.when(acc[lang] > cur, F.lit(lang)).otherwise(out)
+            cur = F.greatest(cur, acc[lang])
+        return out
+
+    return F.aggregate(tokens(c), init, merge, finish)
 
 
 def quality_score(c: Column, lang: str = "en") -> Column:

@@ -42,7 +42,14 @@ def get_spark(
         # kv-scanner semantics: a repeated key overwrites (last wins)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Right-size the driver heap (guide §5: the driver does almost
+        # no data work here — collects are audited-bounded, broadcasts
+        # ≤0.5 GB). The old 48g default made occasional full GCs of a
+        # mostly-empty huge heap show up as multi-second stalls on
+        # otherwise-identical query runs; 16g bounds pause time and
+        # still leaves 30× headroom over the largest audited broadcast.
+        # Override with SPARK_DRIVER_MEM for cluster deployments.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )

@@ -43,27 +43,36 @@ def _table_bytes(path: str) -> int:
 _TABLE_BYTES_CACHE: dict[str, int] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, wide: bool = False) -> DataFrame:
+    """Read a gate table. ``wide=True`` requests full scan parallelism
+    for queries whose per-row work dominates (optimization guide §2): a
+    small single-file parquet is one row group = ONE scan partition,
+    which serializes every per-row parser/regex/UDF stage before the
+    first exchange on a single core (measured: the parse-query family
+    ran 1-task stages, e.g. scl_cisco 3.2 s single-core vs 0.9 s wide).
+    Below 256 MB (≤2 natural 128 MB splits) the round-robin repartition
+    costs a sub-second shuffle of the small table; larger tables keep
+    their natural splits, so the 100 TB path never pays it.
+
+    ``wide`` stays opt-in per query because the exchange is a net LOSS
+    for cheap column chains and for tables feeding a broadcast subtree
+    (the broadcast must wait on the full shuffle) — an A/B of the whole
+    suite at sf0.1 (noop-sink medians, idle host) showed +0.2..+2.3 s
+    per query for the heavy-parse family and −0.2..−0.7 s for the light
+    ones; only the measured winners pass wide=True. Deterministic
+    either way: sort-before-repartition is on by default and every
+    query's result is pinned by an explicit orderBy/aggregate, not
+    partition layout."""
     _ensure_conf(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    # Parallelism derived from INPUT SIZE (optimization guide §2): a
-    # small single-file parquet is one row group = ONE scan partition,
-    # which serializes every per-row parser/regex/UDF stage before the
-    # first exchange on a single core (measured: the whole parse-query
-    # family ran 1-task stages). Below 256 MB (≤2 natural 128 MB splits)
-    # a round-robin repartition to the default parallelism costs a
-    # sub-second shuffle of the small table and unlocks every core;
-    # larger tables keep their natural splits — the 100 TB path is
-    # untouched. Deterministic: sort-before-repartition is on by
-    # default, and every query's result is pinned by an explicit
-    # orderBy/aggregate, not partition layout.
-    bytes_ = _TABLE_BYTES_CACHE.get(path)
-    if bytes_ is None:
-        bytes_ = _table_bytes(path)
-        _TABLE_BYTES_CACHE[path] = bytes_
-    if bytes_ < 256 * 1024 * 1024:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    if wide:
+        bytes_ = _TABLE_BYTES_CACHE.get(path)
+        if bytes_ is None:
+            bytes_ = _table_bytes(path)
+            _TABLE_BYTES_CACHE[path] = bytes_
+        if bytes_ < 256 * 1024 * 1024:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
@@ -172,7 +181,7 @@ def q_kv_parse_roundtrip(spark, sf_dir):
     """kv-parser (§2.5): parse k=v text built from events, extract back."""
     from syslog_ng_spark.operators.parsers import kv_parser
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", wide=True).withColumn(
         "line",
         F.format_string('uid=%d type=%s note="v is %s"', "user_id", "event_type", "event_type"),
     )
@@ -255,7 +264,7 @@ def q_rewrite_subst_mask(spark, sf_dir):
     """rewrite subst/set (§2.6): cc-mask style masking + templated set."""
     from syslog_ng_spark.operators import rewrite as RW
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", wide=True).withColumn(
         "payload",
         F.format_string(
             "card 4111111111111111 amex 378282246310005 by u%d", "user_id"
@@ -623,7 +632,7 @@ def q_session_windows_chunked(spark, sf_dir):
     is the plain session SQL."""
     from syslog_ng_spark.operators.grouping import sessionize_chunked
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", wide=True)
     s = sessionize_chunked(ev, ["user_id"], timeout=3600, chunk_seconds=6 * 3600)
     return (
         s.groupBy("user_id", "ctx_id")
@@ -848,7 +857,7 @@ def q_textstats(spark, sf_dir):
         token_count,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -985,7 +994,7 @@ def q_patterndb_classify(spark, sf_dir):
         PdbRule("r_buy", "commerce", "purchase", "user @NUMBER:uid@ hit @ESTRING:what: @at v=@FLOAT:v@"),
         PdbRule("r_any", "activity", "", "user @NUMBER:uid@ hit @ANYSTRING:rest@"),
     ]
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", wide=True).withColumn(
         "line",
         F.format_string("user %d hit %s at v=%s", "user_id", "event_type", F.round("value", 2).cast("string")),
     )
@@ -1061,7 +1070,7 @@ def q_date_parser(spark, sf_dir):
     """date-parser (§2.5): multi-format first-wins timestamp parse."""
     from syslog_ng_spark.operators.parsers import date_parser
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", wide=True).withColumn(
         "s", F.date_format("ts", "yyyy/MM/dd HH:mm:ss")
     )
     out = date_parser(ev, ["MM-dd-yyyy", "yyyy/MM/dd HH:mm:ss"], source="s")
@@ -1084,7 +1093,7 @@ def q_minhash_neardup(spark, sf_dir):
     (measured gap: no pair between 0.45 and 0.9)."""
     from syslog_ng_spark.operators.dedup import minhash_lsh
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     out = minhash_lsh(docs, threshold=0.5)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -1271,7 +1280,7 @@ def q_scl_sudo(spark, sf_dir):
     tests run on canned lines, but over 10k rows."""
     from syslog_ng_spark.operators.scl import sudo_parser
 
-    c = _t(spark, sf_dir, "customer")
+    c = _t(spark, sf_dir, "customer", wide=True)
     line = F.concat(
         F.regexp_replace("c_name", "#", "_"), F.lit(" : TTY=pts/"),
         F.pmod("c_custkey", F.lit(10)).cast("string"),
@@ -1309,7 +1318,7 @@ def q_scl_apache(spark, sf_dir):
 
     # deterministic 1/5 sample: full-table parse adds bench noise (150k
     # timestamp rows collected), not correctness signal
-    o = _t(spark, sf_dir, "orders").filter(F.pmod("o_orderkey", F.lit(5)) == 0)
+    o = _t(spark, sf_dir, "orders", wide=True).filter(F.pmod("o_orderkey", F.lit(5)) == 0)
     ts = F.date_format(
         F.col("o_orderdate").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss Z"
     )
@@ -1584,7 +1593,7 @@ def q_pdb_correlate(spark, sf_dir):
       </ruleset>
     </patterndb>"""
     rules, _ = load_patterndb_xml(xml)
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", wide=True).withColumn(
         "line", F.format_string("user %d hit %s", "user_id", "event_type")
     )
     classified = patterndb(ev, rules, program_col=F.lit("events"), text_col="line")
@@ -1806,7 +1815,7 @@ def q_value_pairs_select(spark, sf_dir):
     from syslog_ng_spark.functions.value_pairs import Rekey, value_pairs
     from syslog_ng_spark.operators.parsers import json_parser
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", wide=True)
     parsed = json_parser(ev, source="props", target="nv")
     vp = value_pairs(
         parsed, scopes=["nv-pairs"], include=["k*"], rekey=Rekey().add_prefix("p.")
@@ -1876,7 +1885,7 @@ def q_geoip_enrich(spark, sf_dir):
             ("10.64.0.0/10", {"country": "gamma"}),  # more specific than alpha
         ],
     )
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", wide=True).withColumn(
         "src_ip",
         F.format_string(
             "10.%d.%d.%d",
@@ -2248,7 +2257,7 @@ def q_repetition_stats(spark, sf_dir):
     from syslog_ng_spark.operators.repetition import repetition_stats
 
     docs = (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", wide=True)
         .withColumn(
             "text",
             F.concat_ws(
@@ -2901,7 +2910,7 @@ def q_dsir_select(spark, sf_dir):
     selection (operators/dsir.py)."""
     from syslog_ng_spark.operators.dsir import dsir_fit, dsir_resample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     tgt = docs.filter(F.col("doc_id") % 7 == 0)
     raw = docs.filter(F.col("doc_id") % 7 != 0)
     ratios = dsir_fit(tgt, raw)
@@ -3232,7 +3241,7 @@ def q_scl_cisco(spark, sf_dir):
     (1970 is not a leap year)."""
     from syslog_ng_spark.operators.scl import cisco_parser
 
-    e = _t(spark, sf_dir, "events").filter(F.pmod("event_id", F.lit(5)) == 0)
+    e = _t(spark, sf_dir, "events", wide=True).filter(F.pmod("event_id", F.lit(5)) == 0)
     sev = F.pmod("event_id", F.lit(8))
     fac = F.when(F.pmod("event_id", F.lit(4)) == 0, "SYSMGR-STANDBY").otherwise("SYS")
     line = F.concat(
@@ -3676,7 +3685,7 @@ def q_winnow_fps(spark, sf_dir):
     kernel == window-SQL across engines AND processes."""
     from syslog_ng_spark.operators.winnow import winnow_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     return winnow_fingerprints(docs, k=5, window=4, engine="pandas").orderBy(
         "doc_id", "fp"
     )
@@ -3786,7 +3795,7 @@ def q_gopher_quality(spark, sf_dir):
         F.when(d % 4 == 0, " ### ## #####").otherwise(""),
         F.when(d % 6 == 0, " 101 202 303 404 505 606 707 808").otherwise(""),
     )
-    docs = _t(spark, sf_dir, "documents").withColumn("text", planted)
+    docs = _t(spark, sf_dir, "documents", wide=True).withColumn("text", planted)
     out = gopher_rules(docs, min_mean_word_len=4.0, max_bullet_line_frac=0.5)
     return out.select(
         "doc_id",
